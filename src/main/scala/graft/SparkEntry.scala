@@ -1,13 +1,147 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.dsl.Dsl._
+import graft.operators.{EventLog, Joins}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One `queries` entry per implemented operator from SURVEY.md §2 (plus the
+  * LLM-pipeline extensions); `oracleSql` holds the DuckDB-equivalent SQL for
+  * every SQL-expressible entry. Column names are aliased identically on both
+  * sides (the driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Money columns in the testdata are exact 2-decimal values; computing in
+    * DECIMAL makes Spark and the DuckDB oracle bit-identical (double
+    * accumulation order / round-half ties differ between engines). Final
+    * results are cast back to double for a stable schema. */
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The M2 end-to-end slice: DSL-filtered outer ⋈ fact with mapper
+    * projection (reference J1, join/package.scala:52-63). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("j1_join_inner")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1 — scan with predicate + projection pushdown (reference
+    // storage.scala:315-327; pushdown into find()). Catalyst pushes both
+    // into the parquet scan: .explain shows PushedFilters + 3-col ReadSchema.
+    "s1_scan_pushdown" -> ((s, dir) => {
+      val q = Q()
+        .where(("l_quantity" $gte 30.0) && ("l_returnflag" $eq "A"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      q(t(s, dir, "lineitem"))
+    }),
+
+    // P1/P2/P7 + O1/O2/O3 — chained range (implicit AND map-merge,
+    // reference dsl/package.scala:62-69) + sort/skip/limit pushdown
+    // (dsl/package.scala:48-58). Sort keys form a unique key so the
+    // skip/limit slice is deterministic.
+    "p_dsl_range_sort_page" -> ((s, dir) => {
+      val q = Q()
+        .where("l_quantity" $gte 10.0 $lte 15.0)
+        .sort("l_orderkey" -> Order.Ascending, "l_linenumber" -> Order.Ascending)
+        .skip(5)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      q(t(s, dir, "lineitem"))
+    }),
+
+    // P3/P4/P5/P8 — $ne/$in/$nin with and/or connectives
+    // (reference mongo/package.scala:87-90,101-120).
+    "p_dsl_bool_ops" -> ((s, dir) => {
+      val pred =
+        (("o_orderstatus" $ne "F") && ("o_orderpriority" $in Seq("1-URGENT", "2-HIGH"))) ||
+          (("o_totalprice" $gt 400000.0) && ("o_orderpriority" $nin Seq("5-LOW")))
+      Q().where(pred).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")(
+        t(s, dir, "orders"))
+    }),
+
+    // J1 — the flagship inner join: DSL-filtered outer × keyed inner with a
+    // mapper projection (reference join/package.scala:52-63,74-132).
+    "j1_join_inner" -> ((s, dir) => {
+      val orders = Q().where("o_orderstatus" $eq "O")(t(s, dir, "orders"))
+      Joins.inner(orders, "o_orderkey", t(s, dir, "lineitem"), "l_orderkey")
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("l_partkey"),
+          col("l_quantity"),
+          (money(col("l_extendedprice")) * (money(lit(1.0)) - money(col("l_discount"))))
+            .cast("double").as("net_price"))
+    }),
+
+    // S3/O6/T1 — partitioned event-log scan with offset resume
+    // (reference log/package.scala:56-62, storage.scala:329-349).
+    "s3_eventlog_offset" -> ((s, dir) => {
+      EventLog.from(t(s, dir, "events"), "user_id", lit(7L), "event_id",
+          offset = 100L, maxPartitionSize = 256L)
+        .select(col("user_id"), col("event_id"), col("partition_nr"),
+          col("event_type"), col("value"))
+    }),
+
+    // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
+    // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
+    // hash aggregation. Sums rounded so the DuckDB compare is FP-stable.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * (money(lit(1.0)) - money(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_quantity >= 30.0 AND l_returnflag = 'A'""",
+    "p_dsl_range_sort_page" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 10.0 AND l_quantity <= 15.0
+         ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 5""",
+    "p_dsl_bool_ops" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+         WHERE (o_orderstatus <> 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH'))
+            OR (o_totalprice > 400000.0 AND o_orderpriority NOT IN ('5-LOW'))""",
+    "j1_join_inner" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, l_partkey,
+                l_quantity,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DOUBLE) AS net_price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'O'""",
+    "s3_eventlog_offset" ->
+      """SELECT user_id, event_id, CAST(FLOOR(event_id / 256) AS BIGINT) AS partition_nr,
+                event_type, value
+         FROM events WHERE user_id = 7 AND event_id >= 100 ORDER BY event_id""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+  )
 }

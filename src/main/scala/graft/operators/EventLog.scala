@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Partitioned event-log scan with offset resume.
+  *
+  * Reference semantics (src/main/scala/log/package.scala:56-62 `Log[M].from`;
+  * storage.scala:329-349,660-681 iterators; CassandraAsyncStage.scala:29-100):
+  * an unbounded ordered scan over rows keyed `(persistence_id, partition_nr,
+  * sequence_nr)` where `partition_nr = sequence_nr / maxPartitionSize` is an
+  * artificial sharding the reader must hop across, resuming from
+  * `sequence_nr >= offset`.
+  *
+  * Spark-first translation: the partition arithmetic is *derived data*, not a
+  * scan loop — a filter + computed column; Catalyst turns the key/offset
+  * filters into parquet pushdown + partition pruning (on data partitioned by
+  * key). Ordering is declared, not assumed from storage layout.
+  *
+  * Scale posture: a single key's log is one partition-pruned slice; for
+  * all-keys processing keep `orderBy` off and use window-per-key
+  * (`Window.partitionBy(key).orderBy(seq)`) so no global sort happens.
+  */
+object EventLog {
+
+  /** S3/O6 — batch log read for one key from an offset, ordered by sequence.
+    * `partition_nr` is exposed to match the reference's observable layout. */
+  def from(
+      log: DataFrame,
+      keyCol: String,
+      key: Column,
+      seqCol: String,
+      offset: Long,
+      maxPartitionSize: Long = 5000000L): DataFrame =
+    log
+      .where(col(keyCol) === key && col(seqCol) >= offset)
+      .withColumn("partition_nr", floor(col(seqCol) / lit(maxPartitionSize)))
+      .orderBy(col(seqCol))
+
+  /** S4/T1-T3 — unbounded variant: Structured Streaming file source over the
+    * same layout; `offset` maps to the reference's resume point, micro-batch
+    * demand replaces its demand-driven paging (storage.scala:149,172-180).
+    * Run with `Trigger.AvailableNow` for bounded tests. */
+  def stream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      key: Column,
+      seqCol: String,
+      offset: Long,
+      maxPartitionSize: Long = 5000000L): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(path)
+      .where(col(keyCol) === key && col(seqCol) >= offset)
+      .withColumn("partition_nr", floor(col(seqCol) / lit(maxPartitionSize)))
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+import graft.dsl.Pred
+
+/** Join and two-stream combinators.
+  *
+  * The reference's flagship operator is a streaming index-nested-loop inner
+  * join: for each outer record run a parameterized inner query and emit
+  * `mapper(outer, inner)` per match (reference:
+  * src/main/scala/join/package.scala:52-63 API; :74-132 per-runtime
+  * `outer.flatMap(o => relation(o).map(mapper(o, _)))`).
+  *
+  * Spark-first translation: a per-row keyed lookup with an equality key IS an
+  * equi-join; declaring it as `outer.join(inner, cond, "inner")` lets Catalyst
+  * pick broadcast-hash (small side), shuffled-hash, or sort-merge — strictly
+  * better than the reference's one-inner-query-per-outer-row sequential bound
+  * (storage.scala:630,726). The observable contract (the joined multiset,
+  * SURVEY.md §7.4) is preserved; per-row re-interpretation is an
+  * implementation artifact we deliberately do not replicate.
+  */
+object Joins {
+
+  /** J1 — inner join with optional per-side predicates and a mapper
+    * projection. `innerPred` is the Spark analogue of the reference's
+    * parameterized inner query beyond the `fk` key binding
+    * (dsl/package.scala:84,91-92).
+    *
+    * Scale: equality key ⇒ hash-partitionable; Spark broadcasts the small
+    * side automatically under `autoBroadcastJoinThreshold`/AQE. Callers can
+    * force it with `broadcastOuter`.
+    */
+  def inner(
+      outer: DataFrame,
+      outerKey: String,
+      inner: DataFrame,
+      innerKey: String,
+      innerPred: Option[Pred] = None,
+      broadcastOuter: Boolean = false): DataFrame = {
+    val in = innerPred.map(p => inner.where(p.column)).getOrElse(inner)
+    val out = if (broadcastOuter) broadcast(outer) else outer
+    out.join(in, out(outerKey) === in(innerKey), "inner")
+  }
+
+  /** J2/J3 — deterministic pairwise zip of two *ordered* relations, stopping
+    * at the shorter side (reference `zipWith`/`zip`,
+    * src/main/scala/mongo/channel/package.scala:92-143, custom `Tee`).
+    *
+    * Spark has no ordinal on an unordered Dataset, so the caller must supply
+    * the total order that the reference got from stream arrival order
+    * (SURVEY.md §7.4). Implemented as row_number-over-order on each side and
+    * an inner equi-join on the ordinal (inner join == stop at shorter side).
+    *
+    * Scale caveat: `Window.orderBy` without partitionBy is a single-partition
+    * sort — fine for dimension-sized zips; for large relations use
+    * [[zipWithOrdinal]] (RDD zipWithIndex: per-partition counts, no global
+    * shuffle) and join on the ordinal.
+    */
+  def zipByOrdinal(
+      left: DataFrame,
+      leftOrder: Seq[Column],
+      right: DataFrame,
+      rightOrder: Seq[Column]): DataFrame = {
+    val lw = Window.orderBy(leftOrder: _*)
+    val rw = Window.orderBy(rightOrder: _*)
+    val l = left.withColumn("zip_ord", row_number().over(lw))
+    val r = right.withColumn("zip_ord", row_number().over(rw))
+    l.join(r, Seq("zip_ord"), "inner").drop("zip_ord")
+  }
+
+  /** Scalable ordinal assignment: `RDD.zipWithIndex` computes per-partition
+    * offsets with one lightweight count job instead of a global sort —
+    * the 100 TB path for zip-style alignment when the input's existing
+    * partition order is the intended order. */
+  def zipWithOrdinal(df: DataFrame, ordCol: String = "zip_ord"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(ordCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** U1 — nondeterministic interleave of two differently-shaped streams into
+    * a tagged union `A \/ B` (reference `either`,
+    * src/main/scala/mongo/channel/package.scala:129-131 via `wye.either`).
+    * Spark's unordered `unionByName` matches the reference's order
+    * nondeterminism; the disjunction is encoded as (side, left?, right?). */
+  def either(left: DataFrame, right: DataFrame): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lNull = lit(null).cast(StructType(left.schema.fields))
+    val rNull = lit(null).cast(StructType(right.schema.fields))
+    left.select(lit("left").as("side"), lStruct.as("left"), rNull.as("right"))
+      .unionByName(
+        right.select(lit("right").as("side"), lNull.as("left"), rStruct.as("right")))
+  }
+
+  /** U2 — ordered source concatenation (reference `++`,
+    * test/SportCenterSpec.scala:88): same-schema append. Order across the two
+    * inputs is carried by data (e.g. sequence_nr), not physical position. */
+  def concat(first: DataFrame, second: DataFrame): DataFrame =
+    first.unionByName(second)
+}
