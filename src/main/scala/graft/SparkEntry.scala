@@ -91,6 +91,76 @@ object SparkEntry {
           col("event_type"), col("value"))
     }),
 
+    // P11/S5 — MQL string query through the channel builder (reference
+    // mqlparser/package.scala:67-235 grammar; channel/package.scala:206-263
+    // builder): parsed to the Pred algebra, compiled to Catalyst Columns.
+    "p11_mql_channel" -> ((s, dir) => {
+      graft.channel.Channel.create(s, dir) { b =>
+        b.q("""{ "$or": [ { "l_quantity": { "$gte": 45 } },
+                          { "l_returnflag": { "$in": ["A"] }, "l_quantity": { "$lt": 5 } } ] }""")
+        b.collection("lineitem")
+        b.sort("l_orderkey" -> Order.Ascending, "l_linenumber" -> Order.Ascending)
+        b.skip(3)
+        b.limit(500)
+      }.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    }),
+
+    // P9/S2 — raw SQL predicate fragment (reference's raw-CQL select,
+    // dsl/package.scala:83-86) parsed by Catalyst.
+    "s2_scan_raw" -> ((s, dir) => {
+      Q().where(RawSql("event_type IN ('click','view') AND value > 50"))
+        .select("event_id", "event_type", "value")(t(s, dir, "events"))
+    }),
+
+    // P12 — single-column typed extraction (reference `column[B]`,
+    // channel/package.scala:181-188) via a primitive Encoder.
+    "p12_column" -> ((s, dir) => {
+      import s.implicits._
+      val names: org.apache.spark.sql.Dataset[String] =
+        t(s, dir, "part").select("p_name").as[String]
+      names.toDF("p_name")
+    }),
+
+    // P13/P14 — case-class projection + typed per-record map (reference
+    // `as[T]` channel/package.scala:194-203 and `map` :62): by-name Encoder
+    // derivation, then a typed transform that round-trips the rows through
+    // the object form.
+    "p13_as_typed" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").as[graft.model.OrderRow]
+        .filter(o => o.o_totalprice > 300000.0)
+        .map(o => (o.o_orderkey, o.o_orderstatus, o.o_totalprice))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    // J2/J3 — deterministic pairwise zip of two ordered relations, stopping
+    // at the shorter side (reference zipWith, channel/package.scala:92-143).
+    "j2_zipwith" -> ((s, dir) => {
+      Joins.zipByOrdinal(
+        t(s, dir, "nation").select("n_nationkey", "n_name"),
+        Seq(col("n_nationkey").asc),
+        t(s, dir, "region").select("r_regionkey", "r_name"),
+        Seq(col("r_regionkey").asc))
+    }),
+
+    // U1 — nondeterministic tagged merge (reference `either`,
+    // channel/package.scala:129-131), flattened to a comparable shape.
+    "u1_either" -> ((s, dir) => {
+      val l = t(s, dir, "customer").select(col("c_name").as("name"))
+      val r = t(s, dir, "supplier").select(col("s_name").as("name"))
+      Joins.either(l, r)
+        .select(col("side"), coalesce(col("left.name"), col("right.name")).as("name"))
+    }),
+
+    // U2 — ordered source concatenation (reference `++`,
+    // test/SportCenterSpec.scala:88).
+    "u2_concat" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      Joins.concat(
+        li.where(col("l_quantity") <= 2.0),
+        li.where(col("l_quantity") >= 49.0))
+    }),
+
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
     // hash aggregation. Sums rounded so the DuckDB compare is FP-stable.
@@ -133,6 +203,32 @@ object SparkEntry {
       """SELECT user_id, event_id, CAST(FLOOR(event_id / 256) AS BIGINT) AS partition_nr,
                 event_type, value
          FROM events WHERE user_id = 7 AND event_id >= 100 ORDER BY event_id""",
+    "p11_mql_channel" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_quantity >= 45 OR (l_returnflag IN ('A') AND l_quantity < 5)
+         ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 3""",
+    "s2_scan_raw" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type IN ('click','view') AND value > 50""",
+    "p12_column" ->
+      "SELECT p_name FROM part",
+    "p13_as_typed" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_totalprice > 300000.0""",
+    "j2_zipwith" ->
+      """WITH l AS (SELECT n_nationkey, n_name,
+                           ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+              r AS (SELECT r_regionkey, r_name,
+                           ROW_NUMBER() OVER (ORDER BY r_regionkey) AS rn FROM region)
+         SELECT n_nationkey, n_name, r_regionkey, r_name FROM l JOIN r USING (rn)""",
+    "u1_either" ->
+      """SELECT 'left' AS side, c_name AS name FROM customer
+         UNION ALL
+         SELECT 'right' AS side, s_name AS name FROM supplier""",
+    "u2_concat" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity <= 2.0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,62 @@
+package graft.channel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dsl.{Order, Pred, Q}
+import graft.mql.{MqlParseException, MqlParser}
+import graft.sources.Tables
+
+/** S5 — the reference's channel builder (mutable query-settings builder with
+  * fail-fast validation), Spark-first.
+  *
+  * Reference (src/main/scala/mongo/channel/package.scala:206-263
+  * `MutableBuilder`, :250-260 `build()` validation, :265-319
+  * `ChannelBuilder`): the user mutates q/db/collection/sort/limit/skip;
+  * MQL text is parsed immediately and a parse failure is carried until
+  * `build()`, where it (or a missing query/db/collection) fails the `Task`,
+  * surfacing on the stream's error channel
+  * (test/IntegrationMongoClientSpec.scala:59-129).
+  *
+  * Spark translation: validation errors throw before any job is planned —
+  * the analogue of Catalyst's fail-fast `AnalysisException` at analysis
+  * time. A successful build yields a lazily-planned DataFrame.
+  */
+final class MutableBuilder private[channel] () {
+  private[channel] var pred: Option[Pred] = None
+  private[channel] var parseError: Option[String] = None
+  private[channel] var tableName: Option[String] = None
+  private[channel] var sortKeys: Seq[(String, Order.Value)] = Nil
+  private[channel] var limitN: Option[Int] = None
+  private[channel] var skipN: Option[Int] = None
+
+  /** MQL query text — parsed immediately; failure is remembered and thrown
+    * at build, as the reference stores `-\/(error)`
+    * (channel/package.scala:216-223). */
+  def q(mql: String): Unit =
+    try pred = Some(MqlParser.parse(mql))
+    catch { case e: MqlParseException => parseError = Some(e.getMessage) }
+
+  /** Pre-compiled predicate (DSL path). */
+  def where(p: Pred): Unit = pred = Some(pred.fold(p)(_ && p))
+  def collection(name: String): Unit = tableName = Some(name)
+  def sort(keys: (String, Order.Value)*): Unit = sortKeys = keys
+  def limit(n: Int): Unit = limitN = Some(n)
+  def skip(n: Int): Unit = skipN = Some(n)
+}
+
+object Channel {
+
+  /** Build and run the channel; throws on invalid MQL or missing collection
+    * (reference build() validation, channel/package.scala:250-260). */
+  def create(spark: SparkSession, sfDir: String)(f: MutableBuilder => Unit): DataFrame = {
+    val b = new MutableBuilder
+    f(b)
+    b.parseError.foreach(e => throw new MqlParseException(e))
+    val table = b.tableName.getOrElse(
+      throw new IllegalArgumentException("Collection is not set"))
+    if (b.pred.isEmpty)
+      throw new IllegalArgumentException("Query is not set")
+    val q = Q(pred = b.pred, sortKeys = b.sortKeys, skipN = b.skipN, limitN = b.limitN)
+    q(Tables.load(spark, sfDir, table))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.channel.Channel
+import graft.mql.{MqlParseException, MqlParser}
+
+class MqlChannelSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, table, sfDir}
+
+  lazy val li = table("lineitem")
+
+  test("MQL scalar equality and nested range object (implicit AND)") {
+    val p = MqlParser.parse("""{ "l_returnflag": "A", "l_quantity": { "$gte": 10, "$lte": 15 } }""")
+    val expected = li.where(
+      col("l_returnflag") === "A" && col("l_quantity").between(10, 15)).count()
+    assert(li.where(p.column).count() === expected && expected > 0)
+  }
+
+  test("MQL $or / $and arrays and $in/$nin") {
+    val p = MqlParser.parse(
+      """{ "$or": [ { "l_quantity": { "$gt": 48 } },
+                    { "$and": [ { "l_returnflag": { "$in": ["A","R"] } },
+                                { "l_quantity": { "$lt": 2 } } ] } ] }""")
+    val expected = li.where(
+      col("l_quantity") > 48 ||
+        (col("l_returnflag").isin("A", "R") && col("l_quantity") < 2)).count()
+    assert(li.where(p.column).count() === expected)
+  }
+
+  test("MQL date literal uses the reference format") {
+    val p = MqlParser.parse("""{ "l_shipdate": { "$lt": "01 Jan 1996 12:00:00:000 AM UTC" } }""")
+    val expected = li.where(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))).count()
+    assert(li.where(p.column).count() === expected && expected > 0)
+  }
+
+  test("MQL syntax error fails fast") {
+    assertThrows[MqlParseException](MqlParser.parse("""{ "l_quantity": { "$gte": } }"""))
+  }
+
+  test("MQL unsupported operator fails fast (reference rejects $exists/$not)") {
+    assertThrows[MqlParseException](MqlParser.parse("""{ "l_quantity": { "$exists": true } }"""))
+  }
+
+  test("channel builder: missing collection / missing query fail like reference build()") {
+    val e1 = intercept[IllegalArgumentException] {
+      Channel.create(spark, sfDir)(b => b.q("""{ "l_quantity": 1 }"""))
+    }
+    assert(e1.getMessage.contains("Collection"))
+    val e2 = intercept[IllegalArgumentException] {
+      Channel.create(spark, sfDir)(b => b.collection("lineitem"))
+    }
+    assert(e2.getMessage.contains("Query"))
+  }
+
+  test("channel builder: bad MQL surfaces the stored parse error at build") {
+    assertThrows[MqlParseException] {
+      Channel.create(spark, sfDir) { b =>
+        b.q("{ not valid json !!")
+        b.collection("lineitem")
+      }
+    }
+  }
+
+  test("channel repeat-execution determinism (reference ids ++ ids ++ ids)") {
+    def run() = Channel.create(spark, sfDir) { b =>
+      b.q("""{ "l_quantity": { "$gte": 49 } }""")
+      b.collection("lineitem")
+      b.sort("l_orderkey" -> graft.dsl.Order.Ascending,
+        "l_linenumber" -> graft.dsl.Order.Ascending)
+      b.limit(10)
+    }.select("l_orderkey").collect().map(_.getLong(0)).toSeq
+    val a = run(); val b = run(); val c = run()
+    assert(a === b && b === c && a.size === 10)
+  }
+}
