@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dsl._
 import graft.dsl.Dsl._
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{EventLog, Joins}
 import graft.sources.Tables
 
@@ -161,6 +162,231 @@ object SparkEntry {
         li.where(col("l_quantity") >= 49.0))
     }),
 
+    // §2.8 extension — event-time tumbling window aggregation (batch form).
+    // The reference has event_time in the data model but never windows it
+    // (SURVEY.md §2.8); Spark supplies window() natively. Sums are exact
+    // decimals for the DuckDB compare (time_bucket == window alignment).
+    "q_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // S4/T1-T3 — the SAME window aggregation through Structured Streaming:
+    // file source (micro-batch demand ≙ the reference's demand paging,
+    // storage.scala:149,172-180), Trigger.AvailableNow for bounded runs
+    // (≙ reference stream completion on bounded queries, storage.scala:137).
+    // Verified against the identical DuckDB oracle as the batch form.
+    "s4_stream_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = t(s, dir, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      val sink = "s4_stream_window_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
+    // §2.7 — ranking window function with deterministic tie-break.
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
+    }),
+
+    // §2.7 — running (cumulative) aggregate per key over the event log.
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value", sum(money(col("value"))).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("value"), col("running_value"))
+    }),
+
+    // §2.6 — top-k (Catalyst fuses to TakeOrderedAndProject: no global sort).
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.4 extension — left outer join with an ON-clause filter so unmatched
+    // rows survive as nulls (absent in the reference; free in Spark).
+    "q_join_left" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 49.0)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left")
+        .select(col("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    }),
+
+    // §2.4 extension — semi join (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // §2.4 extension — anti join (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // §2.7 — hierarchical aggregate (ROLLUP) with grouping-set semantics.
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // §2.5 extension — set operations the reference lacks (SURVEY.md §2.5).
+    "q_intersect" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
+        .intersect(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
+    }),
+    "q_except" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
+        .except(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
+    }),
+
+    // §2.7 — exact distinct aggregation.
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // §2.7 — approximate distinct (HLL++). Deterministic in Spark but not
+    // DuckDB-comparable → rows-only check by design.
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    // ---- LLM-data-pipeline extensions (north star; SURVEY.md §7.2 M6) ----
+
+    // Exact dedup: hash-groupBy on a content fingerprint.
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (SQL-oracle-able exact path).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.8)
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-verified. Same oracle as the exact
+    // path: with 16 bands × 4 rows the S-curve catches j>=0.8 with
+    // P>0.999, so the verified output equals the exact answer.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+    }),
+
+    // SimHash fingerprints (hash family not DuckDB-expressible: rows-only;
+    // hamming behavior spec-verified in DedupSpec).
+    "dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    }),
+
+    // Embedding near-dup audit: exact all-pairs cosine above threshold.
+    // (Threshold tuned to the synthetic corpus; LSH-bucketed variant is the
+    // scale path, spec-verified.)
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Similarity.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // Brute-force cosine top-k for a fixed query set (broadcast queries,
+    // one corpus pass).
+    "sim_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // LSH-bucketed approximate top-k (recall/plan tradeoff: equi-join on
+    // sign buckets instead of a full scan per query). Approximation is not
+    // SQL-expressible: rows-only + spec.
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nPlanes = 6)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Language ID: stopword-hit argmax (cheap function-word heuristic).
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.langHits(col("text"), "en").as("en_hits"))
+    }),
+
+    // Quality scoring: integer counts + deterministic double ratios.
+    "text_quality" -> ((s, dir) => {
+      val sig = TextAnalysis.qualitySignals(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: sig.map { case (n, c) => c.as(n) } :+
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"): _*)
+    }),
+
+    // Token counting: whitespace + BPE-ish regex + chars/4 heuristic.
+    "text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
+    }),
+
+    // Winnowing fingerprints (xxhash64-based: rows-only + spec).
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.fingerprints(col("text"))).as("n_fingerprints"))
+    }),
+
+    // Multimodal plumbing: binary payload -> typed mapPartitions decode
+    // stage (decode itself stubbed deterministically; see Multimodal).
+    "mm_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.encodeAsBinary(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRecord]
+      Multimodal.extractMeta(media).toDF()
+        .select("doc_id", "byte_len", "magic", "n_frames", "format")
+    }),
+
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
     // hash aggregation. Sums rounded so the DuckDB compare is FP-stable.
@@ -229,6 +455,151 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity <= 2.0
          UNION ALL
          SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0""",
+    "dedup_exact" ->
+      """SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT doc_id,
+                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w)-1) ]) AS sh
+                    FROM s WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    "dedup_minhash_lsh" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT doc_id,
+                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w)-1) ]) AS sh
+                    FROM s WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ROUND(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+    "sim_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT * FROM e WHERE vec_id < 10),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
+                FROM q JOIN e c ON q.vec_id <> c.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+                FROM scored)
+         SELECT query_id, neighbor_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
+    "text_langid" ->
+      """WITH h AS (SELECT doc_id, text,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es
+              FROM documents)
+         SELECT doc_id,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS pred_lang,
+                en AS en_hits
+         FROM h""",
+    "text_quality" ->
+      """WITH b AS (SELECT doc_id,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents)
+         SELECT doc_id, n_chars, n_words,
+                CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+                CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+                ROUND(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                      least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                      CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3, 6) AS quality
+         FROM b""",
+    "text_tokens" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
+         FROM documents""",
+    "mm_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                ascii(text) AS magic,
+                CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames,
+                'txt' AS format
+         FROM documents""",
+    "q_time_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "s4_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+                  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+           FROM lineitem) WHERE rn <= 2""",
+    "q_window_running" ->
+      """SELECT user_id, event_id, value,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_value
+         FROM events""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_join_left" ->
+      """SELECT p_partkey, l_orderkey, l_quantity FROM part
+         LEFT JOIN lineitem ON p_partkey = l_partkey AND l_quantity >= 49.0""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_intersect" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+         INTERSECT
+         SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+    "q_except" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+         EXCEPT
+         SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

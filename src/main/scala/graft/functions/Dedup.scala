@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Beyond-reference extensions (the reference has no aggregation at all,
+  * SURVEY.md §2.7); designed 100-TB-first:
+  *
+  *  - exact dedup — one hash-partitioned aggregation, no data movement
+  *    beyond the groupBy shuffle;
+  *  - MinHash + LSH banding — signatures are computed scan-side (per-row
+  *    higher-order functions inside codegen), candidate generation shuffles
+  *    only (band_idx, band_hash, doc_id) tuples, and exact verification
+  *    touches only candidate pairs. This is the standard shingle→minhash→
+  *    band→bucket-join pipeline;
+  *  - SimHash — 52-bit fingerprint per document (fits a long exactly via
+  *    power-of-two doubles ≤ 2^52), hamming-comparable with `bit_count`;
+  *  - exact n-gram Jaccard — explode/equi-join/count, the SQL-oracle-able
+  *    exact path (quadratic only within shingle-sharing groups).
+  *
+  * All hash math stays below 2^62 so Spark 4's ANSI overflow checks never
+  * trip: base hashes are reduced mod the Mersenne prime 2^31-1 before the
+  * (a*h + b) universal-hash step.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: universal-hash modulus. */
+  private val P = 2147483647L
+
+  /** Deterministic hash-family coefficients (seeded — stable across runs,
+    * sessions, and executors). */
+  private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Seq.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** MinHash signature column: k minima of universal hashes over the
+    * shingle set. O(|shingles| * k) multiplications per row, all inside
+    * whole-stage codegen. */
+  def minhashSignature(shinglesCol: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val (a, b) = coeffs(k, seed)
+    val aLit = typedLit(a)
+    val bLit = typedLit(b)
+    val hashed = transform(shinglesCol, s => pmod(xxhash64(s), lit(P)))
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(hashed,
+        h => pmod(element_at(aLit, i + lit(1)) * h + element_at(bLit, i + lit(1)), lit(P)))))
+  }
+
+  /** Exact duplicate groups by content fingerprint (hash-groupBy).
+    * Returns (fp, keep_id, n_copies): the retained representative is the
+    * minimum id — deterministic under any partitioning. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified.
+    *
+    * bands×rowsPerBand hash functions; a pair becomes a candidate if any
+    * band agrees, then exact shingle Jaccard filters to `threshold`. With
+    * 16×4 the S-curve catches j≥0.8 pairs with P > 0.999. Shuffle volume:
+    * bands (small tuples) + candidate pairs only — never all-pairs.
+    */
+  def minHashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    val k = bands * rowsPerBand
+    // The shingle+signature stage feeds FOUR consumers (both sides of the
+    // band self-join, both sides of the verify join). Without persistence
+    // Spark recomputes the O(k·|shingles|) signature per consumer — 4× the
+    // dominant cost. MEMORY_AND_DISK: spill-safe at cluster scale, where
+    // this stage would be a checkpointed intermediate table.
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sh.withColumn("sig", minhashSignature(col("sh"), k, seed))
+    val bandDf = withSig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val a = bandDf.alias("a")
+    val b = bandDf.alias("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // Note: sh stays persisted for the query's lifetime; Spark evicts LRU.
+  }
+
+  /** Bit j of a nonnegative value < 2^52, extracted with exact power-of-two
+    * double math (Spark's shift builtins only take literal shift amounts;
+    * doubles are exact for values ≤ 2^52, so this is lossless). */
+  private def bitAt(v: Column, j: Column): Column =
+    pmod(floor(v.cast("double") / pow(lit(2.0), j)).cast("long"), lit(2L))
+
+  /** 52-bit SimHash fingerprint over the distinct-token set. Bit j is set
+    * when the majority of token hashes have bit j set. Powers of two ≤ 2^52
+    * are exact in double, so the fold stays overflow-safe and precise. */
+  def simhash(textCol: Column, bits: Int = 52): Column = {
+    require(bits <= 52, "bits > 52 would lose precision in the double fold")
+    val th = transform(array_distinct(TextOps.tokens(textCol)),
+      t => pmod(xxhash64(t), lit(1L << 52)))
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0.0),
+      (acc, j) => acc + when(
+        aggregate(th, lit(0L), (a2, h) => a2 + bitAt(h, j) * 2L - 1L) > 0L,
+        pow(lit(2.0), j)).otherwise(lit(0.0))
+    ).cast("long")
+  }
+
+  /** SimHash near-dup candidate pairs by hamming distance, banded on
+    * 13-bit chunks (a pair within hamming distance 3 of a 52-bit hash must
+    * agree on at least one of 4 chunks). */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    // fp feeds both sides of the chunk self-join — persist to avoid
+    // recomputing the O(bits·|tokens|) fingerprint fold twice.
+    val withFp = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = withFp.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        j => pmod(floor(col("fp").cast("double") / pow(lit(2.0), j * lit(13))).cast("long"),
+          lit(8192L)))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val a = chunks.alias("a")
+    val b = chunks.alias("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard pairs via shingle explode + equi-join — the
+    * SQL-expressible exact path (oracle-checked). Cost is quadratic only
+    * within groups sharing a shingle; for corpora with heavy-hitter
+    * shingles, cap document frequency upstream. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    // sh feeds sizes (×2) and the exploded self-join (×2) — persist once.
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = exploded.alias("a").join(exploded.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

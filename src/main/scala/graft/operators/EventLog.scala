@@ -44,16 +44,18 @@ object EventLog {
     * Run with `Trigger.AvailableNow` for bounded tests. */
   def stream(
       spark: SparkSession,
-      path: String,
+      dir: String,
       schema: StructType,
       keyCol: String,
       key: Column,
       seqCol: String,
       offset: Long,
-      maxPartitionSize: Long = 5000000L): DataFrame =
+      maxPartitionSize: Long = 5000000L,
+      fileGlob: String = "*.parquet"): DataFrame =
     spark.readStream
       .schema(schema)
-      .parquet(path)
+      .option("pathGlobFilter", fileGlob)
+      .parquet(dir)
       .where(col(keyCol) === key && col(seqCol) >= offset)
       .withColumn("partition_nr", floor(col(seqCol) / lit(maxPartitionSize)))
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextOps}
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, table}
+
+  lazy val docs = table("documents").cache()
+
+  test("exact dedup: distinct corpus keeps every doc as its own representative") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() === docs.count())
+    assert(d.where(col("n_copies") > 1).count() === 0)
+  }
+
+  test("exact dedup: injected duplicates collapse to min doc_id") {
+    val dup = docs.limit(5).withColumn("doc_id", col("doc_id") + 100000L)
+    val d = Dedup.exact(docs.unionByName(dup), "doc_id", "text")
+    assert(d.where(col("n_copies") === 2).count() === 5)
+    // representative is the ORIGINAL (smaller) id
+    assert(d.where(col("n_copies") === 2 && col("keep_id") >= 100000L).count() === 0)
+  }
+
+  test("minhash LSH pairs == exact ngram jaccard pairs (recall check at j>=0.8)") {
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact && exact.nonEmpty)
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    // take a known near-dup pair from the exact jaccard output
+    val pair = Dedup.ngramJaccardPairs(docs, "doc_id", "text").select("doc_a", "doc_b").head()
+    val (a, b) = (pair.getLong(0), pair.getLong(1))
+    val fp = docs.where(col("doc_id").isin(a, b))
+      .select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    val hamming = java.lang.Long.bitCount(fp(0) ^ fp(1))
+    // random 52-bit fingerprints differ in ~26 bits; near-dups must sit far
+    // below that baseline (weight-1 voting on small token sets is noisy, so
+    // a handful of flipped bits is expected)
+    assert(hamming <= 13, s"hamming($a,$b)=$hamming")
+  }
+
+  test("simhashPairs: banded candidate join finds identical-fingerprint dups") {
+    val dup = docs.limit(3).withColumn("doc_id", col("doc_id") + 100000L)
+    val pairs = Dedup.simhashPairs(docs.unionByName(dup), "doc_id", "text", maxHamming = 0)
+    assert(pairs.where(col("doc_b") >= 100000L).count() >= 3)
+  }
+
+  test("shingles: n-gram count and short-document guard") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(size(TextOps.shingles(col("text"), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0))
+  }
+}

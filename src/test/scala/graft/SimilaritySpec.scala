@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, table}
+
+  lazy val emb = table("embeddings").cache()
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.limit(10)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k: k rows per query, descending scores, no self-match") {
+    val k = 5
+    val res = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k).cache()
+    assert(res.count() === 10L * k)
+    assert(res.where(col("query_id") === col("neighbor_id")).count() === 0)
+    val perQuery = res.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("score").as("mn"), max("score").as("mx"))
+      .collect()
+    assert(perQuery.forall(_.getLong(1) === k))
+    assert(perQuery.forall(r => r.getDouble(2) <= r.getDouble(3)))
+  }
+
+  test("LSH top-k results are a subset of valid neighbors with correct scores") {
+    val brute = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = emb.count().toInt)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val lsh = Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nPlanes = 6)
+    // every LSH hit must carry the exact cosine the brute-force pass computed
+    val joined = lsh.alias("l").join(brute.alias("b"),
+      col("l.query_id") === col("b.query_id") &&
+        col("l.neighbor_id") === col("b.neighbor_id"))
+    assert(joined.where(abs(col("l.score") - col("b.score")) > 1e-12).count() === 0)
+    assert(lsh.count() === joined.count())
+  }
+
+  test("exact all-pairs cosine respects threshold and id ordering") {
+    val pairs = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
+    assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
+    assert(pairs.where(col("cos") < 0.4).count() === 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.EventLog
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, table, sfDir}
+
+  test("S4: streaming event-log scan matches the batch scan (offset resume)") {
+    val events = table("events")
+    val key = 3L
+    val offset = 50L
+    val batch = EventLog.from(events, "user_id", lit(key), "event_id", offset, 256L)
+
+    val streamed = EventLog.stream(spark, sfDir, events.schema,
+      "user_id", lit(key), "event_id", offset, 256L, fileGlob = "events.parquet")
+    val q = streamed.writeStream.format("memory").queryName("s4_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s4_test")
+
+    assert(got.count() === batch.count() && batch.count() > 0)
+    assert(got.agg(min("event_id"), max("event_id")).head() ===
+      batch.agg(min("event_id"), max("event_id")).head())
+    // partition arithmetic carried through the streaming plan
+    assert(got.where(col("partition_nr") =!= floor(col("event_id") / 256L)).count() === 0)
+  }
+
+  test("T2/T3: watermarked windowed aggregation completes under AvailableNow") {
+    val events = table("events")
+    val src = spark.readStream.schema(events.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("event_ts", graft.sources.Tables.tsFromNanos(col("ts")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = src.writeStream.format("memory").queryName("wm_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wm_test")
+    val expected = events
+      .withColumn("event_ts", graft.sources.Tables.tsFromNanos(col("ts")))
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() === expected.count())
+    assert(got.agg(sum("n")).head().getLong(0) === events.count())
+  }
+}
