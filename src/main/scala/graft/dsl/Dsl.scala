@@ -163,4 +163,19 @@ object Dsl {
   import scala.language.implicitConversions
   implicit def stringToField(s: String): QField = new QField(s)
   def q: Q = Q()
+
+  /** P10 — foreign-key binding for the parameterized inner side of a join
+    * (reference `fk[T](name, v)`, dsl/package.scala:84,91-92). In Spark the
+    * bound key is just an equality predicate; when both sides bind the same
+    * key it becomes the equi-join condition (see Joins.inner). */
+  def fk[T](field: String, v: T)(implicit t: DslType[T]): FieldPred =
+    new QField(field) $eq v
+
+  /** P15 — the reference's `|>` pipe (apply an arbitrary streaming stage,
+    * channel/package.scala:50-55) is `Dataset.transform`; this implicit
+    * restores the operator spelling. */
+  implicit final class PipeOps(private val df: org.apache.spark.sql.DataFrame) extends AnyVal {
+    def |>(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.transform(f)
+  }
 }

@@ -51,11 +51,17 @@ object EventLog {
       seqCol: String,
       offset: Long,
       maxPartitionSize: Long = 5000000L,
-      fileGlob: String = "*.parquet"): DataFrame =
-    spark.readStream
+      fileGlob: String = "*.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // maxFilesPerTrigger is the micro-batch demand bound — the analogue of
+    // the reference's demand-driven paging (T2: request(n) cadence,
+    // storage.scala:149,172-180; async prefetch CassandraAsyncStage.scala:29).
+    val reader = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", fileGlob)
-      .parquet(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    reader.parquet(dir)
       .where(col(keyCol) === key && col(seqCol) >= offset)
       .withColumn("partition_nr", floor(col(seqCol) / lit(maxPartitionSize)))
+  }
 }

@@ -83,6 +83,29 @@ object Joins {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** J3 — `zip`: zipWith with the tuple constructor
+    * (reference channel/package.scala:143): pairs as (left, right) structs.
+    * J4 (`zip` against a size-restricting side) is this + `.limit(n)`. */
+  def zip(
+      left: DataFrame,
+      leftOrder: Seq[Column],
+      right: DataFrame,
+      rightOrder: Seq[Column]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    zipByOrdinal(left, leftOrder, right, rightOrder)
+      .select(
+        struct(leftCols.map(col): _*).as("left"),
+        struct(rightCols.map(col): _*).as("right"))
+  }
+
+  /** J5 — `tee`: an arbitrary two-input deterministic combinator
+    * (reference channel/package.scala:118-119). The reference's `Tee`
+    * transducer generalizes to any binary Dataset operator; the combinator
+    * form keeps that extension point. */
+  def tee(left: DataFrame, right: DataFrame)(
+      t: (DataFrame, DataFrame) => DataFrame): DataFrame = t(left, right)
+
   /** U1 — nondeterministic interleave of two differently-shaped streams into
     * a tagged union `A \/ B` (reference `either`,
     * src/main/scala/mongo/channel/package.scala:129-131 via `wye.either`).
