@@ -290,6 +290,22 @@ object SparkEntry {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // §2.4/§2.7 extension — 3-way join + aggregation + top-k (TPC-H Q3
+    // shape): the classic multi-join plan Catalyst reorders/broadcasts.
+    "q3_shipping" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey").as("o_orderkey"),
+          o("o_orderdate").cast("date").as("order_date"))
+        .agg(sum(money(col("l_extendedprice")) * (money(lit(1.0)) - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // ---- LLM-data-pipeline extensions (north star; SURVEY.md §7.2 M6) ----
 
     // Exact dedup: hash-groupBy on a content fingerprint.
@@ -455,6 +471,16 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity <= 2.0
          UNION ALL
          SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0""",
+    "q3_shipping" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""",
     "dedup_exact" ->
       """SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",

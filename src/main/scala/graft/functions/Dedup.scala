@@ -29,26 +29,14 @@ object Dedup {
   /** Mersenne prime 2^31-1: universal-hash modulus. */
   private val P = 2147483647L
 
-  /** Deterministic hash-family coefficients (seeded — stable across runs,
-    * sessions, and executors). */
-  private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val a = Seq.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
-    val b = Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
-
   /** MinHash signature column: k minima of universal hashes over the
-    * shingle set. O(|shingles| * k) multiplications per row, all inside
-    * whole-stage codegen. */
+    * shingle set. Shingle strings are hashed once (xxhash64 mod P), then the
+    * k×n minima loop runs in the codegen'd
+    * [[graft.expressions.MinHashSignature]] expression (the composed
+    * transform/array_min form interpreted k inner arrays per row). */
   def minhashSignature(shinglesCol: Column, k: Int = 64, seed: Long = 42L): Column = {
-    val (a, b) = coeffs(k, seed)
-    val aLit = typedLit(a)
-    val bLit = typedLit(b)
     val hashed = transform(shinglesCol, s => pmod(xxhash64(s), lit(P)))
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(hashed,
-        h => pmod(element_at(aLit, i + lit(1)) * h + element_at(bLit, i + lit(1)), lit(P)))))
+    graft.expressions.MinHashFunctions.minhash_signature(hashed, k, seed)
   }
 
   /** Exact duplicate groups by content fingerprint (hash-groupBy).
