@@ -199,6 +199,51 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // S6/J1-streaming — STREAM-STREAM inner join with watermarks and an
+    // event-time range condition (the north-star "Structured Streaming
+    // joins" form of the reference's streaming inner join): clicks joined
+    // to purchases by the same user within 30 minutes. AvailableNow feeds
+    // all data in one micro-batch, so watermark state-purge cannot drop
+    // matches and the result equals the batch join (the DuckDB oracle).
+    "s6_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = t(s, dir, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("event_ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("event_ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+      val sink = "s6_stream_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
+    // §2.8 extension — session windows (gap-based): the stateful windowing
+    // the reference's event-time data model never got (SURVEY.md §2.8).
+    // Session starts/counts are exact integers (unix micros), so the
+    // gaps-and-islands SQL in DuckDB reproduces them bit-for-bit.
+    "q_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .groupBy(session_window(col("event_ts"), "2 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))
+    }),
+
     // §2.7 — ranking window function with deterministic tie-break.
     "q_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -583,6 +628,25 @@ object SparkEntry {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "s6_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              m AS (SELECT user_id, us,
+                           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 7200000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e),
+              s AS (SELECT user_id, us,
+                           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM m)
+         SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
     "q_window_rank" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
            SELECT l_orderkey, l_linenumber, l_extendedprice,

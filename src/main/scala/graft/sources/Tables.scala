@@ -33,7 +33,12 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.ts (nanos-as-long) → TimestampType (microsecond precision). */
+  /** events.ts (nanos-as-long) → TimestampType (microsecond precision).
+    * Division goes through DECIMAL: `c / 1000L` on longs is DOUBLE division,
+    * and epoch-nanos (~1.7e18) exceed double's 2^53 exact range — the
+    * result was off by ±1µs on some rows. Decimal divide + truncating cast
+    * is exact. */
   def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros((c / 1000L).cast("long"))
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c.cast("decimal(38,0)") / 1000).cast("long"))
 }
