@@ -106,6 +106,18 @@ object SparkEntry {
       }.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    // S5-preferred — full SQL text through Catalyst's parser (SURVEY.md
+    // §2.2 P11 verdict: "prefer spark.sql"): the reference's string-query
+    // channel upgraded to ANSI SQL.
+    "q_sql_direct" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""SELECT n_name, COUNT(*) AS n_suppliers,
+                      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+               FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+               GROUP BY n_name""")
+    }),
+
     // P9/S2 — raw SQL predicate fragment (reference's raw-CQL select,
     // dsl/package.scala:83-86) parsed by Catalyst.
     "s2_scan_raw" -> ((s, dir) => {
@@ -494,6 +506,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_quantity >= 45 OR (l_returnflag IN ('A') AND l_quantity < 5)
          ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 3""",
+    "q_sql_direct" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+                CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
     "s2_scan_raw" ->
       """SELECT event_id, event_type, value FROM events
          WHERE event_type IN ('click','view') AND value > 50""",

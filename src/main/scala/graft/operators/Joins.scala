@@ -72,6 +72,26 @@ object Joins {
     l.join(r, Seq("zip_ord"), "inner").drop("zip_ord")
   }
 
+  /** Skew-mitigated inner equi-join (salting): the big side gets a random
+    * salt in [0, salts), the small side is exploded across every salt, and
+    * the join key becomes (key, salt) — a single hot key now spreads over
+    * `salts` reducers. The join result is salt-invariant. Use when AQE's
+    * skew-join split isn't enough (single monster key). Salt assignment
+    * uses a seeded rand: per-run deterministic partitioning, identical
+    * result multiset regardless. */
+  def saltedInner(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      salts: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val b = big.withColumn("graft_salt", (rand(seed) * salts).cast("int"))
+    val s = small.withColumn("graft_salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, b(bigKey) === s(smallKey) && b("graft_salt") === s("graft_salt"), "inner")
+      .drop("graft_salt")
+  }
+
   /** Scalable ordinal assignment: `RDD.zipWithIndex` computes per-partition
     * offsets with one lightweight count job instead of a global sort —
     * the 100 TB path for zip-style alignment when the input's existing

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.dsl.Dsl._
+
+/** Property tests for the DSL → Column translation (SURVEY.md §5 plan):
+  * the compiled predicate must partition rows exactly like the equivalent
+  * direct Column expression for arbitrary bounds/values. Raw scalacheck
+  * (no scalatestplus bridge in the offline cache) with few, data-heavy
+  * cases — each case runs Spark jobs. */
+class DslPropertySpec extends AnyFunSuite {
+  import SparkTestSession.table
+
+  lazy val li = table("lineitem").select("l_quantity", "l_returnflag", "l_orderkey").cache()
+  lazy val total = li.count()
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(15)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  test("property: chained range == between for arbitrary bounds") {
+    check("range", Prop.forAll { (a0: Byte, b0: Byte) =>
+      val lo = math.min(a0, b0).toDouble
+      val hi = math.max(a0, b0).toDouble
+      li.where(("l_quantity" $gte lo $lte hi).column).count() ===
+        li.where(col("l_quantity").between(lo, hi)).count()
+    })
+  }
+
+  test("property: negation complements exactly") {
+    check("negation", Prop.forAll { (v0: Byte) =>
+      val p: Pred = "l_quantity" $gt v0.toDouble
+      li.where(p.column).count() + li.where((!p).column).count() === total
+    })
+  }
+
+  test("property: De Morgan — !(a && b) == !a || !b") {
+    check("demorgan", Prop.forAll { (x0: Byte, flag: Boolean) =>
+      val a: Pred = "l_quantity" $lt x0.toDouble
+      val b: Pred = "l_returnflag" $eq (if (flag) "A" else "N")
+      li.where((!(a && b)).column).count() ===
+        li.where(((!a) || (!b)).column).count()
+    })
+  }
+
+  test("property: $in == disjunction of $eq") {
+    check("in-or", Prop.forAll { (s: Set[Boolean]) =>
+      val flags = s.map(b => if (b) "A" else "R").toSeq
+      flags.isEmpty || {
+        li.where(("l_returnflag" $in flags).column).count() ===
+          li.where(flags.map(f => ("l_returnflag" $eq f): Pred).reduce(_ || _).column).count()
+      }
+    })
+  }
+}
