@@ -125,6 +125,17 @@ object SparkEntry {
         .select("event_id", "event_type", "value")(t(s, dir, "events"))
     }),
 
+    // §1.2 dynamic-schema regime — the reference's ragged Mongo documents
+    // (fields present on some rows only ⇒ nulls, SURVEY.md §1.2): JSON
+    // document column parsed schema-on-read; missing keys become nulls.
+    "p_dynamic_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          get_json_object(col("props"), "$.missing_field").as("missing_field"))
+        .where(col("k") > 50)
+    }),
+
     // P12 — single-column typed extraction (reference `column[B]`,
     // channel/package.scala:181-188) via a primitive Encoder.
     "p12_column" -> ((s, dir) => {
@@ -514,6 +525,11 @@ object SparkEntry {
     "s2_scan_raw" ->
       """SELECT event_id, event_type, value FROM events
          WHERE event_type IN ('click','view') AND value > 50""",
+    "p_dynamic_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                json_extract_string(props, '$.missing_field') AS missing_field
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""",
     "p12_column" ->
       "SELECT p_name FROM part",
     "p13_as_typed" ->

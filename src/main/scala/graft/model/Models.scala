@@ -61,3 +61,12 @@ final case class EmbeddingRow(
     vec_id: Long,
     embedding: Array[Float],
     label: Int)
+
+/** Ragged-document model (§1.2 dynamic schema): Option fields absorb
+  * missing/null values — the Encoder upgrade of the reference's
+  * Option[T]-on-parse-failure semantics. */
+final case class RaggedDoc(
+    id: Long,
+    name: String,
+    producerNum: Option[Long],
+    flag: Option[Boolean])
