@@ -341,6 +341,26 @@ object SparkEntry {
         .except(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
     }),
 
+    // §2.7 extension — scalar function library (string/date/math built-ins
+    // the reference delegates to Scala lambdas; here they're codegen'd
+    // Catalyst functions with DuckDB-matching semantics).
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          length(col("o_orderstatus")).as("status_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          dayofmonth(col("o_orderdate")).as("order_day"),
+          (money(col("o_totalprice")) - money(lit(100000.0))).cast("double").as("delta"),
+          abs((money(col("o_totalprice")) - money(lit(100000.0))).cast("double")).as("abs_delta"),
+          greatest(col("o_custkey"), col("o_orderkey")).as("max_key"))
+    }),
+
     // §2.7 — exact distinct aggregation.
     "q_distinct_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -719,6 +739,19 @@ object SparkEntry {
       """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
          EXCEPT
          SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+                upper(o_orderpriority) AS prio_upper,
+                substr(o_orderpriority, 1, 1) AS prio_code,
+                length(o_orderstatus) AS status_len,
+                concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+                CAST(year(o_orderdate) AS INT) AS order_year,
+                CAST(month(o_orderdate) AS INT) AS order_month,
+                CAST(day(o_orderdate) AS INT) AS order_day,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(100000.0 AS DECIMAL(18,2)) AS DOUBLE) AS delta,
+                abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(100000.0 AS DECIMAL(18,2)) AS DOUBLE)) AS abs_delta,
+                greatest(o_custkey, o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey <= 1000""",
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
                 COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
