@@ -126,6 +126,61 @@ object Joins {
   def tee(left: DataFrame, right: DataFrame)(
       t: (DataFrame, DataFrame) => DataFrame): DataFrame = t(left, right)
 
+  /** AS-OF join — for each left row, the single most recent right row with
+    * the same key and right.time <= left.time (DuckDB/kdb `ASOF JOIN`
+    * semantics, which the oracle uses directly).
+    *
+    * Spark lacks the operator; the preference order (SURVEY.md §7.3) says
+    * compose built-ins first, and there IS a scalable composition: tag both
+    * sides, union, and take `last(payload, ignoreNulls)` over a per-key
+    * window ordered by (time, side) — right rows sort before left rows at
+    * equal time so equality matches. ONE shuffle on the key, no range
+    * explosion, no per-row lookups: the plan is
+    * union → hash-partition by key → sort within partition → window scan.
+    * At 100 TB that beats both a range-condition join (quadratic within
+    * key) and a custom SparkPlan (this composition already yields the
+    * optimal physical shape).
+    *
+    * Right-side ties at identical (key, time) break by `rightTieBreak` for
+    * determinism. Left rows with no prior right row are dropped (inner) or
+    * kept with null payload (`keepUnmatched = true`).
+    */
+  def asOf(
+      left: DataFrame,
+      leftKey: Column,
+      leftTime: Column,
+      right: DataFrame,
+      rightKey: Column,
+      rightTime: Column,
+      rightPayload: Seq[Column],
+      rightTieBreak: Column = lit(0),
+      keepUnmatched: Boolean = false): DataFrame = {
+    val payload = struct(rightPayload: _*)
+    val rTagged = right.select(
+      rightKey.as("_asof_k"), rightTime.as("_asof_t"),
+      rightTieBreak.as("_asof_tie"), lit(1).as("_asof_right"),
+      payload.as("_asof_payload"))
+    val payloadType = rTagged.schema("_asof_payload").dataType
+    val lTagged = left.select(
+      (left.columns.map(col) :+ leftKey.as("_asof_k") :+ leftTime.as("_asof_t") :+
+        lit(0).as("_asof_tie") :+ lit(0).as("_asof_right") :+
+        lit(null).cast(payloadType).as("_asof_payload")): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // right rows first at equal time (asof includes equality), ties by
+    // rightTieBreak so "last" is deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_asof_k"))
+      .orderBy(col("_asof_t").asc, col("_asof_right").desc, col("_asof_tie").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val matched = unioned
+      .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .where(col("_asof_right") === 0)
+    val filtered = if (keepUnmatched) matched else matched.where(col("_asof_match").isNotNull)
+    filtered
+      .drop("_asof_k", "_asof_t", "_asof_tie", "_asof_right", "_asof_payload")
+      .withColumnRenamed("_asof_match", "asof")
+  }
+
   /** U1 — nondeterministic interleave of two differently-shaped streams into
     * a tagged union `A \/ B` (reference `either`,
     * src/main/scala/mongo/channel/package.scala:129-131 via `wye.either`).
