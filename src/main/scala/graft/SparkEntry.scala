@@ -382,6 +382,18 @@ object SparkEntry {
           greatest(col("o_custkey"), col("o_orderkey")).as("max_key"))
     }),
 
+    // §2.7 extension — pivot (wide aggregation); DuckDB oracle uses
+    // FILTER-ed conditional aggregates for the same shape.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+    }),
+
     // §2.7 — exact distinct aggregation.
     "q_distinct_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -780,6 +792,11 @@ object SparkEntry {
                 abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(100000.0 AS DECIMAL(18,2)) AS DOUBLE)) AS abs_delta,
                 greatest(o_custkey, o_orderkey) AS max_key
          FROM orders WHERE o_orderkey <= 1000""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+                COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+                COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+         FROM lineitem GROUP BY l_returnflag""",
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
                 COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
