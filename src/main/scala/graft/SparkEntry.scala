@@ -482,6 +482,15 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // IVF ANN (the KMeans-quantizer scale path; training is seeded but
+    // iterative — not SQL-expressible: rows-only + SimilaritySpec).
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // Language ID: stopword-hit argmax (cheap function-word heuristic).
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(

@@ -102,6 +102,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and ranks exact cosine within them.
+    *
+    * The other classic ANN scale path besides [[lshTopK]]: candidate
+    * generation is an equi-join on the cell id, so the corpus is scanned
+    * once and shuffled once (by cell). Centroids are tiny driver-side state
+    * (nlist × dim) — broadcast implicitly through a literal-free crossJoin
+    * of the (small) query set with the (small) centroid table.
+    * Training is seeded; on a real cluster you would train on a sample and
+    * persist the model like any other index build. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val featured = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    val assigned = model.transform(featured)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
+        l2norm(col("cv")).as("cn"))
+
+    // centroid table: nlist rows — trivially broadcast
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    // probe assignment: nprobe closest centroids per query (cosine)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("qv"), col("centroid")).desc, col("cell").asc)
+    val probes = broadcast(q.crossJoin(broadcast(centroids))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell")))
+
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Exact all-pairs cosine above a threshold (near-dup audit). Quadratic:
     * bounded corpora only; the LSH variant is the scale path. */
   def cosinePairsExact(

@@ -44,6 +44,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.count() === joined.count())
   }
 
+  test("IVF top-k: k rows per query, exact scores, decent recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val ivf = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3).cache()
+    assert(ivf.count() === 50) // 10 queries × k
+    // scores must be the exact cosine (verified against the full brute list)
+    val bruteAll = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = emb.count().toInt)
+      .select(col("query_id"), col("neighbor_id"), col("score").as("bscore"))
+    val joined = ivf.join(bruteAll, Seq("query_id", "neighbor_id"))
+    assert(joined.count() === 50)
+    assert(joined.where(abs(col("score") - col("bscore")) > 1e-12).count() === 0)
+    // probing 3/8 cells should still find a fair share of true neighbors
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(hits >= 15, s"IVF recall too low: $hits/50")
+  }
+
   test("exact all-pairs cosine respects threshold and id ordering") {
     val pairs = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
     assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)

@@ -29,6 +29,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.where(col("partition_nr") =!= floor(col("event_id") / 256L)).count() === 0)
   }
 
+  test("streaming exact dedup: dropDuplicates removes cross-batch repeats") {
+    val docs = table("documents")
+    // feed the same file twice via two subdirs -> every doc arrives twice
+    val tmp = java.nio.file.Files.createTempDirectory("streamdedup").toString
+    docs.write.parquet(tmp + "/a")
+    docs.write.parquet(tmp + "/b")
+    val src = spark.readStream.schema(docs.schema).parquet(tmp + "/{a,b}")
+      .dropDuplicates("doc_id")
+    val q = src.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_stream")
+    assert(got.count() === docs.count())
+    assert(got.groupBy("doc_id").count().where(col("count") > 1).count() === 0)
+  }
+
   test("T2/T3: watermarked windowed aggregation completes under AvailableNow") {
     val events = table("events")
     val src = spark.readStream.schema(events.schema)
