@@ -216,9 +216,17 @@ object SparkEntry {
           sum(money(col("value"))).cast("double").as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       val sink = "s4_stream_window_sink"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // State-store count == shuffle partitions at query start; size it to
+      // the workload (a bounded micro-batch) rather than the session-wide
+      // setting — the per-job partition-sizing discipline from the scale
+      // notes. Restored after termination.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink)
     }),
 
@@ -248,9 +256,15 @@ object SparkEntry {
           col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
         .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
       val sink = "s6_stream_join_sink"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // Stream-stream join keeps 4 state stores per shuffle partition;
+      // size partitions to this bounded feed (see s4 note). Restored after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink)
     }),
 
