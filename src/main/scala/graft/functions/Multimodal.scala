@@ -53,6 +53,17 @@ object Multimodal {
     })
   }
 
+  /** Resize stage: normalize every frame to exactly `size` bytes
+    * (truncate or zero-pad) — the shape of image resizing, where a real
+    * implementation would call the codec's scaler on each batch element. */
+  def resizeFrames(ds: Dataset[Frame], size: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { f =>
+      val out = java.util.Arrays.copyOf(f.frame, size) // truncates or zero-pads
+      Frame(f.doc_id, f.frame_idx, out)
+    })
+  }
+
   /** Frame-sampling stage: split the payload into fixed-size "frames" and
     * keep every `stride`-th one (the shape of video frame sampling). */
   def sampleFrames(ds: Dataset[MediaRecord], frameSize: Int, stride: Int): Dataset[Frame] = {

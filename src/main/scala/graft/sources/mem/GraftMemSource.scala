@@ -41,6 +41,17 @@ object MemStore {
     * instrumentation so tests can prove pushdown happened. */
   val lastPushed = TrieMap[String, Seq[Filter]]()
 
+  /** Error-injection modes, mirroring the reference's failing-producer
+    * modules (`MongoObsCursorError`/`MongoObsFetchError`,
+    * reference join/mongo/package.scala:40-41; tested
+    * JoinMongoSpec.scala:123-214): CursorError fails at reader creation,
+    * FetchError fails mid-iteration — both must surface as task/query
+    * failure, never as silent truncation. */
+  sealed trait FailureMode
+  case object CursorError extends FailureMode
+  final case class FetchError(afterRows: Int) extends FailureMode
+  val failureModes = TrieMap[String, FailureMode]()
+
   def register(name: String, df: DataFrame): Unit =
     collections(name) = (df.schema, df.collect())
 
@@ -161,7 +172,12 @@ class MemReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
+    val mode = MemStore.failureModes.get(p.collection)
+    if (mode.contains(MemStore.CursorError))
+      throw new java.io.IOException(
+        s"graft-mem cursor creation failed for '${p.collection}' (injected)")
     new PartitionReader[InternalRow] {
+      private var served = 0
       private val toInternal = ExpressionEncoder(RowEncoder.encoderFor(required))
         .createSerializer()
       private val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
@@ -172,7 +188,14 @@ class MemReaderFactory(
         .map(r => Row.fromSeq(idx.toIndexedSeq.map(r.get)))          // store-side projection
       private var current: InternalRow = _
       override def next(): Boolean = {
-        if (it.hasNext) { current = toInternal(it.next()).copy(); true } else false
+        mode match {
+          case Some(MemStore.FetchError(n)) if served >= n =>
+            throw new java.io.IOException(
+              s"graft-mem fetch failed for '${p.collection}' after $served rows (injected)")
+          case _ => ()
+        }
+        if (it.hasNext) { current = toInternal(it.next()).copy(); served += 1; true }
+        else false
       }
       override def get(): InternalRow = current
       override def close(): Unit = ()

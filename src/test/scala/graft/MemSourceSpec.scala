@@ -78,6 +78,32 @@ class MemSourceSpec extends AnyFunSuite {
     assert(!pushed.exists(_.contains("EndsWith")), s"EndsWith must not be pushed: $pushed")
   }
 
+  test("T4 error injection: cursor-creation failure surfaces as query failure (reference MongoObsCursorError)") {
+    import spark.implicits._
+    MemStore.register("failing_cursor", Seq((1, "a")).toDF("id", "v"))
+    MemStore.failureModes("failing_cursor") = MemStore.CursorError
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        load("failing_cursor").collect()
+      }
+      assert(e.getMessage.contains("injected") ||
+        Option(e.getCause).exists(_.getMessage.contains("injected")))
+    } finally MemStore.failureModes.remove("failing_cursor")
+  }
+
+  test("T4 error injection: mid-fetch failure surfaces, never silent truncation (reference MongoObsFetchError)") {
+    import spark.implicits._
+    MemStore.register("failing_fetch", (1 to 50).map(i => (i, s"v$i")).toDF("id", "v"))
+    MemStore.failureModes("failing_fetch") = MemStore.FetchError(afterRows = 3)
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        load("failing_fetch").collect()
+      }
+      assert(e.getMessage.contains("injected") ||
+        Option(e.getCause).exists(_.getMessage.contains("injected")))
+    } finally MemStore.failureModes.remove("failing_fetch")
+  }
+
   test("unknown collection fails fast") {
     assertThrows[IllegalArgumentException] {
       spark.read.format(fmt).option("collection", "nope").load()

@@ -58,6 +58,17 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(joined.where(col("magic") =!= ascii(substring(col("text"), 1, 1))).count() === 0)
   }
 
+  test("multimodal: resize normalizes every frame to the target size") {
+    import spark.implicits._
+    val media = Multimodal.encodeAsBinary(docs.limit(10), "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 1)
+    val resized = Multimodal.resizeFrames(frames, size = 32)
+    val sizes = resized.map(_.frame.length).distinct().collect()
+    assert(sizes.toSeq === Seq(32))
+    assert(resized.count() === frames.count())
+  }
+
   test("multimodal: frame sampling arithmetic") {
     import spark.implicits._
     val media = Multimodal.encodeAsBinary(docs.limit(20), "doc_id", "text")
