@@ -516,9 +516,13 @@ object SparkEntry {
     // Quality scoring: integer counts + deterministic double ratios.
     "text_quality" -> ((s, dir) => {
       val sig = TextAnalysis.qualitySignals(col("text"))
+      // quality stays UNROUNDED: the expression tree mirrors the oracle
+      // op-for-op so the doubles are IEEE-identical, while rounding can hit
+      // decimal round-half ties (found at sf0.1: 0.5143125 rounded up by
+      // Spark, down by DuckDB).
       t(s, dir, "documents").select(
         col("doc_id") +: sig.map { case (n, c) => c.as(n) } :+
-          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"): _*)
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
     }),
 
     // Token counting: whitespace + BPE-ish regex + chars/4 heuristic.
@@ -710,9 +714,9 @@ object SparkEntry {
                 CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
                 CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
                 CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
-                ROUND(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
-                      least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
-                      CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3, 6) AS quality
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality
          FROM b""",
     "text_tokens" ->
       """SELECT doc_id,
