@@ -474,7 +474,6 @@ object SparkEntry {
     // scale path, spec-verified.)
     "dedup_embedding_cosine" -> ((s, dir) => {
       Similarity.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
-        .withColumn("cos", round(col("cos"), 6))
     }),
 
     // Brute-force cosine top-k for a fixed query set (broadcast queries,
@@ -483,7 +482,6 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5)
-        .withColumn("score", round(col("score"), 6))
     }),
 
     // LSH-bucketed approximate top-k (recall/plan tradeoff: equi-join on
@@ -493,7 +491,6 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nPlanes = 6)
-        .withColumn("score", round(col("score"), 6))
     }),
 
     // IVF ANN (the KMeans-quantizer scale path; training is seeded but
@@ -502,7 +499,6 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
-        .withColumn("score", round(col("score"), 6))
     }),
 
     // Language ID: stopword-hit argmax (cheap function-word heuristic).
@@ -669,8 +665,8 @@ object SparkEntry {
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                ROUND(list_dot_product(a.v, b.v) /
-                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
@@ -686,7 +682,7 @@ object SparkEntry {
                 SELECT query_id, neighbor_id, s,
                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
                 FROM scored)
-         SELECT query_id, neighbor_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+         SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 5""",
     "text_langid" ->
       """WITH h AS (SELECT doc_id, text,
