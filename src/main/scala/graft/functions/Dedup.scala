@@ -153,12 +153,19 @@ object Dedup {
     * SQL-expressible exact path (oracle-checked). Cost is quadratic only
     * within groups sharing a shingle; for corpora with heavy-hitter
     * shingles, cap document frequency upstream. */
+  /** `maxDocFreq`: drop shingles appearing in more than this many documents
+    * before pairing — the heavy-hitter guard for natural-language corpora
+    * where boilerplate shingles would make the pair space quadratic.
+    * Under a cap, the computed intersection (and thus jaccard) is a LOWER
+    * bound, so results are a subset of the exact answer — a recall/cost
+    * dial with no false positives. None = exact (oracle mode). */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     // sh feeds sizes (×2) and the pair generation — persist once.
     val sh = docs.select(col(idCol).as("doc_id"),
       TextOps.shingles(col(textCol), shingleLen).as("sh"))
@@ -170,7 +177,15 @@ object Dedup {
     // expansion loses more than the saved shuffle — the join side stays in
     // whole-stage codegen. Revisit only if shuffle becomes the bottleneck
     // at cluster scale.
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val explodedAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = maxDocFreq match {
+      case Some(cap) =>
+        // one extra aggregation; the join then never sees heavy hitters
+        val rare = explodedAll.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
+        explodedAll.join(broadcast(rare), "s")
+      case None => explodedAll
+    }
     val inter = exploded.alias("a").join(exploded.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -51,6 +51,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.where(col("doc_b") >= 100000L).count() >= 3)
   }
 
+  test("ngram jaccard with doc-frequency cap still finds the engineered near-dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a generous cap keeps every engineered pair (their shared shingles are
+    // rare); an aggressive cap may drop multi-clone clusters (df of shared
+    // shingles == cluster size + noise) but must stay a SUBSET — the
+    // recall/cost dial, never false positives
+    val generous = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDocFreq = Some(20))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous === exact)
+    val aggressive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDocFreq = Some(5))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aggressive.subsetOf(exact) && aggressive.nonEmpty)
+  }
+
   test("shingles: n-gram count and short-document guard") {
     import spark.implicits._
     val df = Seq("a b c d e", "a b").toDF("text")

@@ -35,6 +35,14 @@ class MqlChannelSpec extends AnyFunSuite {
     assert(li.where(p.column).count() === expected && expected > 0)
   }
 
+  test("MQL dotted paths address nested struct fields (reference dotted-field grammar)") {
+    import spark.implicits._
+    val nested = Seq((1, 30), (2, 15)).toDF("id", "age")
+      .select(col("id"), struct(col("age")).as("user"))
+    val p = MqlParser.parse("""{ "user.age": { "$gt": 18 } }""")
+    assert(nested.where(p.column).select("id").collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
   test("MQL syntax error fails fast") {
     assertThrows[MqlParseException](MqlParser.parse("""{ "l_quantity": { "$gte": } }"""))
   }
