@@ -88,4 +88,17 @@ object VectorFunctions {
   /** Column-level dot product (codegen'd primitive loop). */
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  /** Register `dot_product` for SQL text queries in this session
+    * (guide pattern: FunctionRegistry temp function). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"dot_product takes exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      },
+      "scala_udf")
 }

@@ -68,4 +68,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
     assert(pairs.where(col("cos") < 0.4).count() === 0)
   }
+
+  test("dot_product registered for SQL text queries") {
+    graft.expressions.VectorFunctions.registerSql(spark)
+    emb.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dot_product(embedding, embedding) AS d FROM emb_v ORDER BY vec_id LIMIT 5")
+      .collect().map(_.getDouble(1))
+    val viaCol = emb.orderBy(col("vec_id")).limit(5)
+      .select(Similarity.dot(col("embedding"), col("embedding"))).collect().map(_.getDouble(0))
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
 }
