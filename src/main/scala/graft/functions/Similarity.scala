@@ -34,6 +34,23 @@ object Similarity {
   /** cos(a,b) = dot / (|a| * |b|) — same expression shape as the oracle. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Rank scored (query_id, neighbor_id, score) candidates to top-k per
+    * query with the k-bounded [[TopK]] Aggregator: partial aggregation
+    * ships O(k) per partition per query (map-side combine), vs. the
+    * `row_number over partitionBy(query_id)` formulation that funneled
+    * EVERY candidate score of a query onto one reducer — with a 100 TB
+    * corpus and 10 queries that was 10 tasks doing all the work.
+    * Ordering (score desc, neighbor_id asc) matches the window form, so
+    * results — including the rank column — are identical. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(TopK.topK(k))
+    scored.groupBy(col("query_id"))
+      .agg(tk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query side is broadcast; ties broken by
     * neighbor id for determinism. */
@@ -49,11 +66,7 @@ object Similarity {
       l2norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes (seeded) as a nested literal. */
@@ -95,24 +108,95 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    rankTopK(scored, k)
   }
 
-  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    * partitions the corpus into `nlist` cells; each query probes its
-    * `nprobe` nearest cells and ranks exact cosine within them.
-    *
-    * The other classic ANN scale path besides [[lshTopK]]: candidate
-    * generation is an equi-join on the cell id, so the corpus is scanned
-    * once and shuffled once (by cell). Centroids are tiny driver-side state
-    * (nlist × dim) — broadcast implicitly through a literal-free crossJoin
-    * of the (small) query set with the (small) centroid table.
-    * Training is seeded; on a real cluster you would train on a sample and
-    * persist the model like any other index build. */
+  /** A built IVF index: the corpus with cell assignments + precomputed
+    * norms (the "inverted file", persisted like any index would be), and
+    * the nlist×dim centroid table (tiny — always broadcast). */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame) {
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Process-wide registry of built indexes: an index BUILD is a separate,
+    * amortized step (like writing the index table on a cluster); queries
+    * probe the persisted result instead of retraining the quantizer per
+    * execution. Keyed by caller-chosen name. */
+  private val ivfRegistry = scala.collection.concurrent.TrieMap[String, IvfIndex]()
+
+  /** IVF index build: KMeans coarse quantizer, trained on a seeded sample
+    * (quantizer quality needs only a sketch of the distribution — training
+    * on the full 100 TB corpus would be absurd), then ONE full pass to
+    * assign every corpus vector to its nearest cell. The assignment is the
+    * shuffled-once, persisted inverted file. */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      trainSampleFraction: Double = 0.25): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val featured = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(col(vecCol)).as("features"))
+    val trainSet = featured.sample(withReplacement = false, trainSampleFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").fit(trainSet)
+    val assigned = model.transform(featured)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
+        l2norm(col("cv")).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // centroid table: nlist rows — trivially broadcast
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Build-once lookup: the Spark analogue of "CREATE INDEX IF NOT EXISTS". */
+  def ivfBuildOrGet(
+      key: String,
+      corpus: => DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      seed: Long = 42L): IvfIndex =
+    ivfRegistry.getOrElseUpdate(key, ivfBuild(corpus, idCol, vecCol, nlist, seed))
+
+  /** IVF probe: each query ranks its `nprobe` nearest cells (query set ×
+    * centroid table — both broadcast-small; the per-query window here scans
+    * nlist rows max, bounded by the centroid count, never by corpus size),
+    * then candidates come from an equi-join on the cell id and rank through
+    * the k-bounded [[TopK]] aggregation. */
+  def ivfProbe(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("qv"), col("centroid")).desc, col("cell").asc)
+    val probes = broadcast(q.crossJoin(broadcast(index.centroids))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell")))
+
+    val scored = probes.join(index.assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
+  /** One-shot IVF top-k (build + probe). `indexKey` reuses a registered
+    * index built with the same key — the query-time path never retrains. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -121,47 +205,71 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 2,
+      seed: Long = 42L,
+      indexKey: Option[String] = None): DataFrame = {
+    val index = indexKey match {
+      case Some(key) => ivfBuildOrGet(key, corpus, idCol, vecCol, nlist, seed)
+      case None => ivfBuild(corpus, idCol, vecCol, nlist, seed)
+    }
+    ivfProbe(index, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** LSH-banded near-dup pairs, exact-verified — the scale path for
+    * embedding dedup (mirrors [[Dedup.minHashLshPairs]]'s construction):
+    * candidate pairs come from an equi-self-join on (band_idx, sign-bucket)
+    * — never a nested-loop over all pairs — then the exact cosine filters
+    * to `threshold`, so the output is a subset of the exact all-pairs
+    * answer with per-pair recall 1-(1-p^planesPerBand)^bands (p = 1-θ/π).
+    *
+    * Band geometry is a recall/selectivity dial: for real near-dup
+    * thresholds (cos ≥ 0.9) a few wide bands (8 planes × 16 bands) prune
+    * aggressively; the defaults (4 × 32) are tuned for recall down to
+    * cos ≈ 0.45 — miss probability < 0.2% per true pair, deterministic
+    * under the fixed seed (and verified equal to the exact answer on the
+    * test corpus). */
+  def cosinePairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 32,
+      planesPerBand: Int = 4,
+      dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val featured = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(featured)
-    val assigned = model.transform(featured)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
-        l2norm(col("cv")).as("cn"))
-
-    // centroid table: nlist rows — trivially broadcast
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2norm(col(vecCol)).as("qn"))
-    // probe assignment: nprobe closest centroids per query (cosine)
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(cosine(col("qv"), col("centroid")).desc, col("cell").asc)
-    val probes = broadcast(q.crossJoin(broadcast(centroids))
-      .withColumn("probe_rank", row_number().over(probeW))
-      .where(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell")))
-
-    val scored = probes.join(assigned, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    // base feeds banding + both sides of the verify join — persist once
+    // (same discipline as minHashLshPairs; Bench/Verify clear per query).
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2norm(col(vecCol)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val planes = typedLit(hyperplanes(bands * planesPerBand, dim, seed))
+    // per-band sign bucket: planesPerBand sign bits packed into a long
+    val buckets = transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(
+        sequence(lit(0), lit(planesPerBand - 1)),
+        lit(0.0),
+        (acc, j) => acc + when(
+          dot(element_at(planes, b * lit(planesPerBand) + j + lit(1)), col("v")) > 0.0,
+          pow(lit(2.0), j)).otherwise(lit(0.0))
+      ).cast("long"))
+    val banded = base.select(col("id"), posexplode(buckets))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bucket")
+    val candidates = banded.alias("a").join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Exact all-pairs cosine above a threshold (near-dup audit). Quadratic:
-    * bounded corpora only; the LSH variant is the scale path. */
+    * bounded corpora only; [[cosinePairsLsh]] is the scale path. */
   def cosinePairsExact(
       emb: DataFrame,
       idCol: String,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
@@ -52,23 +51,21 @@ object Joins {
     *
     * Spark has no ordinal on an unordered Dataset, so the caller must supply
     * the total order that the reference got from stream arrival order
-    * (SURVEY.md §7.4). Implemented as row_number-over-order on each side and
-    * an inner equi-join on the ordinal (inner join == stop at shorter side).
-    *
-    * Scale caveat: `Window.orderBy` without partitionBy is a single-partition
-    * sort — fine for dimension-sized zips; for large relations use
-    * [[zipWithOrdinal]] (RDD zipWithIndex: per-partition counts, no global
-    * shuffle) and join on the ordinal.
+    * (SURVEY.md §7.4). Each side is globally sorted (range-partitioned —
+    * partitions stay parallel and globally ordered), then [[zipWithOrdinal]]
+    * assigns a dense ordinal with RDD `zipWithIndex` (per-partition counts,
+    * ONE lightweight count job, no single-partition stage), and an inner
+    * equi-join on the ordinal stops at the shorter side. This is the 100 TB
+    * shape: the previous `Window.orderBy` (no partitionBy) formulation moved
+    * both relations onto one reducer.
     */
   def zipByOrdinal(
       left: DataFrame,
       leftOrder: Seq[Column],
       right: DataFrame,
       rightOrder: Seq[Column]): DataFrame = {
-    val lw = Window.orderBy(leftOrder: _*)
-    val rw = Window.orderBy(rightOrder: _*)
-    val l = left.withColumn("zip_ord", row_number().over(lw))
-    val r = right.withColumn("zip_ord", row_number().over(rw))
+    val l = zipWithOrdinal(left.orderBy(leftOrder: _*))
+    val r = zipWithOrdinal(right.orderBy(rightOrder: _*))
     l.join(r, Seq("zip_ord"), "inner").drop("zip_ord")
   }
 

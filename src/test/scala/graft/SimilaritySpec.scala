@@ -69,6 +69,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.where(col("cos") < 0.4).count() === 0)
   }
 
+  test("LSH-banded pair generation reproduces the exact all-pairs answer") {
+    val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("IVF build/probe split: probing a prebuilt index matches one-shot") {
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    val probed = Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val oneShot = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probed === oneShot)
+    idx.unpersist()
+  }
+
   test("dot_product registered for SQL text queries") {
     graft.expressions.VectorFunctions.registerSql(spark)
     emb.createOrReplaceTempView("emb_v")
