@@ -10,13 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the session (codegen, filesystem, parquet footer caches) so
-    // the first measured query doesn't absorb one-time startup cost.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm up the session (codegen, filesystem, parquet footer caches)
+    // against the BENCHMARKED directory so the first measured query doesn't
+    // absorb one-time startup cost; a failed warm-up is loud, not silent.
+    try { SparkEntry.queries("j1_join_inner")(spark, sfDir).count(); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query persists (dedup/LSH signature stages etc.) must not
+      // accumulate across the 50+ queries of one session — drop cached
+      // blocks after each measurement so later timings aren't skewed
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -298,8 +298,15 @@ object SparkEntry {
     // Verified against the identical DuckDB oracle as the batch form.
     "s4_stream_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = t(s, dir, "events").schema
-      val src = s.readStream.schema(schema)
+      // State-store count == shuffle partitions at query start; size it to
+      // the workload (a bounded micro-batch) in an ISOLATED child session
+      // (shared SparkContext, private SQLConf) — mutating the caller's
+      // session-global conf would leak to concurrent queries and on
+      // failure between set and restore.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val agg = src
         .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
@@ -309,18 +316,10 @@ object SparkEntry {
           sum(money(col("value"))).cast("double").as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       val sink = "s4_stream_window_sink"
-      // State-store count == shuffle partitions at query start; size it to
-      // the workload (a bounded micro-batch) rather than the session-wide
-      // setting — the per-job partition-sizing discipline from the scale
-      // notes. Restored after termination.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = agg.writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(sink)
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
     }),
 
     // S6/J1-streaming — STREAM-STREAM inner join with watermarks and an
@@ -331,8 +330,13 @@ object SparkEntry {
     // matches and the result equals the batch join (the DuckDB oracle).
     "s6_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = t(s, dir, "events").schema
-      val src = s.readStream.schema(schema)
+      // Stream-stream join keeps 4 state stores per shuffle partition;
+      // size partitions to this bounded feed in an isolated child session
+      // (see s4 note — never mutate the shared session conf).
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
       val clicks = src.where(col("event_type") === "click")
@@ -349,16 +353,10 @@ object SparkEntry {
           col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
         .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
       val sink = "s6_stream_join_sink"
-      // Stream-stream join keeps 4 state stores per shuffle partition;
-      // size partitions to this bounded feed (see s4 note). Restored after.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(sink)
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
     }),
 
     // Custom operator — AS-OF join (SURVEY.md §7.3 "compose existing ops"):
@@ -648,6 +646,21 @@ object SparkEntry {
         .select("doc_id", "byte_len", "magic", "n_frames", "format")
     }),
 
+    // Multimodal REAL decode: text bytes encoded as genuine RIFF/WAVE PCM16
+    // payloads (real 44-byte header + data chunk), then decoded by the
+    // pure-JVM WAV parser — sample rate / channels / bit depth / sample
+    // count all recovered from the actual bytes, oracle-checked (the
+    // encoder's geometry is a closed form over the text length).
+    "mm_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.encodeAsBinary(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRecord]
+      val wavs = media.mapPartitions(_.map(r =>
+        Multimodal.MediaRecord(r.doc_id, Multimodal.encodeWavPcm16(r.media), "wav")))
+      Multimodal.decodeWavMeta(wavs).toDF()
+        .select("doc_id", "sample_rate", "channels", "bits_per_sample", "n_samples")
+    }),
+
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
     // hash aggregation. Sums rounded so the DuckDB compare is FP-stable.
@@ -866,6 +879,13 @@ object SparkEntry {
                 ascii(text) AS magic,
                 CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames,
                 'txt' AS format
+         FROM documents""",
+    "mm_wav_decode" ->
+      """SELECT doc_id,
+                CAST(16000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(16 AS INT) AS bits_per_sample,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
          FROM documents""",
     "q_time_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -44,7 +44,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val ad = a.asInstanceOf[ArrayData]
     val bd = b.asInstanceOf[ArrayData]
-    val n = math.min(ad.numElements(), bd.numElements())
+    val n = ad.numElements()
+    // fail fast on ragged inputs — silent min-length truncation produced
+    // plausible-but-wrong scores, and the DuckDB oracle (list_dot_product)
+    // errors on mismatched lengths, so parity demands the same here
+    if (n != bd.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: mismatched vector lengths ($n vs ${bd.numElements()})")
     var acc = 0.0
     var i = 0
     if (isFloat(left.dataType) && isFloat(right.dataType)) {
@@ -67,7 +73,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: mismatched vector lengths (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);

@@ -180,10 +180,14 @@ object Dedup {
     val explodedAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val exploded = maxDocFreq match {
       case Some(cap) =>
-        // one extra aggregation; the join then never sees heavy hitters
-        val rare = explodedAll.groupBy(col("s"))
-          .agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
-        explodedAll.join(broadcast(rare), "s")
+        // one extra aggregation; the join then never sees heavy hitters.
+        // Broadcast the HEAVY set (small by definition — it's the cap's
+        // point) and anti-join: broadcasting the complement ("rare") would
+        // ship nearly the whole shingle vocabulary of a natural-language
+        // corpus through the driver.
+        val heavy = explodedAll.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).where(col("df") > cap).select("s")
+        explodedAll.join(broadcast(heavy), Seq("s"), "left_anti")
       case None => explodedAll
     }
     val inter = exploded.alias("a").join(exploded.alias("b"),

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * of arrow-batched Pandas UDFs: per-partition iterator, Encoder-managed
   * (de)serialization at the codegen boundary).
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in this
-  * container — with a deterministic fake that reads real bytes, so the
-  * Spark-side contract (schema, partitioning, batch iteration, binary
-  * payload flow) is real and tested. Swap `decodeStub` for a JNI/library
-  * call in production; nothing else changes.
+  * Codec support is tiered: WAV (RIFF/WAVE PCM) and BMP
+  * (BITMAPINFOHEADER) have REAL pure-JVM decoders — full header parse +
+  * payload framing, no native libraries needed. Formats that genuinely
+  * need a native codec (JPEG/H.264/...) keep the deterministic
+  * `decodeStub` fallback so the Spark-side contract (schema, partitioning,
+  * batch iteration, binary payload flow) stays testable; swap the stub for
+  * a JNI/library call in production, nothing else changes.
   */
 object Multimodal {
 
@@ -34,22 +36,145 @@ object Multimodal {
       col(textCol).cast("binary").as("media"),
       lit("txt").as("format"))
 
-  /** STUB decode: byte-level "header parse". A real implementation would
-    * call the codec here (per-partition, so native handles are reused
-    * across the batch); the deterministic fake keeps the pipeline testable
-    * without media libraries. */
+  /** STUB decode: byte-level "header parse" for formats without a pure-JVM
+    * decoder. A real implementation would call the codec here
+    * (per-partition, so native handles are reused across the batch). */
   private def decodeStub(bytes: Array[Byte]): (Int, Long) = {
     val magic = if (bytes.nonEmpty) bytes(0) & 0xff else -1
     val nFrames = bytes.length / 100L // fake: 100 bytes per "frame"
     (magic, nFrames)
   }
 
-  /** Feature-extraction stage: one iterator pass per partition. */
+  // ---- Real pure-JVM codecs -------------------------------------------
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Decoded WAV header + payload location. */
+  final case class WavInfo(
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_samples: Long, dataOffset: Int, dataLen: Int)
+
+  /** REAL WAV decode: RIFF/WAVE container walk — `fmt ` chunk for the
+    * sample geometry, `data` chunk for the payload. Pure JVM, spec-faithful
+    * (chunks are (id, size, payload) with word alignment); throws on
+    * malformed input rather than guessing. */
+  def decodeWav(bytes: Array[Byte]): WavInfo = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var rate = -1; var ch = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val sz = le32(bytes, off + 4)
+      id match {
+        case "fmt " =>
+          ch = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        case "data" =>
+          dataOff = off + 8
+          dataLen = sz
+        case _ => () // skip unknown chunks (LIST, fact, ...)
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && ch > 0 && bits > 0, "WAVE: missing fmt chunk")
+    require(dataOff >= 0, "WAVE: missing data chunk")
+    val blockAlign = ch * (bits / 8)
+    WavInfo(rate, ch, bits, dataLen.toLong / blockAlign, dataOff, dataLen)
+  }
+
+  /** REAL WAV encode (PCM16 mono by default): each input byte becomes one
+    * 16-bit sample. Deterministic, byte-faithful — the test-side generator
+    * for real decoder coverage without media libraries. */
+  def encodeWavPcm16(payload: Array[Byte], sampleRate: Int = 16000): Array[Byte] = {
+    val nSamples = payload.length
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    payload.foreach(b => buf.putShort((b.toInt << 8).toShort))
+    buf.array()
+  }
+
+  /** Decoded BMP header. */
+  final case class BmpInfo(width: Int, height: Int, bits_per_pixel: Int)
+
+  /** REAL BMP decode: `BM` magic + BITMAPINFOHEADER fields (width/height/
+    * bpp at fixed little-endian offsets per the Windows DIB spec). */
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    require(bytes.length >= 30 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    BmpInfo(le32(bytes, 18), le32(bytes, 22), le16(bytes, 28))
+  }
+
+  /** REAL BMP encode (24-bit, minimal headers, rows padded to 4 bytes). */
+  def encodeBmp24(width: Int, height: Int, pixel: Int => Byte): Array[Byte] = {
+    val rowLen = (width * 3 + 3) & ~3
+    val dataLen = rowLen * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel-array offset
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until dataLen).foreach(i => buf.put(pixel(i)))
+    buf.array()
+  }
+
+  /** Feature-extraction stage: one iterator pass per partition. Real
+    * decoders for wav/bmp; stub for formats needing native codecs. */
   def extractMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      val (magic, nFrames) = decodeStub(r.media)
+      val (magic, nFrames) = r.format match {
+        case "wav" => val w = decodeWav(r.media); ('R'.toInt, w.n_samples)
+        case "bmp" => val b = decodeBmp(r.media); ('B'.toInt, b.height.toLong)
+        case _ => decodeStub(r.media)
+      }
       MediaMeta(r.doc_id, r.media.length.toLong, magic, nFrames, r.format)
+    })
+  }
+
+  /** Typed WAV metadata row (for the oracle-gated decode query). */
+  final case class WavMeta(
+      doc_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long)
+
+  /** WAV decode stage: real header parse per record, one iterator pass per
+    * partition. */
+  def decodeWavMeta(ds: Dataset[MediaRecord]): Dataset[WavMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val w = decodeWav(r.media)
+      WavMeta(r.doc_id, w.sample_rate, w.channels, w.bits_per_sample, w.n_samples)
+    })
+  }
+
+  /** WAV frame extraction: real sample-accurate framing — `frameSamples`
+    * 16-bit samples per frame from the decoded data chunk. */
+  def wavFrames(ds: Dataset[MediaRecord], frameSamples: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      val w = decodeWav(r.media)
+      val bytesPerFrame = frameSamples * w.channels * (w.bits_per_sample / 8)
+      r.media.slice(w.dataOffset, w.dataOffset + w.dataLen)
+        .grouped(bytesPerFrame).zipWithIndex
+        .map { case (chunk, i) => Frame(r.doc_id, i, chunk) }
     })
   }
 

@@ -41,6 +41,13 @@ object MemStore {
     * instrumentation so tests can prove pushdown happened. */
   val lastPushed = TrieMap[String, Seq[Filter]]()
 
+  /** Last query options each collection scan observed store-side
+    * (maxTimeMS / readPreference — the reference's cursor options,
+    * channel/package.scala:241 `maxTimeMS` and :276 `readPreference`):
+    * instrumentation proving the options reach the store, like
+    * `lastPushed` proves pushdown. */
+  val lastOptions = TrieMap[String, Map[String, String]]()
+
   /** Error-injection modes, mirroring the reference's failing-producer
     * modules (`MongoObsCursorError`/`MongoObsFetchError`,
     * reference join/mongo/package.scala:40-41; tested
@@ -111,11 +118,24 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(collection, schema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // O4/T7 — query-scoped cursor options, mirroring the reference's
+    // builder surface (channel/package.scala:241 maxTimeMS, :276
+    // readPreference): maxTimeMS bounds reader wall time store-side;
+    // readPreference is recorded (an embedded store has one replica — a
+    // real connector would route by it, as Mongo drivers do).
+    val maxTimeMs =
+      Option(options.get("maxTimeMS")).map(_.toLong).filter(_ >= 0)
+    val readPreference = options.getOrDefault("readPreference", "primary")
+    new MemScanBuilder(collection, schema, maxTimeMs, readPreference)
+  }
 }
 
-class MemScanBuilder(collection: String, fullSchema: StructType)
+class MemScanBuilder(
+    collection: String,
+    fullSchema: StructType,
+    maxTimeMs: Option[Long],
+    readPreference: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -132,19 +152,24 @@ class MemScanBuilder(collection: String, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new MemScan(collection, fullSchema, required, pushed)
+  override def build(): Scan =
+    new MemScan(collection, fullSchema, required, pushed, maxTimeMs, readPreference)
 }
 
 class MemScan(
     collection: String,
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    maxTimeMs: Option[Long],
+    readPreference: String) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-mem:$collection PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${required.simpleString}" +
+      maxTimeMs.map(ms => s", maxTimeMS: $ms").getOrElse("") +
+      s", readPreference: $readPreference"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -158,7 +183,10 @@ class MemScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     MemStore.lastPushed(collection) = pushed.toSeq
-    new MemReaderFactory(fullSchema, required, pushed)
+    MemStore.lastOptions(collection) =
+      maxTimeMs.map(ms => "maxTimeMS" -> ms.toString).toMap +
+        ("readPreference" -> readPreference)
+    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs)
   }
 }
 
@@ -168,7 +196,8 @@ case class MemInputPartition(collection: String, start: Int, end: Int)
 class MemReaderFactory(
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter],
+    maxTimeMs: Option[Long]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
@@ -178,6 +207,11 @@ class MemReaderFactory(
         s"graft-mem cursor creation failed for '${p.collection}' (injected)")
     new PartitionReader[InternalRow] {
       private var served = 0
+      // O4 maxTimeMS: a server-side cursor deadline — exceeded == query
+      // error, never silent truncation (same contract as the reference's
+      // Mongo cursor timeout).
+      private val deadlineNanos =
+        maxTimeMs.map(ms => System.nanoTime() + ms * 1000000L)
       private val toInternal = ExpressionEncoder(RowEncoder.encoderFor(required))
         .createSerializer()
       private val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
@@ -188,6 +222,11 @@ class MemReaderFactory(
         .map(r => Row.fromSeq(idx.toIndexedSeq.map(r.get)))          // store-side projection
       private var current: InternalRow = _
       override def next(): Boolean = {
+        deadlineNanos.foreach { d =>
+          if (System.nanoTime() > d)
+            throw new java.io.IOException(
+              s"graft-mem query on '${p.collection}' exceeded maxTimeMS=${maxTimeMs.get}")
+        }
         mode match {
           case Some(MemStore.FetchError(n)) if served >= n =>
             throw new java.io.IOException(

@@ -104,6 +104,34 @@ class MemSourceSpec extends AnyFunSuite {
     } finally MemStore.failureModes.remove("failing_fetch")
   }
 
+  test("O4 maxTimeMS: observed store-side; exceeded deadline fails the query, never truncates") {
+    MemStore.lastOptions.remove("programmers")
+    // generous deadline: completes, option reaches the store
+    assert(spark.read.format(fmt).option("collection", "programmers")
+      .option("maxTimeMS", "60000").load().count() === 100)
+    assert(MemStore.lastOptions.getOrElse("programmers", Map.empty)
+      .get("maxTimeMS").contains("60000"))
+    // zero deadline: already expired at the first fetch → query error
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(fmt).option("collection", "programmers")
+        .option("maxTimeMS", "0").load().collect()
+    }
+    assert(e.getMessage.contains("maxTimeMS") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxTimeMS")))
+  }
+
+  test("T7 readPreference: recorded store-side like a driver would route it") {
+    MemStore.lastOptions.remove("langs")
+    assert(spark.read.format(fmt).option("collection", "langs")
+      .option("readPreference", "secondaryPreferred").load().count() === 5)
+    assert(MemStore.lastOptions.getOrElse("langs", Map.empty)
+      .get("readPreference").contains("secondaryPreferred"))
+    // default when unspecified: primary
+    assert(load("langs").count() === 5)
+    assert(MemStore.lastOptions.getOrElse("langs", Map.empty)
+      .get("readPreference").contains("primary"))
+  }
+
   test("unknown collection fails fast") {
     assertThrows[IllegalArgumentException] {
       spark.read.format(fmt).option("collection", "nope").load()

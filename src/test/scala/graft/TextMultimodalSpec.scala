@@ -69,6 +69,69 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(resized.count() === frames.count())
   }
 
+  test("WAV codec: encode → decode round-trips header and sample count") {
+    val payload = "hello wave world".getBytes("US-ASCII")
+    val wav = Multimodal.encodeWavPcm16(payload, sampleRate = 22050)
+    val info = Multimodal.decodeWav(wav)
+    assert(info.sample_rate === 22050)
+    assert(info.channels === 1)
+    assert(info.bits_per_sample === 16)
+    assert(info.n_samples === payload.length.toLong)
+    // data chunk payload round-trips the source bytes (high byte of PCM16)
+    val data = wav.slice(info.dataOffset, info.dataOffset + info.dataLen)
+    val highBytes = data.grouped(2).map(_(1)).toArray
+    assert(highBytes.toSeq === payload.toSeq)
+    // malformed input fails fast, never a silent guess
+    assertThrows[IllegalArgumentException](Multimodal.decodeWav("nope".getBytes))
+  }
+
+  test("WAV decode skips unknown chunks before data (spec-faithful walk)") {
+    val payload = Array[Byte](1, 2, 3, 4)
+    val wav = Multimodal.encodeWavPcm16(payload)
+    // splice a LIST chunk between fmt and data
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = wav.slice(0, 36) ++ extra ++ wav.slice(36, wav.length)
+    val info = Multimodal.decodeWav(spliced)
+    assert(info.n_samples === 4L)
+    assert(info.sample_rate === 16000)
+  }
+
+  test("BMP codec: encode → decode recovers geometry") {
+    val bmp = Multimodal.encodeBmp24(width = 7, height = 3, pixel = i => (i % 251).toByte)
+    val info = Multimodal.decodeBmp(bmp)
+    assert(info === Multimodal.BmpInfo(7, 3, 24))
+    assertThrows[IllegalArgumentException](Multimodal.decodeBmp(Array[Byte](1, 2, 3)))
+  }
+
+  test("WAV frame extraction: sample-accurate frames from the data chunk") {
+    import spark.implicits._
+    val media = Multimodal.encodeAsBinary(docs.limit(10), "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val wavs = media.map(r =>
+      Multimodal.MediaRecord(r.doc_id, Multimodal.encodeWavPcm16(r.media), "wav"))
+    val frames = Multimodal.wavFrames(wavs, frameSamples = 25).toDF()
+    val counts = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(docs, "doc_id")
+      // one byte of text = one PCM16 sample = 2 data bytes; 25 samples/frame
+      .withColumn("expected", ceil(col("n_chars") / 25.0).cast("long"))
+    assert(counts.where(col("n") =!= col("expected")).count() === 0)
+    // every full frame carries exactly frameSamples * 2 bytes
+    val fullFrames = Multimodal.wavFrames(wavs, frameSamples = 25)
+      .filter(_.frame_idx == 0).map(_.frame.length).distinct().collect()
+    assert(fullFrames.toSeq === Seq(50))
+  }
+
+  test("extractMeta uses the real decoder for wav format") {
+    import spark.implicits._
+    val media = Multimodal.encodeAsBinary(docs.limit(5), "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val wavs = media.map(r =>
+      Multimodal.MediaRecord(r.doc_id, Multimodal.encodeWavPcm16(r.media), "wav"))
+    val meta = Multimodal.extractMeta(wavs).toDF().join(docs, "doc_id")
+    // n_frames for wav == decoded sample count == text byte count
+    assert(meta.where(col("n_frames") =!= col("n_chars")).count() === 0)
+  }
+
   test("multimodal: frame sampling arithmetic") {
     import spark.implicits._
     val media = Multimodal.encodeAsBinary(docs.limit(20), "doc_id", "text")
