@@ -30,12 +30,15 @@ object Dedup {
   private val P = 2147483647L
 
   /** MinHash signature column: k minima of universal hashes over the
-    * shingle set. Shingle strings are hashed once (xxhash64 mod P), then the
-    * k×n minima loop runs in the codegen'd
-    * [[graft.expressions.MinHashSignature]] expression (the composed
-    * transform/array_min form interpreted k inner arrays per row). */
+    * shingle set. Shingle strings are hashed once (xxhash64 mod P — the
+    * codegen'd [[graft.expressions.XxHash64ModArray]] loop, bit-identical
+    * to `transform(sh, s -> pmod(xxhash64(s), P))` but without the HOF:
+    * higher-order functions interpreted the lambda per element AND kept
+    * the downstream [[graft.expressions.MinHashSignature]] expression off
+    * the whole-stage-codegen path), then the k×n minima loop runs fully
+    * codegen'd. */
   def minhashSignature(shinglesCol: Column, k: Int = 64, seed: Long = 42L): Column = {
-    val hashed = transform(shinglesCol, s => pmod(xxhash64(s), lit(P)))
+    val hashed = graft.expressions.LshFunctions.xxhash64_mod_array(shinglesCol, P)
     graft.expressions.MinHashFunctions.minhash_signature(hashed, k, seed)
   }
 

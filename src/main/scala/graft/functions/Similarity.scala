@@ -75,17 +75,15 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket id from random hyperplane projections (2^nPlanes buckets).
-    * Power-of-two accumulation in double is exact for nPlanes <= 52. */
-  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val planes = typedLit(hyperplanes(nPlanes, dim, seed))
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0.0),
-      (acc, j) => acc + when(dot(element_at(planes, j + lit(1)), vecCol) > 0.0,
-        pow(lit(2.0), j)).otherwise(lit(0.0))
-    ).cast("long")
-  }
+  /** Sign-bucket id from random hyperplane projections (2^nPlanes buckets),
+    * computed by the codegen'd [[graft.expressions.LshBandBuckets]]
+    * primitive loop (the composed aggregate/when form ran one interpreted
+    * lambda per plane per row). */
+  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    element_at(
+      graft.expressions.LshFunctions.lsh_band_buckets(
+        vecCol, hyperplanes(nPlanes, dim, seed), nPlanes),
+      1)
 
   /** LSH-bucketed approximate top-k: candidates share a sign bucket with the
     * query; exact cosine ranks within candidates. Trades recall for a
@@ -143,8 +141,16 @@ object Similarity {
 
     val featured = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       array_to_vector(col(vecCol)).as("features"))
+    // Training runs ~2 jobs per Lloyd iteration; on a sample this small the
+    // cost is pure task-scheduling overhead, so collapse the sample to a
+    // number of partitions matching its size (a 100 TB corpus samples a few
+    // hundred thousand vectors — still a handful of partitions). random
+    // init skips k-means||'s extra seeding passes — a coarse quantizer from
+    // a sample doesn't need them.
     val trainSet = featured.sample(withReplacement = false, trainSampleFraction, seed)
+      .coalesce(1)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(trainSet)
     val assigned = model.transform(featured)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
@@ -241,16 +247,12 @@ object Similarity {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         l2norm(col(vecCol)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val planes = typedLit(hyperplanes(bands * planesPerBand, dim, seed))
-    // per-band sign bucket: planesPerBand sign bits packed into a long
-    val buckets = transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(
-        sequence(lit(0), lit(planesPerBand - 1)),
-        lit(0.0),
-        (acc, j) => acc + when(
-          dot(element_at(planes, b * lit(planesPerBand) + j + lit(1)), col("v")) > 0.0,
-          pow(lit(2.0), j)).otherwise(lit(0.0))
-      ).cast("long"))
+    // per-band sign bucket (planesPerBand sign bits packed into a long),
+    // ALL bands in one codegen'd primitive loop — the composed
+    // transform/aggregate form ran bands×planesPerBand interpreted lambdas
+    // per row and dominated this query's cost
+    val buckets = graft.expressions.LshFunctions.lsh_band_buckets(
+      col("v"), hyperplanes(bands * planesPerBand, dim, seed), planesPerBand)
     val banded = base.select(col("id"), posexplode(buckets))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bucket")

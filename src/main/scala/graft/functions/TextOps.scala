@@ -16,8 +16,17 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word-level n-gram shingles, space-joined.
-    * Empty array when the document has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
+    * Empty array when the document has fewer than n tokens.
+    * One codegen'd pass ([[graft.expressions.WordShingles]]) — the
+    * composed split/transform/slice/concat_ws/array_distinct form ran an
+    * interpreted lambda per shingle and was the dominant cost of every
+    * shingle-based dedup query; values are bit-identical. */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.ShingleFunctions.word_shingles(text, n)
+
+  /** The pre-expression composed form — kept as the differential-testing
+    * oracle for [[shingles]] (TextOpsShinglesSpec asserts equality). */
+  def shinglesComposed(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       array_distinct(

@@ -24,6 +24,19 @@ class DedupSpec extends AnyFunSuite {
     assert(d.where(col("n_copies") === 2 && col("keep_id") >= 100000L).count() === 0)
   }
 
+  test("codegen'd word_shingles == composed form on corpus and edge cases") {
+    import spark.implicits._
+    val edge = Seq("", "a", "a b", "a b c", "a  b c d", " lead", "trail ",
+      "x y x y x y", "a b c d e f g").toDF("text")
+    for (df <- Seq(docs.select("text"), edge); n <- Seq(2, 3)) {
+      val diff = df.select(
+          TextOps.shingles(col("text"), n).as("fast"),
+          TextOps.shinglesComposed(col("text"), n).as("composed"))
+        .where(col("fast") =!= col("composed"))
+      assert(diff.count() === 0, s"n=$n mismatch: ${diff.take(3).mkString}")
+    }
+  }
+
   test("minhash LSH pairs == exact ngram jaccard pairs (recall check at j>=0.8)") {
     val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
