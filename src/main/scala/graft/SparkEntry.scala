@@ -359,6 +359,85 @@ object SparkEntry {
       ss.table(sink)
     }),
 
+    // Streaming dedup — dropDuplicates across micro-batches (the streaming
+    // form of exact dedup; state = seen keys, scales with watermark +
+    // key-partitioned state stores). AvailableNow feeds all data, so the
+    // result equals batch DISTINCT (the DuckDB oracle).
+    "s7_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dedup = src.select(col("user_id"), col("event_type")).dropDuplicates()
+      val sink = "s7_stream_dedup_sink"
+      val q = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+    // §2.9 custom stateful operator — flatMapGroupsWithState running totals
+    // (the reference's abandoned Semigroup `conflate`,
+    // join/package.scala:162-171, industrialized). Batch-gated: the final
+    // per-key state equals GROUP BY totals. Values are summed as exact
+    // integer cents (integer-valued doubles add associatively — immune to
+    // per-group iteration order).
+    "t_stateful_running" -> ((s, dir) => {
+      import s.implicits._
+      val cents = t(s, dir, "events")
+        .select(col("user_id"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      graft.streaming.Stateful.runningTotals[(Long, Long)](
+          cents, _._1, _._2.toDouble)
+        .groupByKey(_.key)
+        .reduceGroups((a, b) => if (a.events >= b.events) a else b)
+        .map(_._2)
+        .toDF()
+        .select(col("key").as("user_id"), col("events"),
+          col("sum").cast("long").as("sum_cents"))
+    }),
+
+    // S6 sinks, more formats — CSV and JSON roundtrips: write the sink,
+    // read it back with the written schema (proves schema + data survive
+    // the format, oracle-checked like the parquet roundtrip).
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+      df.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(df.schema).option("header", "true").csv(out)
+    }),
+    "src_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+      df.write.mode("overwrite").json(out)
+      s.read.schema(df.schema).json(out)
+    }),
+
+    // §2.7 — full CUBE grouping sets (rollup's sibling).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // Text analysis — corpus-wide top-k n-gram frequencies (the classic
+    // "what boilerplate dominates this corpus" pipeline op): codegen'd
+    // shingles explode → hash-aggregate → TakeOrderedAndProject.
+    "text_ngram_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextOps.shingles(col("text"), 3)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram").asc)
+        .limit(20)
+    }),
+
     // Custom operator — AS-OF join (SURVEY.md §7.3 "compose existing ops"):
     // each click matched to the user's most recent prior-or-equal purchase.
     // One shuffle on the key (union + per-key window), no range explosion.
@@ -764,6 +843,31 @@ object SparkEntry {
     "s6_sink_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "src_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "src_json_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "s7_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "t_stateful_running" ->
+      """SELECT user_id, COUNT(*) AS events,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events GROUP BY user_id""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "text_ngram_topk" ->
+      """WITH s AS (SELECT string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w)-1) ]) AS sh
+                    FROM s WHERE len(w) >= 3),
+              u AS (SELECT unnest(sh) AS ngram FROM t)
+         SELECT ngram, COUNT(*) AS n_docs FROM u
+         GROUP BY ngram ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
     "j2_zipwith" ->
       """WITH l AS (SELECT n_nationkey, n_name,
                            ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
