@@ -183,6 +183,93 @@ case class LshBandBuckets(
     copy(child = newChild)
 }
 
+/** Custom Catalyst expression: index of the nearest centroid (squared
+  * Euclidean distance, ties to the lower cell id) — the IVF assignment
+  * step as a map-only codegen'd loop. The alternative (crossJoin with the
+  * centroid table + per-row window argmin) amplifies the corpus nlist×
+  * through a shuffle; this is one pass, no shuffle, no blow-up.
+  * Fails fast on dimension mismatch. */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "NearestCell: empty centroid table")
+  private val nlist = centroids.length
+  private val dim = centroids(0).length
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell needs array<float>/array<double>, got ${other.sql}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_cell: vector length ${vec.numElements()} != centroid dim $dim")
+    val fl = isFloat
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      val cent = centroids(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < dim) {
+        val diff = (if (fl) vec.getFloat(d).toDouble else vec.getDouble(d)) - cent(d)
+        d2 += diff * diff
+        d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, input => {
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cent = ctx.freshName("cent")
+      s"""
+         |if ($input.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_cell: vector length " + $input.numElements() + " != centroid dim $dim");
+         |}
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $nlist; $c++) {
+         |  double[] $cent = $centRef[$c];
+         |  double $d2 = 0.0;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    double $diff = (double) $input.$get($d) - $cent[$d];
+         |    $d2 += $diff * $diff;
+         |  }
+         |  if ($d2 < $bestD) { $bestD = $d2; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 object LshFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -193,4 +280,8 @@ object LshFunctions {
   /** All band sign-buckets of a vector (codegen'd triple loop). */
   def lsh_band_buckets(vec: Column, planes: Seq[Seq[Double]], planesPerBand: Int): Column =
     column(LshBandBuckets(expression(vec), planes.map(_.toArray).toArray, planesPerBand))
+
+  /** Nearest-centroid index (codegen'd map-only IVF assignment). */
+  def nearest_cell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    column(NearestCell(expression(vec), centroids.map(_.toArray).toArray))
 }

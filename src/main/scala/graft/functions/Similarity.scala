@@ -122,10 +122,67 @@ object Similarity {
     * execution. Keyed by caller-chosen name. */
   private val ivfRegistry = scala.collection.concurrent.TrieMap[String, IvfIndex]()
 
-  /** IVF index build: KMeans coarse quantizer, trained on a seeded sample
-    * (quantizer quality needs only a sketch of the distribution — training
-    * on the full 100 TB corpus would be absurd), then ONE full pass to
-    * assign every corpus vector to its nearest cell. The assignment is the
+  /** Driver-local Lloyd's KMeans over a sampled vector set (seeded random
+    * init, squared-Euclidean assignment, empty cells re-seeded from the
+    * sample). A coarse quantizer needs only a sketch of the distribution,
+    * so the standard ANN-index design (FAISS et al.) trains it on a
+    * bounded in-memory sample — driver-side math, no distributed iteration
+    * overhead — while every per-corpus-row step (assignment, probing)
+    * stays a Spark pass. */
+  private[functions] def lloydKMeans(
+      samples: Array[Array[Double]],
+      nlist: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(samples.nonEmpty, "ivfBuild: empty training sample")
+    val dim = samples(0).length
+    val rnd = new scala.util.Random(seed)
+    val centroids = Array.tabulate(nlist)(i => samples(rnd.nextInt(samples.length)).clone())
+    val assign = new Array[Int](samples.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < samples.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d2 = 0.0; var d = 0
+          while (d < dim) {
+            val diff = samples(i)(d) - centroids(c)(d); d2 += diff * diff; d += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      i = 0
+      while (i < samples.length) {
+        val c = assign(i); counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += samples(i)(d); d += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < nlist) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { centroids(c)(d) = sums(c)(d) / counts(c); d += 1 }
+        } else centroids(c) = samples(rnd.nextInt(samples.length)).clone()
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF index build: coarse quantizer trained driver-side on a seeded
+    * sample (see [[lloydKMeans]] — a 100 TB corpus samples a few hundred
+    * thousand vectors, comfortably driver-memory), then ONE distributed
+    * pass assigns every corpus vector to its nearest cell via the same
+    * argmin expressed as a cell-table join. The assignment is the
     * shuffled-once, persisted inverted file. */
   def ivfBuild(
       corpus: DataFrame,
@@ -134,33 +191,27 @@ object Similarity {
       nlist: Int = 16,
       seed: Long = 42L,
       trainSampleFraction: Double = 0.25): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val featured = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(col(vecCol)).as("features"))
-    // Training runs ~2 jobs per Lloyd iteration; on a sample this small the
-    // cost is pure task-scheduling overhead, so collapse the sample to a
-    // number of partitions matching its size (a 100 TB corpus samples a few
-    // hundred thousand vectors — still a handful of partitions). random
-    // init skips k-means||'s extra seeding passes — a coarse quantizer from
-    // a sample doesn't need them.
-    val trainSet = featured.sample(withReplacement = false, trainSampleFraction, seed)
-      .coalesce(1)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(trainSet)
-    val assigned = model.transform(featured)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
-        l2norm(col("cv")).as("cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val samples = corpus.sample(withReplacement = false, trainSampleFraction, seed)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = lloydKMeans(samples, nlist, iters = 5, seed = seed)
 
     // centroid table: nlist rows — trivially broadcast
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
+
+    // full assignment pass: the codegen'd map-only argmin — one corpus
+    // scan, no shuffle, no nlist× row amplification
+    val assigned = corpus.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        graft.expressions.LshFunctions.nearest_cell(
+          col(vecCol), centers.map(_.toSeq).toSeq).as("cell"),
+        l2norm(col(vecCol)).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(assigned, centroids)
   }
 

@@ -45,6 +45,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.groupBy("doc_id").count().where(col("count") > 1).count() === 0)
   }
 
+  test("T6 supervision: restart from checkpoint resumes exactly-once (no loss, no replay)") {
+    // The reference delegates supervision to runtime config (SURVEY.md
+    // §2.8); Spark's form is checkpointed restart: a query that stops is
+    // re-`start`ed with the same checkpointLocation and must process each
+    // input exactly once across the two incarnations.
+    val docs = table("documents")
+    val tmp = java.nio.file.Files.createTempDirectory("ckpt_restart").toString
+    val ckpt = tmp + "/ckpt"
+    val outDir = tmp + "/out"
+    docs.limit(100).write.parquet(tmp + "/in/batch1")
+
+    def run(): Unit = {
+      val src = spark.readStream.schema(docs.schema).parquet(tmp + "/in/*")
+      val q = src.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // first incarnation consumes batch1
+    // crash window: new data lands while the query is down
+    docs.where(col("doc_id") >= 100).limit(50).write.parquet(tmp + "/in/batch2")
+    run() // restarted incarnation must pick up ONLY batch2
+    val got = spark.read.parquet(outDir)
+    assert(got.count() === 150, "restart must neither drop nor replay input")
+    assert(got.groupBy("doc_id").count().where(col("count") > 1).count() === 0)
+  }
+
   test("T2/T3: watermarked windowed aggregation completes under AvailableNow") {
     val events = table("events")
     val src = spark.readStream.schema(events.schema)
