@@ -459,6 +459,26 @@ object SparkEntry {
           (col("ts_us") - col("asof.p_ts_us")).as("gap_us"))
     }),
 
+    // AS-OF join, LEFT variant — unmatched left rows survive with null
+    // payload (`keepUnmatched = true`). Oracle: DuckDB ASOF LEFT JOIN.
+    "q_asof_left" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      Joins.asOf(
+          clicks, col("user_id"), col("ts_us"),
+          purchases, col("user_id"), col("ts_us"),
+          rightPayload = Seq(col("purchase_id"), col("ts_us").as("p_ts_us")),
+          rightTieBreak = col("purchase_id"),
+          keepUnmatched = true)
+        .select(col("click_id"), col("user_id"),
+          col("asof.purchase_id").as("purchase_id"),
+          (col("ts_us") - col("asof.p_ts_us")).as("gap_us"))
+    }),
+
     // §2.8 extension — session windows (gap-based): the stateful windowing
     // the reference's event-time data model never got (SURVEY.md §2.8).
     // Session starts/counts are exact integers (unix micros), so the
@@ -1013,6 +1033,13 @@ object SparkEntry {
                 epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
          FROM (SELECT * FROM events WHERE event_type = 'click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q_asof_left" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+                p.event_id AS purchase_id,
+                epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
