@@ -17,7 +17,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Stable (sorted) execution order: Map iteration order shifts when
+    // entries are added, which moves one-time JIT/codegen warmup between
+    // queries and makes per-query times incomparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
@@ -30,7 +33,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

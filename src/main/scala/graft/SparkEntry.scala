@@ -521,6 +521,16 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // Skew-mitigated salted join — the hot-key spread is result-invariant,
+    // so the oracle is the PLAIN join SQL: proof that salting changes the
+    // partitioning, never the multiset.
+    "j_salted_skew" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      Joins.saltedInner(li, "l_orderkey", o, "o_orderkey", salts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    }),
+
     // §2.4 extension — left outer join with an ON-clause filter so unmatched
     // rows survive as nulls (absent in the reference; free in Spark).
     "q_join_left" -> ((s, dir) => {
@@ -1070,6 +1080,10 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "j_salted_skew" ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000.0""",
     "q_join_left" ->
       """SELECT p_partkey, l_orderkey, l_quantity FROM part
          LEFT JOIN lineitem ON p_partkey = l_partkey AND l_quantity >= 49.0""",
