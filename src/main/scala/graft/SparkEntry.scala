@@ -608,6 +608,25 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).as("n_o"))
     }),
 
+    // §2.7 — exact percentiles (sort-based, linear interpolation — the
+    // deterministic form; approx quantile sketches are rows-only land).
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+    }),
+
+    // §2.7 — scalar subquery in a predicate (orders in the top decile of
+    // the global max price).
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_ssq_v")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_ssq_v
+               WHERE o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders_ssq_v)""")
+    }),
+
     // §2.7 — exact distinct aggregation.
     "q_distinct_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1125,6 +1144,15 @@ object SparkEntry {
                 COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
                 COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
          FROM lineitem GROUP BY l_returnflag""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders)""",
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
                 COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows

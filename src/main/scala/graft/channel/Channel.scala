@@ -25,9 +25,12 @@ final class MutableBuilder private[channel] () {
   private[channel] var pred: Option[Pred] = None
   private[channel] var parseError: Option[String] = None
   private[channel] var tableName: Option[String] = None
+  private[channel] var memCollectionName: Option[String] = None
   private[channel] var sortKeys: Seq[(String, Order.Value)] = Nil
   private[channel] var limitN: Option[Int] = None
   private[channel] var skipN: Option[Int] = None
+  private[channel] var maxTimeMs: Option[Long] = None
+  private[channel] var readPref: Option[String] = None
 
   /** MQL query text — parsed immediately; failure is remembered and thrown
     * at build, as the reference stores `-\/(error)`
@@ -39,9 +42,22 @@ final class MutableBuilder private[channel] () {
   /** Pre-compiled predicate (DSL path). */
   def where(p: Pred): Unit = pred = Some(pred.fold(p)(_ && p))
   def collection(name: String): Unit = tableName = Some(name)
+
+  /** Read through the DSv2 connector (a registered `MemStore` collection)
+    * instead of the parquet catalog — the path on which the cursor options
+    * below are enforced store-side. */
+  def memCollection(name: String): Unit = memCollectionName = Some(name)
   def sort(keys: (String, Order.Value)*): Unit = sortKeys = keys
   def limit(n: Int): Unit = limitN = Some(n)
   def skip(n: Int): Unit = skipN = Some(n)
+
+  /** O4 — server-side query deadline (reference channel/package.scala:241):
+    * forwarded to the connector, which fails the query on expiry. */
+  def maxTimeMS(ms: Long): Unit = maxTimeMs = Some(ms)
+
+  /** T7 — read preference (reference channel/package.scala:276): forwarded
+    * to the connector and recorded store-side like a driver would route it. */
+  def readPreference(pref: String): Unit = readPref = Some(pref)
 }
 
 object Channel {
@@ -52,11 +68,21 @@ object Channel {
     val b = new MutableBuilder
     f(b)
     b.parseError.foreach(e => throw new MqlParseException(e))
-    val table = b.tableName.getOrElse(
-      throw new IllegalArgumentException("Collection is not set"))
     if (b.pred.isEmpty)
       throw new IllegalArgumentException("Query is not set")
     val q = Q(pred = b.pred, sortKeys = b.sortKeys, skipN = b.skipN, limitN = b.limitN)
-    q(Tables.load(spark, sfDir, table))
+    val source = b.memCollectionName match {
+      case Some(mem) =>
+        var r = spark.read.format("graft.sources.mem.GraftMemSource")
+          .option("collection", mem)
+        b.maxTimeMs.foreach(ms => r = r.option("maxTimeMS", ms.toString))
+        b.readPref.foreach(p => r = r.option("readPreference", p))
+        r.load()
+      case None =>
+        val table = b.tableName.getOrElse(
+          throw new IllegalArgumentException("Collection is not set"))
+        Tables.load(spark, sfDir, table)
+    }
+    q(source)
   }
 }

@@ -35,6 +35,34 @@ class MqlChannelSpec extends AnyFunSuite {
     assert(li.where(p.column).count() === expected && expected > 0)
   }
 
+  test("channel builder forwards maxTimeMS/readPreference to the connector store-side (O4/T7)") {
+    import spark.implicits._
+    import graft.sources.mem.MemStore
+    MemStore.register("channel_langs", Seq(
+      (0, "Java", 30), (1, "C++", 20), (2, "Scala", 90))
+      .toDF("index", "name", "popularity_factor"))
+    MemStore.lastOptions.remove("channel_langs")
+    val got = Channel.create(spark, sfDir) { b =>
+      b.q("""{ "index": { "$gte": 1 } }""")
+      b.memCollection("channel_langs")
+      b.sort("index" -> graft.dsl.Order.Ascending)
+      b.maxTimeMS(60000L)
+      b.readPreference("secondaryPreferred")
+    }
+    assert(got.select("name").collect().map(_.getString(0)).toSeq === Seq("C++", "Scala"))
+    val opts = MemStore.lastOptions.getOrElse("channel_langs", Map.empty)
+    assert(opts.get("maxTimeMS").contains("60000"))
+    assert(opts.get("readPreference").contains("secondaryPreferred"))
+    // expired deadline propagates as query failure through the channel
+    assertThrows[org.apache.spark.SparkException] {
+      Channel.create(spark, sfDir) { b =>
+        b.q("""{ "index": { "$gte": 0 } }""")
+        b.memCollection("channel_langs")
+        b.maxTimeMS(0L)
+      }.collect()
+    }
+  }
+
   test("MQL dotted paths address nested struct fields (reference dotted-field grammar)") {
     import spark.implicits._
     val nested = Seq((1, 30), (2, 15)).toDF("id", "age")
