@@ -662,6 +662,26 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline extensions (north star; SURVEY.md §7.2 M6) ----
 
+    // The flagship composition: a full training-data cleaning pass —
+    // quality gate → language gate → exact dedup (keep min id) → token
+    // accounting — each stage an already-oracle-proven operator, composed
+    // through the `|>` pipe. One scan + one dedup shuffle; the filters and
+    // the fingerprint both ride the same corpus pass.
+    "pipe_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = docs
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs |>
+        (d => d.where(TextAnalysis.qualityScore(col("text")) >= 0.5)) |>
+        (d => d.where(TextAnalysis.langId(col("text")) === "en")) |>
+        (d => d.join(keep, Seq("doc_id"), "left_semi")) |>
+        (d => d.select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality")))
+    }),
+
     // Exact dedup: hash-groupBy on a content fingerprint.
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -944,6 +964,31 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "pipe_clean_corpus" ->
+      """WITH b AS (SELECT doc_id, text,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents),
+              q AS (SELECT doc_id, n_words,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(en AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS pred_lang
+              FROM b),
+              k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text))
+         SELECT q.doc_id, n_words AS ws_tokens, quality
+         FROM q
+         WHERE quality >= 0.5 AND pred_lang = 'en'
+           AND q.doc_id IN (SELECT doc_id FROM k)""",
     "dedup_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               t AS (SELECT doc_id,
