@@ -291,6 +291,17 @@ object SparkEntry {
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // §2.8 extension — SLIDING event-time windows (1 h window, 30 min
+    // slide): every event lands in exactly two overlapping windows.
+    "q_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .groupBy(window(col("event_ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // S4/T1-T3 — the SAME window aggregation through Structured Streaming:
     // file source (micro-batch demand ≙ the reference's demand paging,
     // storage.scala:149,172-180), Trigger.AvailableNow for bounded runs
@@ -537,6 +548,14 @@ object SparkEntry {
       val p = t(s, dir, "part")
       val li = t(s, dir, "lineitem").where(col("l_quantity") >= 49.0)
       p.join(li, p("p_partkey") === li("l_partkey"), "left")
+        .select(col("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    }),
+
+    // §2.4 extension — full outer join (both unmatched sides survive).
+    "q_join_full" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 49.0)
+      p.join(li, p("p_partkey") === li("l_partkey"), "full_outer")
         .select(col("p_partkey"), col("l_orderkey"), col("l_quantity"))
     }),
 
@@ -1151,6 +1170,17 @@ object SparkEntry {
     "q_join_left" ->
       """SELECT p_partkey, l_orderkey, l_quantity FROM part
          LEFT JOIN lineitem ON p_partkey = l_partkey AND l_quantity >= 49.0""",
+    "q_join_full" ->
+      """SELECT p_partkey, l_orderkey, l_quantity FROM part
+         FULL JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49.0) l
+           ON p_partkey = l_partkey""",
+    "q_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off AS window_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events,
+              (VALUES (INTERVAL '0 minutes'), (INTERVAL '30 minutes')) o(off)
+         GROUP BY 1, 2""",
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
