@@ -280,16 +280,18 @@ object Similarity {
     *
     * Band geometry is a recall/selectivity dial: for real near-dup
     * thresholds (cos ≥ 0.9) a few wide bands (8 planes × 16 bands) prune
-    * aggressively; the defaults (4 × 32) are tuned for recall down to
-    * cos ≈ 0.45 — miss probability < 0.2% per true pair, deterministic
-    * under the fixed seed (and verified equal to the exact answer on the
-    * test corpus). */
+    * aggressively; the defaults (4 × 64) are tuned for recall down to
+    * cos ≈ 0.45 — miss probability ~1e-5 per true pair (at 32 bands a
+    * true 0.4626 pair WAS missed on the sf0.1 corpus), deterministic
+    * under the fixed seed and verified equal to the exact answer at
+    * sf0.001/0.01/0.1. Banding is a codegen'd primitive loop, so doubling
+    * bands costs ~13% more candidate volume, not 2×. */
   def cosinePairsLsh(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bands: Int = 32,
+      bands: Int = 64,
       planesPerBand: Int = 4,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
