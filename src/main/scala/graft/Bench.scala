@@ -10,13 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the session (codegen, filesystem, parquet footer caches)
-    // against the BENCHMARKED directory so the first measured query doesn't
-    // absorb one-time startup cost; a failed warm-up is loud, not silent.
-    try { SparkEntry.queries("j1_join_inner")(spark, sfDir).count(); () }
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
-    spark.catalog.clearCache()
+    // Warm-up: run EVERY query once at the smallest scale factor (falling
+    // back to the benchmarked dir) so whole-stage codegen compilation and
+    // JIT warm per QUERY SHAPE before anything is timed — measured runs
+    // then time the operators, not first-call compilation, which was the
+    // dominant source of ±20% run-to-run variance. Failures are loud.
+    val warmDir = {
+      val small = "/root/testdata/sf0.001"
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, warmDir).count(); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}") }
+      spark.catalog.clearCache()
+    }
     // Stable (sorted) execution order: Map iteration order shifts when
     // entries are added, which moves one-time JIT/codegen warmup between
     // queries and makes per-query times incomparable across rounds.
