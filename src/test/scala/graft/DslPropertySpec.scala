@@ -50,6 +50,24 @@ class DslPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: codegen'd word_shingles == composed form on arbitrary strings") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // strings over a small alphabet INCLUDING repeated spaces — the edge
+    // space of the split/concat_ws semantics the expression must replicate
+    val word = Gen.oneOf("a", "bb", "ccc", "", "d e")
+    val text = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("shingles", Prop.forAll(Gen.listOfN(8, text), Gen.chooseNum(2, 4)) { (texts, n) =>
+      val df = texts.toDF("text")
+      val diff = df.select(
+          graft.functions.TextOps.shingles(col("text"), n).as("fast"),
+          graft.functions.TextOps.shinglesComposed(col("text"), n).as("composed"))
+        .where(col("fast") =!= col("composed"))
+      diff.count() === 0L
+    })
+  }
+
   test("property: $in == disjunction of $eq") {
     check("in-or", Prop.forAll { (s: Set[Boolean]) =>
       val flags = s.map(b => if (b) "A" else "R").toSeq
