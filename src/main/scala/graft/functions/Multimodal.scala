@@ -73,6 +73,10 @@ object Multimodal {
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val sz = le32(bytes, off + 4)
+      // fail fast on corrupt sizes: a negative le32 (e.g. 0xFFFFFFF7)
+      // would otherwise make `off += 8 + sz + (sz & 1)` stand still or
+      // walk backwards — an executor hang instead of an error
+      require(sz >= 0, s"WAVE: corrupt chunk size $sz at offset $off")
       id match {
         case "fmt " =>
           ch = le16(bytes, off + 10)

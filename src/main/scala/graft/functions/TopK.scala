@@ -18,14 +18,42 @@ object TopK {
 
   final case class Scored(score: Double, id: Long)
 
+  /** Total order: score desc, id asc (NaN sorts last under the total
+    * double ordering — callers filter non-finite scores; see
+    * Similarity.rankTopK). */
+  private val ord: Ordering[Scored] =
+    Ordering.by[Scored, (Double, Long)](e => (-e.score, e.id))
+
   def topK(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] =
     new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-      private def trim(s: Seq[Scored]): Seq[Scored] =
-        s.sortBy(e => (-e.score, e.id)).take(k)
-      override def zero: Seq[Scored] = Nil
-      override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(a +: b)
-      override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
-      override def finish(b: Seq[Scored]): Seq[Scored] = trim(b)
+      // Buffer invariant: sorted by `ord`, at most k entries — maintained
+      // by every transition, so the per-input-row path is a bounded
+      // insertion (O(k) copy, O(1) reject when worse than the current
+      // k-th), not the former sort-the-whole-buffer-per-row O(k log k)
+      // allocation storm on large candidate streams.
+      override def zero: Seq[Scored] = Vector.empty
+      override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+        if (b.size >= k && ord.compare(b.last, a) <= 0) b
+        else {
+          val (better, worse) = b.span(e => ord.compare(e, a) <= 0)
+          val ins = (better :+ a) ++ worse
+          if (ins.size > k) ins.take(k) else ins
+        }
+      // linear merge of two sorted bounded buffers, stop at k
+      override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = {
+        val xs = x.toIndexedSeq; val ys = y.toIndexedSeq
+        val out = Vector.newBuilder[Scored]
+        var i = 0; var j = 0; var n = 0
+        while (n < k && (i < xs.length || j < ys.length)) {
+          if (j >= ys.length ||
+            (i < xs.length && ord.compare(xs(i), ys(j)) <= 0)) {
+            out += xs(i); i += 1
+          } else { out += ys(j); j += 1 }
+          n += 1
+        }
+        out.result()
+      }
+      override def finish(b: Seq[Scored]): Seq[Scored] = b
       override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
       override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
     }

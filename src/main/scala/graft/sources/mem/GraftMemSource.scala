@@ -124,8 +124,11 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
     // readPreference): maxTimeMS bounds reader wall time store-side;
     // readPreference is recorded (an embedded store has one replica — a
     // real connector would route by it, as Mongo drivers do).
+    // maxTimeMS=0 means "no time limit", matching MongoDB cursor.maxTimeMS
+    // semantics (the reference forwards the raw option to the driver, so 0
+    // disables the deadline there too)
     val maxTimeMs =
-      Option(options.get("maxTimeMS")).map(_.toLong).filter(_ >= 0)
+      Option(options.get("maxTimeMS")).map(_.toLong).filter(_ > 0)
     val readPreference = options.getOrDefault("readPreference", "primary")
     new MemScanBuilder(collection, schema, maxTimeMs, readPreference)
   }
