@@ -34,6 +34,15 @@ object Similarity {
   /** cos(a,b) = dot / (|a| * |b|) — same expression shape as the oracle. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Null-safe cosine from precomputed norms: `try_divide` yields NULL for
+    * a zero-norm operand (where plain `/` under ANSI mode — Spark 4's
+    * default — throws DIVIDE_BY_ZERO, and non-ANSI yields NaN). NULL then
+    * falls out of every downstream ranking filter / threshold predicate,
+    * which is the semantics every ANN library ships for degenerate
+    * vectors. */
+  private def cosineFromNorms(d: Column, na: Column, nb: Column): Column =
+    try_divide(d, na * nb)
+
   /** Rank scored (query_id, neighbor_id, score) candidates to top-k per
     * query with the k-bounded [[TopK]] Aggregator: partial aggregation
     * ships O(k) per partition per query (map-side combine), vs. the
@@ -41,7 +50,10 @@ object Similarity {
     * EVERY candidate score of a query onto one reducer — with a 100 TB
     * corpus and 10 queries that was 10 tasks doing all the work.
     * Ordering (score desc, neighbor_id asc) matches the window form, so
-    * results — including the rank column — are identical.
+    * for FINITE scores results — including the rank column — are
+    * identical. (With NaN scores present the two forms diverge: the
+    * window sort ranks NaN first under desc ordering, while this path
+    * drops them — see below.)
     *
     * Non-finite scores (NaN from zero-norm vectors: 0/0 in cosine) are
     * dropped BEFORE ranking: Spark's window sort treats NaN as greater
@@ -73,7 +85,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("score", cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     rankTopK(scored, k)
   }
 
@@ -113,7 +125,7 @@ object Similarity {
       lshBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("score", cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     rankTopK(scored, k)
   }
 
@@ -196,22 +208,18 @@ object Similarity {
     * quantizer needs a fixed sketch of the distribution (FAISS-style
     * budget of ~10⁵ vectors) regardless of corpus size, so driver memory
     * at build time is O(maxTrainVectors·dim) — independent of corpus
-    * rows. `sample(fraction)` first keeps the draw distribution-wide;
-    * `limit` then hard-caps what reaches the driver (CollectLimit stops
-    * pulling partitions once the cap is hit). */
+    * rows; the draw is uniform across partitions (see [[trainingSample]]). */
   def ivfBuild(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
       seed: Long = 42L,
-      trainSampleFraction: Double = 0.25,
       maxTrainVectors: Int = 200000): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val samples = trainingSample(corpus, vecCol, trainSampleFraction,
-      maxTrainVectors, seed)
+    val samples = trainingSample(corpus, vecCol, maxTrainVectors, seed)
     val centers = lloydKMeans(samples, nlist, iters = 5, seed = seed)
 
     // centroid table: nlist rows — trivially broadcast
@@ -230,19 +238,24 @@ object Similarity {
     IvfIndex(assigned, centroids)
   }
 
-  /** Quantizer training set: seeded sample, hard-capped at `maxVectors`
-    * rows before anything is collected. Package-visible so SimilaritySpec
-    * can assert the bound holds regardless of corpus size. */
-  private[functions] def trainingSample(
+  /** Quantizer training set: a uniform seeded draw of at most `maxVectors`
+    * rows across ALL partitions (`RDD.takeSample` — distributed sampling
+    * with an absolute bound, not `sample(fraction).limit(n)`, whose
+    * CollectLimit would keep a partition-PREFIX when the cap binds and
+    * bias the quantizer on data clustered across partitions). Driver
+    * memory is O(maxVectors·dim) regardless of corpus rows. Build-time
+    * only — the extra count pass takeSample performs is amortized like
+    * any index build. Package-visible so SimilaritySpec can assert the
+    * bound holds regardless of corpus size. */
+  private[graft] def trainingSample(
       corpus: DataFrame,
       vecCol: String,
-      fraction: Double,
       maxVectors: Int,
       seed: Long): Array[Array[Double]] =
-    corpus.sample(withReplacement = false, fraction, seed)
-      .select(col(vecCol).cast("array<double>"))
-      .limit(maxVectors)
-      .collect().map(_.getSeq[Double](0).toArray)
+    corpus.select(col(vecCol).cast("array<double>"))
+      .rdd
+      .takeSample(withReplacement = false, maxVectors, seed)
+      .map(_.getSeq[Double](0).toArray)
 
   /** Build-once lookup: the Spark analogue of "CREATE INDEX IF NOT EXISTS". */
   def ivfBuildOrGet(
@@ -277,7 +290,7 @@ object Similarity {
 
     val scored = probes.join(index.assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("score", cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     rankTopK(scored, k)
   }
 
@@ -330,9 +343,17 @@ object Similarity {
       planesPerBand: Int = 0,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val (autoBands, autoPlanes) = lshBandGeometry(threshold)
-    val nBands = if (bands > 0) bands else autoBands
-    val nPlanes = if (planesPerBand > 0) planesPerBand else autoPlanes
+    // Auto geometry only when the caller didn't pin it: lshBandGeometry
+    // requires threshold in (0,1), but explicit (bands, planesPerBand)
+    // must keep working for any threshold (e.g. 1.0 = exact-duplicate
+    // verify), so it must not be evaluated eagerly.
+    val (nBands, nPlanes) =
+      if (bands > 0 && planesPerBand > 0) (bands, planesPerBand)
+      else {
+        val (autoBands, autoPlanes) = lshBandGeometry(threshold)
+        (if (bands > 0) bands else autoBands,
+          if (planesPerBand > 0) planesPerBand else autoPlanes)
+      }
     // base feeds banding + both sides of the verify join — persist once
     // (same discipline as minHashLshPairs; Bench/Verify clear per query).
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -356,7 +377,7 @@ object Similarity {
     candidates
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -393,7 +414,7 @@ object Similarity {
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       l2norm(col(vecCol)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -24,7 +24,11 @@ object TopK {
   private val ord: Ordering[Scored] =
     Ordering.by[Scored, (Double, Long)](e => (-e.score, e.id))
 
-  def topK(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] =
+  def topK(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] = {
+    // k <= 0 would make `b.size >= k` hold for an EMPTY buffer and the
+    // bounded-insertion fast path dereference b.last — fail at
+    // construction instead of with NoSuchElementException per input row.
+    require(k > 0, s"topK: k must be positive, got $k")
     new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
       // Buffer invariant: sorted by `ord`, at most k entries — maintained
       // by every transition, so the per-input-row path is a bounded
@@ -57,4 +61,5 @@ object TopK {
       override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
       override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
     }
+  }
 }

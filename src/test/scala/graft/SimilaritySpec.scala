@@ -90,6 +90,39 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("zero-norm vectors (NaN cosine) are excluded from top-k, not ranked first") {
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val zeroRow = Seq((-1L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val withZero = emb.select(col("vec_id"), col("embedding")).unionByName(zeroRow)
+    val res = Similarity.bruteForceTopK(withZero, withZero.where(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5).cache()
+    // the zero vector can be neither a neighbor (NaN score dropped) ...
+    assert(res.where(col("neighbor_id") === -1L).count() === 0)
+    // ... nor produce any ranked rows as a query (all its scores are NaN)
+    assert(res.where(col("query_id") === -1L).count() === 0)
+    // finite-score queries still get full k lists
+    assert(res.where(col("query_id") >= 0).count() === 2L * 5)
+    assert(res.where(isnan(col("score"))).count() === 0)
+  }
+
+  test("explicit band geometry bypasses the threshold-range check (θ=1.0 exact)") {
+    // regression: auto geometry used to be computed eagerly, so explicit
+    // (bands, planes) with threshold outside (0,1) threw IllegalArgumentException
+    val pairs = Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+      threshold = 1.0, bands = 8, planesPerBand = 4)
+    assert(pairs.where(col("cos") < 1.0).count() === 0)
+  }
+
+  test("IVF training sample is bounded by absolute count, not corpus fraction") {
+    val n = 37
+    val sample = Similarity.trainingSample(emb, "embedding", maxVectors = n, seed = 7L)
+    assert(sample.length === n) // corpus >> n: the cap binds exactly
+    val all = Similarity.trainingSample(emb, "embedding",
+      maxVectors = Int.MaxValue / 2, seed = 7L)
+    assert(all.length === emb.count()) // corpus < cap: everything, no dup
+  }
+
   test("dot_product registered for SQL text queries") {
     graft.expressions.VectorFunctions.registerSql(spark)
     emb.createOrReplaceTempView("emb_v")

@@ -42,4 +42,11 @@ class TopKSpec extends AnyFunSuite {
       .head()._2
     assert(tiny.map(_.id) === Seq(2L, 1L)) // desc by score
   }
+
+  test("non-positive k is rejected at construction, not per-row") {
+    // regression: k <= 0 used to surface as NoSuchElementException from
+    // b.last inside reduce on the first input row
+    intercept[IllegalArgumentException](TopK.topK(0))
+    intercept[IllegalArgumentException](TopK.topK(-3))
+  }
 }
