@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,10 +40,44 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // Regression watch (round-2 verdict #8): compare to the previous run's
+    // full-precision per-query file and FLAG anything >1.5× slower. Written
+    // to files + stderr, NOT the stdout JSON line — the driver keeps only
+    // the last ~2000 chars of output, so the contract line must stay small.
+    val prevFile = new java.io.File("BENCH_LOCAL.json")
+    val prev: Map[String, Double] =
+      if (prevFile.isFile) {
+        val txt = scala.io.Source.fromFile(prevFile).mkString
+        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val full = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(prevFile.toPath,
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (prev.nonEmpty) {
+      val ratios = results.flatMap { case (k, v) =>
+        prev.get(k).filter(_ > 0).map(p => (k, v, p, v / p)) }
+      val deltas = ratios.map { case (k, _, _, r) => f""""$k":$r%.2f""" }
+        .mkString("{", ",", "}")
+      val regressions = ratios.filter { case (k, v, _, r) => r > 1.5 && v > 0.5 }
+        .sortBy(-_._4)
+      val regJson = regressions.map { case (k, v, p, r) =>
+        f"""{"query":"$k","sec":$v%.3f,"prev_sec":$p%.3f,"ratio":$r%.2f}""" }
+        .mkString("[", ",", "]")
+      java.nio.file.Files.write(new java.io.File("BENCH_DELTAS.json").toPath,
+        s"""{"prev_ratio":$deltas,"regressions":$regJson}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      regressions.foreach { case (k, v, p, r) =>
+        System.err.println(f"[bench] REGRESSION $k: $v%.3fs vs $p%.3fs (${r}%.2fx)") }
+    }
+
+    // ONE compact JSON line (3-decimal times): ~70 queries must fit —
+    // together with sbt's trailing "[success]" line — inside the driver's
+    // 2000-char tail capture or it records "parsed": null for the round.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

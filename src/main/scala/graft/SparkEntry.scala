@@ -684,8 +684,12 @@ object SparkEntry {
     // The flagship composition: a full training-data cleaning pass —
     // quality gate → language gate → exact dedup (keep min id) → token
     // accounting — each stage an already-oracle-proven operator, composed
-    // through the `|>` pipe. One scan + one dedup shuffle; the filters and
-    // the fingerprint both ride the same corpus pass.
+    // through the `|>` pipe. All per-row text signals come from ONE fused
+    // byte-level traversal (TextSignals struct) materialized up front —
+    // the previous composed form re-ran split + five regexp_extract_all
+    // passes in the quality filter, the language filter, AND the final
+    // projection, and was the slowest bench entry. Values are bit-identical
+    // (TextSignalsSpec), so the DuckDB regex oracle is unchanged.
     "pipe_clean_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val keep = docs
@@ -693,12 +697,13 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       docs |>
-        (d => d.where(TextAnalysis.qualityScore(col("text")) >= 0.5)) |>
-        (d => d.where(TextAnalysis.langId(col("text")) === "en")) |>
+        (d => d.select(col("doc_id"), TextAnalysis.signals(col("text")).as("sig"))) |>
+        (d => d.where(TextAnalysis.qualityScoreFromSignals(col("sig")) >= 0.5)) |>
+        (d => d.where(TextAnalysis.langIdFromSignals(col("sig")) === "en")) |>
         (d => d.join(keep, Seq("doc_id"), "left_semi")) |>
         (d => d.select(col("doc_id"),
-          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("quality")))
+          col("sig.n_words").as("ws_tokens"),
+          TextAnalysis.qualityScoreFromSignals(col("sig")).as("quality")))
     }),
 
     // Exact dedup: hash-groupBy on a content fingerprint.
@@ -830,16 +835,31 @@ object SparkEntry {
 
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
-    // hash aggregation. Sums rounded so the DuckDB compare is FP-stable.
+    // hash aggregation. Money math accumulates EXACT INTEGER CENTS in
+    // long (pure codegen'd long arithmetic — no per-row Decimal objects,
+    // which made the decimal(18,2)-sum form 3× slower) and casts to
+    // double once per GROUP at the end. Bit-identical to the oracle's
+    // decimal(18,2) sums: every per-row value is a whole number of cents
+    // (floor(x*100+0.5) recovers it exactly from the stored double — all
+    // inputs are non-negative, so this is round-half-up), the long sums
+    // stay far under 2^53, and dividing an exactly-represented integer by
+    // 100.0/10000.0 is the same correctly-rounded double as casting the
+    // exact decimal sum.
     "q1_agg" -> ((s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        floor(c * 100.0 + 0.5).cast("long")
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("ep_c"),
+          cents(col("l_discount")).as("disc_c"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(money(col("l_extendedprice")) * (money(lit(1.0)) - money(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("qty_c")).cast("double") / 100.0).as("sum_qty"),
+          (sum(col("ep_c")).cast("double") / 100.0).as("sum_base_price"),
+          (sum(col("ep_c") * (lit(100L) - col("disc_c"))).cast("double") / 10000.0)
+            .as("sum_disc_price"),
+          (sum(col("qty_c")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     })
   )

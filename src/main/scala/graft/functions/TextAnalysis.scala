@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Stopword regex per language — the classic cheap n-gram/function-word
-    * heuristic. Kept RE2/Java-compatible (plain alternation + \b). */
-  val langStopwords: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|a|of|and|to|in|is|it|that|for)\\b",
-    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\\b",
-    "fr" -> "\\b(le|la|les|et|est|un|une|de|que|pour)\\b",
-    "es" -> "\\b(el|la|los|las|es|un|una|que|de|por)\\b")
+    * heuristic. Kept RE2/Java-compatible (plain alternation + \b). Built
+    * from the SAME word lists the fused [[signals]] scan matches against
+    * ([[graft.expressions.TextSignalsUtil.langWords]]), so the regex
+    * oracle path and the single-traversal path cannot drift. */
+  val langStopwords: Seq[(String, String)] =
+    graft.expressions.TextSignalsUtil.langWords.map { case (lang, words) =>
+      lang -> words.mkString("\\b(", "|", ")\\b")
+    }
 
   /** Per-language stopword hit count. */
   def langHits(text: Column, lang: String): Column = {
@@ -58,7 +60,10 @@ object TextAnalysis {
       "n_words" -> nWords,
       "mean_word_len" -> (nChars - (nWords - lit(1))).cast("double") / nWords.cast("double"),
       "stopword_ratio" -> nStop.cast("double") / nWords.cast("double"),
-      "alpha_ratio" -> nAlpha.cast("double") / nChars.cast("double"))
+      // try_divide: a ZERO-LENGTH document must yield NULL (→ filtered by
+      // any quality gate), not an ANSI DIVIDE_BY_ZERO error. n_words is
+      // never 0 (split keeps the empty token), so only this ratio needs it.
+      "alpha_ratio" -> try_divide(nAlpha.cast("double"), nChars.cast("double")))
   }
 
   /** Composite quality score: weighted sum of clamped signals. */
@@ -68,6 +73,42 @@ object TextAnalysis {
     val stopScore = least(sig("stopword_ratio") * lit(5.0), lit(1.0))
     val alphaScore = sig("alpha_ratio")
     lenScore * lit(0.4) + stopScore * lit(0.3) + alphaScore * lit(0.3)
+  }
+
+  // ---- fused single-traversal variants ------------------------------------
+  // One byte-level scan ([[graft.expressions.TextSignals]]) replaces the
+  // split + five regexp_extract_all passes of the composed forms above.
+  // The derived Column arithmetic below REPLICATES the composed forms'
+  // expression shapes operation-for-operation, so scores and language ids
+  // are bit-identical (TextSignalsSpec proves it differentially over the
+  // documents corpus).
+
+  /** struct(n_chars, n_words, n_alpha, hits_en, hits_de, hits_fr, hits_es)
+    * computed in one traversal. */
+  def signals(text: Column): Column =
+    graft.expressions.TextSignalsFunctions.text_signals(text)
+
+  /** [[qualityScore]] from a materialized [[signals]] struct — same IEEE
+    * operation order as the composed form. */
+  def qualityScoreFromSignals(sig: Column): Column = {
+    val nWords = sig.getField("n_words")
+    val lenScore = least(nWords.cast("double") / lit(100.0), lit(1.0))
+    val stopScore = least(
+      sig.getField("hits_en").cast("double") / nWords.cast("double") * lit(5.0),
+      lit(1.0))
+    val alphaScore = try_divide(
+      sig.getField("n_alpha").cast("double"), sig.getField("n_chars").cast("double"))
+    lenScore * lit(0.4) + stopScore * lit(0.3) + alphaScore * lit(0.3)
+  }
+
+  /** [[langId]] from a materialized [[signals]] struct — same argmax /
+    * tie-break / "und" fallback as the composed form. */
+  def langIdFromSignals(sig: Column): Column = {
+    val hits = langStopwords.map { case (l, _) => l -> sig.getField(s"hits_$l") }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h > 0 && h === best, lit(l)).otherwise(acc)
+    }
   }
 
   /** Winnowing-style rolling fingerprints: hash token shingles, take the

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Differential proof that the fused single-traversal [[TextSignals]]
+  * expression is bit-identical to the regex-composed definitions it
+  * replaces on the cleaning hot path. */
+class TextSignalsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, table}
+
+  // corpus + hand-picked adversarial strings: empty, double/leading/
+  // trailing spaces (split keeps empty tokens), stopwords embedded in
+  // longer words (no \b match), digits/underscores extending runs,
+  // non-ASCII breaking runs exactly like ASCII \w does, uppercase,
+  // words shared across languages, runs longer than any stopword
+  private lazy val corpus = {
+    import spark.implicits._
+    val tricky = Seq(
+      "", " ", "  ", "the", " the ", "the  the", "theater the_cat the1 the",
+      "a-a a_a a", "la de que un", "café the naïve la", "THE The the",
+      "und ist nicht der das", "le la les et est très",
+      "el la los las es sí", "of-and.to,in;is it? that! for",
+      "x" * 300 + " the", "1 2 3 _ __ a1 1a", "ab\tcd the\nand")
+      .toDF("text")
+    table("documents").select(col("text")).unionByName(tricky)
+  }
+
+  test("fused counts equal the regex-composed counts over corpus + edge cases") {
+    val sig = TextAnalysis.signals(col("text")).as("sig")
+    val diff = corpus.select(col("text"), sig)
+      .where(
+        col("sig.n_chars") =!= length(col("text")) ||
+        col("sig.n_words") =!= TextAnalysis.wsTokenCount(col("text")) ||
+        col("sig.n_alpha") =!=
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))) ||
+        TextAnalysis.langStopwords.map { case (l, _) =>
+          col(s"sig.hits_$l") =!= TextAnalysis.langHits(col("text"), l)
+        }.reduce(_ || _))
+    assert(diff.count() === 0)
+  }
+
+  test("fused quality score and language id are bit-identical to composed") {
+    val sig = TextAnalysis.signals(col("text")).as("sig")
+    val diff = corpus.select(col("text"), sig)
+      .where(
+        // null-safe equality: both are NULL for zero-length inputs
+        // (try_divide in alpha_ratio)
+        !(TextAnalysis.qualityScoreFromSignals(col("sig")) <=>
+          TextAnalysis.qualityScore(col("text"))) ||
+        !(TextAnalysis.langIdFromSignals(col("sig")) <=>
+          TextAnalysis.langId(col("text"))))
+    assert(diff.count() === 0)
+  }
+
+  test("signals survive whole-stage codegen and interpreted eval identically") {
+    // collect() exercises codegen; a literal eval outside codegen hits
+    // nullSafeEval — both funnel into the same traversal
+    val row = spark.range(1).select(
+      TextAnalysis.signals(lit("the cat sat on the mat")).as("sig"))
+      .select("sig.*").head()
+    assert(row.getInt(0) === 22) // chars
+    assert(row.getInt(1) === 6)  // ws tokens
+    assert(row.getInt(2) === 17) // letters
+    assert(row.getInt(3) === 2)  // "the" twice; cat/sat/on/mat aren't stopwords
+  }
+}
