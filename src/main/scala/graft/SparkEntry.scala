@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dsl._
 import graft.dsl.Dsl._
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
 import graft.operators.{EventLog, Joins}
 import graft.sources.Tables
 
@@ -384,6 +384,81 @@ object SparkEntry {
       val dedup = src.select(col("user_id"), col("event_type")).dropDuplicates()
       val sink = "s7_stream_dedup_sink"
       val q = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+    // §2.8 — SLIDING windows through Structured Streaming: the streaming
+    // twin of q_sliding_window (same 1 h / 30 min overlap, same DuckDB
+    // oracle). Same bounded-run construction as s4: AvailableNow +
+    // complete mode, so watermark state-purge cannot drop windows.
+    "s5_stream_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      val sink = "s5_stream_sliding_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+    // §2.8 — SESSION windows through Structured Streaming: the streaming
+    // twin of q_session_window (gap-based stateful windowing — the shape
+    // the reference's event-time model never got). Session-window state
+    // merges adjacent sessions per key across micro-batches; AvailableNow
+    // + complete mode makes the bounded run equal the batch answer (same
+    // gaps-and-islands DuckDB oracle).
+    "s5_stream_session" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(session_window(col("event_ts"), "2 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))
+      val sink = "s5_stream_session_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+    // S6-static — STREAM-STATIC join: the most common production streaming
+    // join shape (stream fact × broadcast dimension). Stateless — no
+    // watermark, no state store: each micro-batch hash-joins against the
+    // broadcast dimension, so a 1000-executor stream pays no shuffle on
+    // the fact side. Oracle = the equivalent batch join.
+    "s8_stream_static_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = broadcast(t(ss, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = src.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      val sink = "s8_stream_static_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       ss.table(sink)
@@ -801,6 +876,24 @@ object SparkEntry {
         TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
     }),
 
+    // Text normalization pipeline: boilerplate-line strip → Unicode NFC →
+    // case fold → whitespace collapse. The documents corpus is already
+    // clean lowercase ASCII, so the gate SYNTHESIZES a messy form
+    // deterministically inside the query — uppercase prefix line, a
+    // copyright footer, a decomposed-accent + tab + double-space tail —
+    // with plain SQL both engines run, then normalizes it; every stage
+    // must round-trip bit-identically through DuckDB's nfc_normalize /
+    // lower / regexp_replace to pass.
+    "text_normalize" -> ((s, dir) => {
+      val messy = concat(
+        upper(substring(col("text"), 1, 40)), lit("\n"),
+        lit("Copyright 2024 ALL RIGHTS RESERVED"), lit("\n"),
+        col("text"), lit("\n"),
+        lit("  Cafe\u0301 \t du  Monde ")) // decomposed e + U+0301: NFC must compose
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextNormalize.normalize(messy).as("clean"))
+    }),
+
     // Winnowing fingerprints (xxhash64-based: rows-only + spec).
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1104,6 +1197,22 @@ object SparkEntry {
                 least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
                 CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality
          FROM b""",
+    "text_normalize" ->
+      """WITH messy AS (
+           SELECT doc_id,
+                  upper(substr(text, 1, 40)) || chr(10) ||
+                  'Copyright 2024 ALL RIGHTS RESERVED' || chr(10) ||
+                  text || chr(10) ||
+                  '  Cafe' || chr(769) || ' ' || chr(9) || ' du  Monde ' AS raw
+           FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(
+                  list_aggregate(
+                    list_filter(string_split(raw, chr(10)),
+                      l -> NOT regexp_matches(l, '(?i)^\s*(copyright\b|all rights reserved\b|terms of (service|use)\b|privacy policy\b|click here\b)')),
+                    'string_agg', chr(10))
+                )), '\s+', ' ', 'g')) AS clean
+         FROM messy""",
     "text_tokens" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS ws_tokens,
@@ -1134,6 +1243,29 @@ object SparkEntry {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "s5_stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off AS window_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events,
+              (VALUES (INTERVAL '0 minutes'), (INTERVAL '30 minutes')) o(off)
+         GROUP BY 1, 2""",
+    "s5_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              m AS (SELECT user_id, us,
+                           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 7200000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e),
+              s AS (SELECT user_id, us,
+                           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM m)
+         SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
+    "s8_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
     "s6_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
          FROM events c JOIN events p

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text normalization for training-data pipelines: Unicode NFC, case
+  * folding, whitespace collapse, boilerplate-line stripping. Every real
+  * corpus normalizes BEFORE dedup — otherwise trivially-different bytes
+  * ("Café" composed vs decomposed, double spaces, footer lines) defeat
+  * exact and near-dup matching alike.
+  *
+  * All stages are codegen-friendly Column expressions (the NFC stage is
+  * the custom [[graft.expressions.NfcNormalize]] with an ASCII fast path)
+  * and each has an exact DuckDB equivalent, so the composed pipeline is
+  * oracle-gated end to end:
+  *  - nfc            ↔ `nfc_normalize(text)`
+  *  - foldCase       ↔ `lower(text)`
+  *  - collapseWhitespace ↔ `trim(regexp_replace(text, '\s+', ' ', 'g'))`
+  *    (pattern sticks to ASCII space/tab/newline — Java `\s` and RE2 `\s`
+  *    agree on those; `\x0B` is Java-only, so inputs never contain it)
+  *  - stripBoilerplate   ↔ `list_filter(string_split(...), …)` + rejoin
+  */
+object TextNormalize {
+
+  /** Unicode canonical composition (NFC). */
+  def nfc(text: Column): Column =
+    graft.expressions.NfcFunctions.nfc_normalize(text)
+
+  /** Case folding — simple lowercase, the cross-engine-stable mapping. */
+  def foldCase(text: Column): Column = lower(text)
+
+  /** Collapse runs of whitespace to single spaces and trim the ends. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Default boilerplate line pattern: copyright/footer/navigation junk.
+    * Anchored at line start, case-insensitive; both Java and RE2 regex. */
+  val defaultBoilerplate: String =
+    "(?i)^\\s*(copyright\\b|all rights reserved\\b|terms of (service|use)\\b|privacy policy\\b|click here\\b)"
+
+  /** Drop whole lines matching a boilerplate pattern, keep the rest in
+    * order. Line = '\n'-separated; the match is an unanchored regex find
+    * per line (same semantics as DuckDB `regexp_matches`). */
+  def stripBoilerplate(text: Column, pattern: String = defaultBoilerplate): Column =
+    array_join(filter(split(text, "\n"), l => !l.rlike(pattern)), "\n")
+
+  /** The full normalization pipeline in canonical order: structural strip
+    * first (needs the line layout), then NFC, then case fold, then
+    * whitespace collapse (which destroys line structure last). */
+  def normalize(text: Column, boilerplate: String = defaultBoilerplate): Column =
+    collapseWhitespace(foldCase(nfc(stripBoilerplate(text, boilerplate))))
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextNormalize
+
+class TextNormalizeSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def run1(c: org.apache.spark.sql.Column): String =
+    spark.range(1).select(c.as("v")).head().getString(0)
+
+  test("nfc composes decomposed sequences and is identity on ASCII") {
+    assert(run1(TextNormalize.nfc(lit("Café"))) === "Café")
+    assert(run1(TextNormalize.nfc(lit("plain ascii 123!"))) === "plain ascii 123!")
+    // already-composed stays composed; mixed content normalizes only what needs it
+    assert(run1(TextNormalize.nfc(lit("Café ö"))) === "Café ö")
+  }
+
+  test("whitespace collapse handles tabs, newlines, runs, and ends") {
+    assert(run1(TextNormalize.collapseWhitespace(lit(" a\t\tb \n c  d "))) === "a b c d")
+    assert(run1(TextNormalize.collapseWhitespace(lit(""))) === "")
+    assert(run1(TextNormalize.collapseWhitespace(lit(" \t\n "))) === "")
+  }
+
+  test("boilerplate strip drops matching lines only, preserving order") {
+    val in = "keep one\nCopyright 2020 Acme\nkeep two\n  ALL RIGHTS RESERVED\nTerms of Service apply\nkeep three"
+    assert(run1(TextNormalize.stripBoilerplate(lit(in))) ===
+      "keep one\nkeep two\nkeep three")
+    // non-line-start mentions survive (anchored pattern)
+    assert(run1(TextNormalize.stripBoilerplate(lit("the copyright notice"))) ===
+      "the copyright notice")
+  }
+
+  test("full pipeline: strip -> nfc -> fold -> collapse") {
+    val in = "HELLO  World\nCopyright 2024\n\tCafé   time "
+    assert(run1(TextNormalize.normalize(lit(in))) === "hello world caf\u00e9 time")
+  }
+}
