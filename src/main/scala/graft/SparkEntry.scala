@@ -817,6 +817,16 @@ object SparkEntry {
       Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     }),
 
+    // The same operator at a REALISTIC near-dup threshold (θ=0.9): the
+    // threshold-aware geometry picks ~8 narrow bands here — 4-8x fewer
+    // hyperplane projections and far fewer exploded candidate rows than
+    // the worst-case 64x4 the θ=0.45 audit gate needs — proving callers
+    // no longer pay worst-case geometry unconditionally. Oracle is the
+    // exact all-pairs SQL at the same threshold.
+    "dedup_embedding_cosine_t90" -> ((s, dir) => {
+      Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.9)
+    }),
+
     // Brute-force cosine top-k for a fixed query set (broadcast queries,
     // one corpus pass).
     "sim_brute_topk" -> ((s, dir) => {
@@ -1153,6 +1163,14 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+    "dedup_embedding_cosine_t90" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""",
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q AS (SELECT * FROM e WHERE vec_id < 10),

@@ -57,6 +57,11 @@ object MemStore {
   sealed trait FailureMode
   case object CursorError extends FailureMode
   final case class FetchError(afterRows: Int) extends FailureMode
+  /** Per-fetch latency injection — lets O4 deadline tests exceed a small
+    * positive maxTimeMS DETERMINISTICALLY (maxTimeMS=0 now means
+    * "unbounded", MongoDB semantics, so expiry can no longer be forced
+    * with a zero deadline). */
+  final case class SlowFetch(delayMs: Long) extends FailureMode
   val failureModes = TrieMap[String, FailureMode]()
 
   def register(name: String, df: DataFrame): Unit =
@@ -225,6 +230,10 @@ class MemReaderFactory(
         .map(r => Row.fromSeq(idx.toIndexedSeq.map(r.get)))          // store-side projection
       private var current: InternalRow = _
       override def next(): Boolean = {
+        mode match {
+          case Some(MemStore.SlowFetch(ms)) => Thread.sleep(ms)
+          case _ => ()
+        }
         deadlineNanos.foreach { d =>
           if (System.nanoTime() > d)
             throw new java.io.IOException(

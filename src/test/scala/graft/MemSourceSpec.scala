@@ -111,13 +111,23 @@ class MemSourceSpec extends AnyFunSuite {
       .option("maxTimeMS", "60000").load().count() === 100)
     assert(MemStore.lastOptions.getOrElse("programmers", Map.empty)
       .get("maxTimeMS").contains("60000"))
-    // zero deadline: already expired at the first fetch → query error
-    val e = intercept[org.apache.spark.SparkException] {
-      spark.read.format(fmt).option("collection", "programmers")
-        .option("maxTimeMS", "0").load().collect()
-    }
-    assert(e.getMessage.contains("maxTimeMS") ||
-      Option(e.getCause).exists(_.getMessage.contains("maxTimeMS")))
+    // maxTimeMS=0 means UNBOUNDED (MongoDB cursor semantics) — must
+    // complete, and the option still reaches the store
+    MemStore.lastOptions.remove("programmers")
+    assert(spark.read.format(fmt).option("collection", "programmers")
+      .option("maxTimeMS", "0").load().count() === 100)
+    // tiny positive deadline + injected per-fetch latency: the first
+    // fetch alone exceeds it deterministically → query error, not a
+    // truncated result
+    MemStore.failureModes("programmers") = MemStore.SlowFetch(50)
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format(fmt).option("collection", "programmers")
+          .option("maxTimeMS", "5").load().collect()
+      }
+      assert(e.getMessage.contains("maxTimeMS") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxTimeMS")))
+    } finally MemStore.failureModes.remove("programmers")
   }
 
   test("T7 readPreference: recorded store-side like a driver would route it") {

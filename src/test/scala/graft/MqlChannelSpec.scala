@@ -53,14 +53,18 @@ class MqlChannelSpec extends AnyFunSuite {
     val opts = MemStore.lastOptions.getOrElse("channel_langs", Map.empty)
     assert(opts.get("maxTimeMS").contains("60000"))
     assert(opts.get("readPreference").contains("secondaryPreferred"))
-    // expired deadline propagates as query failure through the channel
-    assertThrows[org.apache.spark.SparkException] {
+    // expired deadline propagates as query failure through the channel:
+    // tiny positive deadline + injected per-fetch latency (maxTimeMS=0
+    // means unbounded under MongoDB cursor semantics, so it cannot force
+    // expiry any more)
+    MemStore.failureModes("channel_langs") = MemStore.SlowFetch(50)
+    try assertThrows[org.apache.spark.SparkException] {
       Channel.create(spark, sfDir) { b =>
         b.q("""{ "index": { "$gte": 0 } }""")
         b.memCollection("channel_langs")
-        b.maxTimeMS(0L)
+        b.maxTimeMS(5L)
       }.collect()
-    }
+    } finally MemStore.failureModes.remove("channel_langs")
   }
 
   test("MQL dotted paths address nested struct fields (reference dotted-field grammar)") {

@@ -78,6 +78,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("cheap threshold-aware geometry still has exhaustive recall on planted near-dups") {
+    import spark.implicits._
+    // the corpus has no pairs above cos 0.6, so plant some: copies of the
+    // first 20 vectors with a small deterministic perturbation — cosines
+    // land in (0.9, 1), exactly the regime the ~15-band geometry serves
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planted = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          // embeddings are unit-norm: a ~0.32-norm delta (0.1 on 10 of 64
+          // dims) puts cos(v, v+d) ≈ 1/sqrt(1+|d|²) ≈ 0.95 — inside (0.9, 1)
+          (x, i) => (x + when(i % 7 === 0, lit(0.1f)).otherwise(lit(0.0f)))
+            .cast("float")).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val exact = Similarity.cosinePairsExact(corpus, "vec_id", "embedding", 0.9)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val lsh = Similarity.cosinePairsLsh(corpus, "vec_id", "embedding", 0.9)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(exact.nonEmpty, "perturbation too large: no planted pair above 0.9")
+    assert(lsh === exact)
+    // and the auto geometry really is the cheap one here
+    val (bands, planes) = Similarity.lshBandGeometry(0.9)
+    assert(bands < 32 && planes === 4)
+  }
+
   test("IVF build/probe split: probing a prebuilt index matches one-shot") {
     val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
     val probed = Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
