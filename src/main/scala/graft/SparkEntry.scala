@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dsl._
 import graft.dsl.Dsl._
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
+import graft.functions.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
 import graft.operators.{EventLog, Joins}
 import graft.sources.Tables
 
@@ -904,6 +904,24 @@ object SparkEntry {
         .select(col("doc_id"), TextNormalize.normalize(messy).as("clean"))
     }),
 
+    // Deterministic content-hash downsampling: keep ~10% of documents by
+    // md5-bucket of the key — stateless per-row predicate, no shuffle, no
+    // RNG state; the same document keeps the same fate however the corpus
+    // is re-split. The oracle computes the identical md5-derived bucket.
+    "corpus_sample_hash" -> ((s, dir) => {
+      Corpus.sampleHashMod(t(s, dir, "documents"), "doc_id", 1, 10)
+        .select(col("doc_id"))
+    }),
+
+    // Sharded greedy token-budget packing: documents hash-shard 8 ways,
+    // then one windowed pass per shard assigns fixed-budget bin ids —
+    // parallelism = shard count, never a global single-reducer window.
+    "corpus_pack_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.signals(col("text")).getField("n_words").as("toks"))
+      Corpus.packTokenBudget(docs, "doc_id", "toks", budget = 512L, nShards = 8)
+    }),
+
     // Winnowing fingerprints (xxhash64-based: rows-only + spec).
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1231,6 +1249,23 @@ object SparkEntry {
                     'string_agg', chr(10))
                 )), '\s+', ' ', 'g')) AS clean
          FROM messy""",
+    "corpus_sample_hash" ->
+      """SELECT doc_id FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 1""",
+    "corpus_pack_budget" ->
+      """WITH d AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS INT) AS shard
+           FROM documents),
+           r AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_before
+           FROM d)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
+                tok_before % 512 AS bin_offset
+         FROM r""",
     "text_tokens" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS ws_tokens,

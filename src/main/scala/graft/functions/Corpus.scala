@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level sampling and sequence-packing operators for training-data
+  * pipelines. Beyond-reference extensions; both are deterministic (pure
+  * functions of the data, no RNG state), so they are reproducible across
+  * re-runs, cluster sizes, AND engines — each has an exact DuckDB oracle.
+  *
+  * Scale design:
+  *  - hash-mod sampling is a stateless per-row predicate — embarrassingly
+  *    parallel, pushes down past nothing it needs to (evaluates on the
+  *    scan), no shuffle, no driver state. This is how production corpora
+  *    downsample: by CONTENT identity, not row position, so the same
+  *    document keeps the same fate when files are re-split or re-ordered.
+  *  - token packing assigns documents to fixed-budget bins with ONE
+  *    window pass per shard. Packing is inherently sequential, so the
+  *    operator first shards by key-hash (parallelism = nShards — each
+  *    shard's window is an independent partition, sized by the caller,
+  *    never a single global reducer) and packs greedily within a shard
+  *    in a deterministic key order.
+  */
+object Corpus {
+
+  /** Deterministic MD5-derived bucket in [0, n): uniform, content-keyed,
+    * engine-portable (DuckDB: `('0x' || substr(md5(key), 1, 8))::UBIGINT
+    * % n`). The first 8 hex chars of md5 are an unbiased 32-bit uniform,
+    * plenty for percent-level sampling rates. */
+  def hashBucket(key: Column, n: Int): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % n).cast("int")
+
+  /** Keep ~k/n of rows, chosen by content hash of `key`. */
+  def sampleHashMod(df: DataFrame, key: String, k: Int, n: Int): DataFrame =
+    df.where(hashBucket(col(key), n) < k)
+
+  /** Greedy fixed-budget sequence packing, sharded for parallelism:
+    * documents are sharded by content hash (`nShards`-way), ordered
+    * deterministically by key within each shard, and assigned the bin id
+    * `floor(running_tokens_before / budget)` — the streaming-friendly
+    * approximation every large-scale pretokenization pipeline uses
+    * (documents larger than the budget get bins to themselves plus
+    * spillover, same as the oracle). Output: one row per document with
+    * its (shard, bin, offset-in-bin). */
+  def packTokenBudget(
+      df: DataFrame,
+      key: String,
+      tokensCol: String,
+      budget: Long,
+      nShards: Int): DataFrame = {
+    val shard = hashBucket(col(key), nShards).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(key), col(tokensCol).as("n_tokens"), shard)
+      .withColumn("tokens_through", sum(col("n_tokens")).over(w))
+      .select(col(key), col("shard"), col("n_tokens"),
+        ((col("tokens_through") - col("n_tokens")) / budget).cast("long").as("bin"),
+        ((col("tokens_through") - col("n_tokens")) % budget).cast("long").as("bin_offset"))
+  }
+}
