@@ -10,7 +10,8 @@ object PlanAudit {
   val defaultSet: Seq[String] = Seq(
     "s1_scan_pushdown", "j1_join_inner", "q1_agg", "q_topk", "q3_shipping",
     "q_asof_join", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    "sim_brute_topk", "j2_zipwith")
+    "sim_brute_topk", "j2_zipwith", "pipe_clean_corpus", "corpus_pack_budget",
+    "corpus_sample_hash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
