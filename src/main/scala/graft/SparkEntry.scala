@@ -807,12 +807,15 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     }),
 
-    // Embedding near-dup pairs via LSH-banded candidate generation + exact
-    // cosine verify (same verified-equals-exact construction as
-    // dedup_minhash_lsh): equi-join on sign buckets, no nested-loop
-    // all-pairs. The oracle is the exact all-pairs SQL — band geometry is
-    // tuned so recall at this threshold is exhaustive on the corpus.
-    // cosinePairsExact remains as the bounded-audit spec path.
+    // Embedding near-dup pairs at a LOOSE audit threshold (0.45). The
+    // auto plan here is the exact-verify cross join: at θ < 0.6 no
+    // hyperplane-LSH geometry prunes (the 64×4 banding that holds recall
+    // admits ~98% of all random pairs as candidates — measured), so the
+    // banded plan is the same Θ(n²) plus a 64× explosion, a distinct,
+    // and two fetch joins; the exact plan is 3.5× faster for the
+    // identical answer (see cosinePairsLsh scaladoc). Subquadratic
+    // embedding dedup lives at realistic thresholds — the θ=0.9 gate
+    // below is the banded scale path.
     "dedup_embedding_cosine" -> ((s, dir) => {
       Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     }),

@@ -333,7 +333,26 @@ object Similarity {
     * unconditionally. Deterministic under the fixed seed; verified equal
     * to the exact answer at sf0.001/0.01/0.1 (θ=0.45 wide and θ=0.9
     * cheap paths both). Banding is a codegen'd primitive loop, so band
-    * count scales candidate volume, not per-row lambda count. */
+    * count scales candidate volume, not per-row lambda count.
+    *
+    * PLAN CHOICE at loose thresholds (auto geometry, θ < 0.6): the
+    * banding that guarantees exhaustive recall there is 64×4, but a
+    * RANDOM near-orthogonal pair (cos ≈ 0) collides per plane with
+    * q ≈ 1/2, so it lands in ≥1 of 64 4-plane bands with probability
+    * 1 − (1 − 2⁻⁴)⁶⁴ ≈ 0.984 — the "pruned" candidate set is ~98% of
+    * ALL pairs (measured 98.4% on the sf0.1 corpus). Both plans are
+    * therefore Θ(n²), and the banded one adds a 64× row explosion, a
+    * distinct, and two fetch joins on top — measured 3.5× slower than
+    * the exact-verify cross join for the identical answer. So auto
+    * geometry below θ = 0.6 runs [[cosinePairsExact]] directly: same
+    * result, strictly less work. This is information-theoretic, not an
+    * implementation gap — no hyperplane-LSH geometry can separate
+    * θ = 0.45 from the random-pair cosine mass at 64 dims while holding
+    * per-pair miss ≤ 1e-5. Subquadratic embedding dedup is real only at
+    * realistic thresholds (θ ≥ 0.6), where banding prunes hard — the
+    * `dedup_embedding_cosine_t90` gate proves that path. Callers who
+    * want the banded plan regardless (e.g. the differential spec) pin
+    * explicit (bands, planesPerBand). */
   def cosinePairsLsh(
       emb: DataFrame,
       idCol: String,
@@ -347,6 +366,8 @@ object Similarity {
     // requires threshold in (0,1), but explicit (bands, planesPerBand)
     // must keep working for any threshold (e.g. 1.0 = exact-duplicate
     // verify), so it must not be evaluated eagerly.
+    if (bands <= 0 && planesPerBand <= 0 && threshold < 0.6)
+      return cosinePairsExact(emb, idCol, vecCol, threshold) // see scaladoc
     val (nBands, nPlanes) =
       if (bands > 0 && planesPerBand > 0) (bands, planesPerBand)
       else {
@@ -390,8 +411,8 @@ object Similarity {
     * it, and 64 is the setting exhaustively verified against the exact
     * answer at three scale factors. Clamped to [8, 64] bands. */
   def lshBandGeometry(threshold: Double, targetMiss: Double = 1e-5): (Int, Int) = {
-    require(threshold > 0.0 && threshold < 1.0,
-      s"lshBandGeometry: threshold must be in (0,1), got $threshold")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"lshBandGeometry: threshold must be in (0,1], got $threshold")
     val planes = 4
     if (threshold < 0.6) (64, planes)
     else {

@@ -72,7 +72,11 @@ class SimilaritySpec extends AnyFunSuite {
   test("LSH-banded pair generation reproduces the exact all-pairs answer") {
     val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b").collect().toSeq
-    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4)
+    // explicit geometry: at θ < 0.6 the auto path delegates to the exact
+    // plan (see cosinePairsLsh scaladoc), so pin 64×4 to exercise the
+    // banded machinery itself against the exact oracle
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4,
+      bands = 64, planesPerBand = 4)
       .orderBy("id_a", "id_b").collect().toSeq
     assert(lsh === exact)
     assert(exact.nonEmpty)
