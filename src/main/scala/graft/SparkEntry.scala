@@ -486,6 +486,41 @@ object SparkEntry {
           col("sum").cast("long").as("sum_cents"))
     }),
 
+    // §2.9 — the SAME custom stateful operator through Structured
+    // Streaming: flatMapGroupsWithState over readStream, checkpointed
+    // key state across micro-batches, AvailableNow for the bounded run.
+    // Each key's LAST emitted snapshot (max events) is its final running
+    // total — equal to batch GROUP BY, the same DuckDB oracle as the
+    // batch-gated twin.
+    "t_stream_stateful" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val totals = graft.streaming.Stateful.runningTotals[(Long, Long)](
+        src, _._1, _._2.toDouble)
+      val sink = "t_stream_stateful_sink"
+      val q = totals.toDF()
+        .select(col("key").as("user_id"), col("events"),
+          col("sum").cast("long").as("sum_cents"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // one snapshot per key per micro-batch reaches the sink; the final
+      // state is the snapshot with the highest event count
+      ss.table(sink)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("events"), col("sum_cents"))).as("m"))
+        .select(col("user_id"), col("m.events").as("events"),
+          col("m.sum_cents").as("sum_cents"))
+    }),
+
     // S6 sinks, more formats — CSV and JSON roundtrips: write the sink,
     // read it back with the written schema (proves schema + data survive
     // the format, oracle-checked like the parquet roundtrip).
@@ -1084,6 +1119,11 @@ object SparkEntry {
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "t_stateful_running" ->
+      """SELECT user_id, COUNT(*) AS events,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events GROUP BY user_id""",
+    "t_stream_stateful" ->
       """SELECT user_id, COUNT(*) AS events,
                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                   AS sum_cents
