@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral, Literal}
 
-import graft.expressions.{DotProduct, MinHashSignature, WordShingles, XxHash64ModArray}
+import graft.expressions.{DotProduct, MinHashSignature, NfcNormalize, TextSignals, WordShingles, XxHash64ModArray}
 
 /** The library's SQL function surface, registrable two ways:
   *
@@ -69,6 +69,16 @@ object GraftFunctions {
         MinHashSignature(exprs(0),
           intLit("minhash_signature", "k", exprs(1)),
           longLit("minhash_signature", "seed", exprs(2)))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition (ASCII fast path)"),
+      (exprs: Seq[Expression]) => {
+        arity("nfc_normalize", 1, exprs); NfcNormalize(exprs(0))
+      }),
+    (FunctionIdentifier("text_signals"),
+      info("text_signals", "text_signals(text) - struct(n_chars, n_words, n_alpha, hits_en, hits_de, hits_fr, hits_es) in one traversal"),
+      (exprs: Seq[Expression]) => {
+        arity("text_signals", 1, exprs); TextSignals(exprs(0))
       }))
 
   /** Register every graft function on an existing session. */

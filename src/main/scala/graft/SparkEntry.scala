@@ -547,6 +547,18 @@ object SparkEntry {
           sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
+    // §2.7 — explicit GROUPING SETS (the general form rollup/cube sugar
+    // over): chosen sets (flag, status), (flag), () — Catalyst expands to
+    // one Expand + single hash aggregate, not N scans.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           FROM gs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    }),
+
     // Text analysis — corpus-wide top-k n-gram frequencies (the classic
     // "what boilerplate dominates this corpus" pipeline op): codegen'd
     // shingles explode → hash-aggregate → TakeOrderedAndProject.
@@ -1132,6 +1144,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
     "text_ngram_topk" ->
       """WITH s AS (SELECT string_split(text, ' ') AS w FROM documents),
               t AS (SELECT list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]

@@ -48,13 +48,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 2"))
   }
 
+  test("nfc_normalize + text_signals via SQL match the column API") {
+    table("documents").limit(20).createOrReplaceTempView("docs_sig_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id, nfc_normalize(text) AS nfc, text_signals(text) AS sig
+         FROM docs_sig_v ORDER BY doc_id""")
+    val viaCol = table("documents").limit(20)
+      .select(col("doc_id"),
+        graft.functions.TextNormalize.nfc(col("text")).as("nfc"),
+        graft.functions.TextAnalysis.signals(col("text")).as("sig"))
+      .orderBy("doc_id")
+    assert(viaSql.collect().toSeq === viaCol.collect().toSeq)
+  }
+
   test("GraftExtensions injects the same builders (production config path)") {
     // Builders are shared; applying the extension hook must register every
     // function name the ad hoc path registers.
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder list is shared
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
-      Set("dot_product", "word_shingles", "xxhash64_mod", "minhash_signature"))
+      Set("dot_product", "word_shingles", "xxhash64_mod", "minhash_signature",
+        "nfc_normalize", "text_signals"))
   }
 
   /** Depending on where the expression evaluates (local relation vs task),
