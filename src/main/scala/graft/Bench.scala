@@ -77,7 +77,12 @@ object Bench {
     // 2000-char tail capture or it records "parsed": null for the round.
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — the " +
+        "driver tail-captures 2000; trim precision or names before adding queries")
+    println(line)
     spark.stop()
   }
 }

@@ -521,6 +521,38 @@ object SparkEntry {
           col("m.sum_cents").as("sum_cents"))
     }),
 
+    // §2.9 — transformWithState (Spark 4's arbitrary-state API, the
+    // industrial successor of flatMapGroupsWithState: typed state
+    // variables, TTL, RocksDB-backed): canonical-representative streaming
+    // dedup — per (user_id, event_type), the MINIMUM event_id ever seen
+    // (the "keep lowest doc_id per duplicate group" shape of LLM dedup,
+    // deterministic under any row order, unlike first-seen-wins). The
+    // last emission per key equals batch GROUP BY MIN — the oracle.
+    "t_stream_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // transformWithState requires the RocksDB state store provider
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ss.implicits._
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .as[(Long, String, Long)]
+      val canon = graft.streaming.Stateful.canonicalDedup(src)
+      val sink = "t_stream_canonical_sink"
+      val q = canon.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // one snapshot per key per micro-batch; the final canonical id is
+      // the smallest ever emitted
+      ss.table(sink)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("min_event_id")).as("min_event_id"))
+    }),
+
     // S6 sinks, more formats — CSV and JSON roundtrips: write the sink,
     // read it back with the written schema (proves schema + data survive
     // the format, oracle-checked like the parquet roundtrip).
@@ -1004,6 +1036,23 @@ object SparkEntry {
         .select("doc_id", "sample_rate", "channels", "bits_per_sample", "n_samples")
     }),
 
+    // Multimodal framing: sample-accurate WAV frame extraction through the
+    // typed mapPartitions stage, aggregated per document. The PCM16
+    // encoder's geometry is a closed form over the text byte length
+    // (1 byte → 1 sample → 2 data bytes; 25-sample frames, last frame
+    // partial), so frame counts and byte totals are SQL-oracle-able.
+    "mm_wav_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.encodeAsBinary(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRecord]
+      val wavs = media.mapPartitions(_.map(r =>
+        Multimodal.MediaRecord(r.doc_id, Multimodal.encodeWavPcm16(r.media), "wav")))
+      Multimodal.wavFrames(wavs, frameSamples = 25).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("frame_bytes"))
+    }),
+
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
     // hash aggregation. Money math accumulates EXACT INTEGER CENTS in
@@ -1140,6 +1189,9 @@ object SparkEntry {
                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                   AS sum_cents
          FROM events GROUP BY user_id""",
+    "t_stream_canonical" ->
+      """SELECT user_id, event_type, MIN(event_id) AS min_event_id
+         FROM events GROUP BY user_id, event_type""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1331,6 +1383,11 @@ object SparkEntry {
                 len(string_split(text, ' ')) AS ws_tokens,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens,
                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
+         FROM documents""",
+    "mm_wav_frames" ->
+      """SELECT doc_id,
+                CAST(ceil(octet_length(encode(text)) / 25.0) AS BIGINT) AS n_frames,
+                CAST(octet_length(encode(text)) * 2 AS BIGINT) AS frame_bytes
          FROM documents""",
     "mm_meta" ->
       """SELECT doc_id,
