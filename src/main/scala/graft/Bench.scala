@@ -45,7 +45,10 @@ object Bench {
     // full-precision per-query file and FLAG anything >1.5× slower. Written
     // to files + stderr, NOT the stdout JSON line — the driver keeps only
     // the last ~2000 chars of output, so the contract line must stay small.
-    val prevFile = new java.io.File("BENCH_LOCAL.json")
+    // history is PER SCALE FACTOR — an sf0.001 smoke run must not clobber
+    // the sf0.1 baseline and poison the next round's regression ratios
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val prevFile = new java.io.File(s"BENCH_LOCAL_$sfTag.json")
     val prev: Map[String, Double] =
       if (prevFile.isFile) {
         val txt = scala.io.Source.fromFile(prevFile).mkString
@@ -75,7 +78,9 @@ object Bench {
     // ONE compact JSON line (3-decimal times): ~70 queries must fit —
     // together with sbt's trailing "[success]" line — inside the driver's
     // 2000-char tail capture or it records "parsed": null for the round.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // centisecond precision: 1 char/query of headroom against the 2000-char
+    // tail capture (full precision lives in BENCH_LOCAL.json)
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
