@@ -909,6 +909,15 @@ object SparkEntry {
       Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.9)
     }),
 
+    // Symmetric int8 embedding quantization (4× storage compression for
+    // corpus-scale vector serving): map-only, no shuffle; rounding is the
+    // engine-stable floor(y + 0.5) so the oracle reproduces every element.
+    "sim_quantize_int8" -> ((s, dir) => {
+      val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), scale.as("scale"), q.as("q"))
+    }),
+
     // Brute-force cosine top-k for a fixed query set (broadcast queries,
     // one corpus pass).
     "sim_brute_topk" -> ((s, dir) => {
@@ -1301,6 +1310,14 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""",
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT vec_id,
+                list_max(list_transform(v, x -> abs(x))) AS scale,
+                list_transform(v, x ->
+                  CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5)
+                       AS INTEGER)) AS q
+         FROM e""",
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q AS (SELECT * FROM e WHERE vec_id < 10),

@@ -423,6 +423,24 @@ object Similarity {
     }
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max |x|, elements
+    * mapped to round-half-up(x·127/scale) ∈ [-127, 127] — the standard
+    * 4× compression for embedding storage/serving at corpus scale
+    * (recall loss at 64–1024 dims is negligible for cosine ranking).
+    * Map-only, no shuffle. Rounding is floor(y + 0.5) — a binary-exact
+    * IEEE op both Spark and DuckDB compute identically, unlike round(),
+    * whose Spark implementation rounds the SHORTEST DECIMAL
+    * representation (BigDecimal.valueOf) and can differ from C-library
+    * rounding near .5 boundaries. Zero vectors quantize to NULL elements
+    * (try_divide), mirroring their exclusion everywhere else. */
+  def quantizeInt8(vecCol: Column): (Column, Column) = {
+    val vd = vecCol.cast("array<double>")
+    val scale = array_max(transform(vd, x => abs(x)))
+    val q = transform(vd, x =>
+      floor(try_divide(x * 127.0, scale) + 0.5).cast("int"))
+    (scale, q)
+  }
+
   /** Exact all-pairs cosine above a threshold (near-dup audit). Quadratic:
     * bounded corpora only; [[cosinePairsLsh]] is the scale path. */
   def cosinePairsExact(

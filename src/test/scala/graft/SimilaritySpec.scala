@@ -152,6 +152,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(all.length === emb.count()) // corpus < cap: everything, no dup
   }
 
+  test("int8 quantization: bounded codes, near-lossless cosine round-trip") {
+    val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+    val quantized = emb.select(col("vec_id"), col("embedding"),
+      scale.as("s"), q.as("q")).cache()
+    // codes live in [-127, 127]
+    assert(quantized.where(exists(col("q"),
+      c => abs(c) > 127 || c.isNull)).count() === 0)
+    // dequantized cosine vs original: mean abs error well under 1e-2
+    val deq = transform(col("q"), c => c.cast("double") * col("s") / 127.0)
+    val err = quantized
+      .select(abs(lit(1.0) - Similarity.cosine(deq, col("embedding").cast("array<double>"))).as("e"))
+      .agg(max(col("e")).as("mx")).head().getDouble(0)
+    assert(err < 1e-2, s"max cosine distortion $err")
+  }
+
   test("dot_product registered for SQL text queries") {
     graft.expressions.VectorFunctions.registerSql(spark)
     emb.createOrReplaceTempView("emb_v")
