@@ -23,12 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    including the empty trailing/leading/double-space tokens Spark's
   *    limit=-1 split keeps;
   *  - `n_alpha`  = `size(regexp_extract_all(text, '[A-Za-z]'))`;
-  *  - `hits_XX`  = `size(regexp_extract_all(text, '\b(w1|w2|…)\bb'))`:
-  *    Java's ASCII `\b`/`\w` make a match exactly a MAXIMAL `[A-Za-z0-9_]+`
-  *    run equal to a stopword (non-ASCII bytes are not word chars, so they
-  *    break runs just like the regex engine does), so the scan compares
-  *    each run — packed into a long, stopwords are ≤ 7 bytes — against a
-  *    sorted table derived from the same word lists that build the regexes.
+  *  - `hits_XX`  = `size(regexp_extract_all(text, '\b(w1|w2|…)\b'))`:
+  *    a match is exactly a MAXIMAL word-character run equal to a
+  *    stopword, where "word character" is Java `\b`'s predicate without
+  *    UNICODE_CHARACTER_CLASS — `'_' || Character.isLetterOrDigit` (JDK
+  *    Pattern.Bound; note Java's `\b` is Unicode-aware even though its
+  *    `\w` is ASCII — "ßfor" is one run, caught by randomized
+  *    differential testing). The scan compares each candidate run —
+  *    packed into a long, stopwords are ≤ 7 ASCII bytes — against a
+  *    sorted table derived from the same word lists that build the
+  *    regexes; runs containing any non-ASCII word char can never match.
+  *
+  * Engine caveat: on non-ASCII input this follows JAVA `\b` (like the
+  * composed Spark forms it replaces); DuckDB's RE2 `\b` is ASCII-only
+  * and would break runs at ß/é/marks. The oracle corpus is pure ASCII,
+  * where the two agree exactly.
   */
 case class TextSignals(child: Expression) extends UnaryExpression {
 
@@ -99,48 +108,85 @@ object TextSignalsUtil {
     (sorted.map(_._1), sorted.map(_._2))
   }
 
-  /** One pass over the UTF-8 bytes. See [[TextSignals]] for the exact
-    * regex-equivalence argument per field. */
+  /** One pass over the UTF-8 bytes, decoding code points only where a
+    * lead byte ≥ 0x80 appears. See [[TextSignals]] for the per-field
+    * regex-equivalence argument; the word-run predicate is Java `\b`'s
+    * exact one WITHOUT UNICODE_CHARACTER_CLASS — `'_' ||
+    * Character.isLetterOrDigit(cp)` (JDK Pattern.Bound) — so "ßfor" is
+    * ONE run (no boundary: ß is a Unicode letter) while "x🚀for" has a
+    * boundary at the emoji, exactly as the composed regexp_extract_all
+    * forms behave. Non-ASCII word chars extend a run but kill its
+    * stopword candidacy (stopwords are pure ASCII lowercase). */
   def compute(s: UTF8String): InternalRow = {
     val nBytes = s.numBytes()
     var nChars = 0
     var nSpaces = 0
     var nAlpha = 0
     var hitsEn = 0; var hitsDe = 0; var hitsFr = 0; var hitsEs = 0
-    // current [A-Za-z0-9_]+ run: length, packed bytes, candidate flag
-    // (stopwords are all-lowercase and ≤ maxWordLen — anything else can
-    // only terminate the run's candidacy, never match)
+    // current word run: length, packed bytes, candidate flag (stopwords
+    // are all-lowercase ASCII and ≤ maxWordLen — anything else can only
+    // terminate the run's candidacy, never match)
     var runLen = 0
     var runPacked = 0L
     var runLower = true
 
-    var i = 0
-    while (i <= nBytes) {
-      val b: Int = if (i < nBytes) s.getByte(i) & 0xff else 0x20 // virtual terminator
-      if ((b & 0xc0) != 0x80 && i < nBytes) nChars += 1
-      val lower = b >= 'a' && b <= 'z'
-      val isWord = lower || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '_'
-      if (isWord) {
-        if (lower || (b >= 'A' && b <= 'Z')) nAlpha += 1
-        if (runLen < maxWordLen) runPacked |= (b.toLong & 0xffL) << (8 * runLen)
-        runLower &&= lower
-        runLen += 1
-      } else {
-        if (runLen > 0 && runLen <= maxWordLen && runLower) {
-          val idx = java.util.Arrays.binarySearch(packedWords, runPacked)
-          if (idx >= 0) {
-            val m = wordMasks(idx)
-            hitsEn += m & 1
-            hitsDe += (m >> 1) & 1
-            hitsFr += (m >> 2) & 1
-            hitsEs += (m >> 3) & 1
-          }
+    @inline def closeRun(): Unit = {
+      if (runLen > 0 && runLen <= maxWordLen && runLower) {
+        val idx = java.util.Arrays.binarySearch(packedWords, runPacked)
+        if (idx >= 0) {
+          val m = wordMasks(idx)
+          hitsEn += m & 1
+          hitsDe += (m >> 1) & 1
+          hitsFr += (m >> 2) & 1
+          hitsEs += (m >> 3) & 1
         }
-        runLen = 0; runPacked = 0L; runLower = true
-        if (b == 0x20 && i < nBytes) nSpaces += 1
       }
-      i += 1
+      runLen = 0; runPacked = 0L; runLower = true
     }
+
+    var i = 0
+    while (i < nBytes) {
+      val b: Int = s.getByte(i) & 0xff
+      if (b < 0x80) { // ASCII
+        nChars += 1
+        val lower = b >= 'a' && b <= 'z'
+        val isWord = lower || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '_'
+        if (isWord) {
+          if (lower || (b >= 'A' && b <= 'Z')) nAlpha += 1
+          if (runLen < maxWordLen) runPacked |= (b.toLong & 0xffL) << (8 * runLen)
+          runLower &&= lower
+          runLen += 1
+        } else {
+          closeRun()
+          if (b == 0x20) nSpaces += 1
+        }
+        i += 1
+      } else { // multi-byte code point
+        nChars += 1
+        val len =
+          if (b >= 0xf0) 4 else if (b >= 0xe0) 3 else 2
+        var cp =
+          if (len == 2) b & 0x1f else if (len == 3) b & 0x0f else b & 0x07
+        var j = i + 1
+        val end = math.min(i + len, nBytes)
+        while (j < end) { cp = (cp << 6) | (s.getByte(j) & 0x3f); j += 1 }
+        // Java Pattern.Bound's exact word predicate: letter-or-digit, OR a
+        // non-spacing mark sitting on a word base ("éist" is ONE
+        // run — no boundary inside; a bare mark with no word base is not).
+        // `runLen > 0` is precisely "the preceding char was word or a
+        // word-attached mark", i.e. hasBaseCharacter.
+        val isWordCp = Character.isLetterOrDigit(cp) ||
+          (Character.getType(cp) == Character.NON_SPACING_MARK && runLen > 0)
+        if (isWordCp) {
+          // extends the run (no \b boundary) but can never be part of an
+          // ASCII stopword
+          runLower = false
+          runLen += 1
+        } else closeRun()
+        i = end
+      }
+    }
+    closeRun()
     new GenericInternalRow(Array[Any](
       nChars, nSpaces + 1, nAlpha, hitsEn, hitsDe, hitsFr, hitsEs))
   }

@@ -55,6 +55,37 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("randomized differential: 400 seeded-random mixed-content strings") {
+    import spark.implicits._
+    // seeded generator over a charset chosen to stress every branch of the
+    // byte scan: word-run boundaries, multi-byte UTF-8 (2/3/4-byte),
+    // digits/underscore extending runs, stopwords of every language,
+    // whitespace runs, and run-length > maxWordLen
+    val rnd = new scala.util.Random(20260812L)
+    val atoms: IndexedSeq[String] =
+      TextSignalsUtil_atoms ++ Vector(
+        " ", "  ", "\t", "\n", ".", ",", "-", "_", "9", "x", "Z",
+        "é", "ß", "中", "🚀", "ö", "abcdefgh", "THE", "De", "unend")
+    val strings = Seq.fill(400)(
+      Seq.fill(rnd.nextInt(40))(atoms(rnd.nextInt(atoms.length))).mkString).toDF("text")
+    val sig = TextAnalysis.signals(col("text")).as("sig")
+    val diff = strings.select(col("text"), sig)
+      .where(
+        col("sig.n_chars") =!= length(col("text")) ||
+        col("sig.n_words") =!= TextAnalysis.wsTokenCount(col("text")) ||
+        col("sig.n_alpha") =!=
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))) ||
+        TextAnalysis.langStopwords.map { case (l, _) =>
+          col(s"sig.hits_$l") =!= TextAnalysis.langHits(col("text"), l)
+        }.reduce(_ || _))
+    val bad = diff.take(3)
+    assert(bad.isEmpty, s"fused != composed for: ${bad.map(_.getString(0)).mkString(" | ")}")
+  }
+
+  // every stopword of every language, as atoms for the generator
+  private def TextSignalsUtil_atoms: IndexedSeq[String] =
+    graft.expressions.TextSignalsUtil.langWords.flatMap(_._2).toIndexedSeq
+
   test("signals survive whole-stage codegen and interpreted eval identically") {
     // collect() exercises codegen; a literal eval outside codegen hits
     // nullSafeEval — both funnel into the same traversal
