@@ -865,6 +865,27 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Normalization-then-dedup — the composition normalization exists
+    // for: byte-different trivial variants (case, whitespace runs,
+    // lead/trail padding) must collapse to ONE group. The corpus is
+    // already clean, so each doc gets a deterministically-messied twin
+    // (id + 100000): leading spaces, uppercased prefix, a trailing
+    // space+tab. After nfc→fold→collapse, twin == original, so every
+    // group is exactly {id, id+100000} (modulo pre-existing exact dups)
+    // with the original id canonical. One hash-groupBy shuffle.
+    "dedup_normalized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val twins = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("  "), upper(substring(col("text"), 1, 15)),
+          substring(col("text"), 16, 1000000), lit(" \t")).as("text"))
+      val clean = TextNormalize.collapseWhitespace(
+        TextNormalize.foldCase(TextNormalize.nfc(col("text"))))
+      docs.select(col("doc_id"), col("text")).unionByName(twins)
+        .select(col("doc_id"), md5(clean.cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (SQL-oracle-able exact path).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1378,6 +1399,21 @@ object SparkEntry {
                     'string_agg', chr(10))
                 )), '\s+', ' ', 'g')) AS clean
          FROM messy""",
+    "dedup_normalized" ->
+      """WITH twins AS (
+           SELECT doc_id + 100000 AS doc_id,
+                  '  ' || upper(substr(text, 1, 15)) || substr(text, 16, 1000000)
+                       || ' ' || chr(9) AS text
+           FROM documents),
+           all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM twins),
+           norm AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS clean
+           FROM all_docs)
+         SELECT md5(clean) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+         FROM norm GROUP BY 1""",
     "corpus_sample_hash" ->
       """SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 1""",
