@@ -579,6 +579,23 @@ object SparkEntry {
           sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
+    // §2.7 — LATERAL correlated subquery (top-1 order per customer):
+    // Catalyst decorrelates the per-row ORDER BY LIMIT into a ranked
+    // window join — no per-row re-execution, unlike the reference's
+    // index-nested-loop shape this generalizes.
+    "q_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      t(s, dir, "orders").createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           FROM lat_customer c, LATERAL (
+             SELECT o_orderkey, o_totalprice FROM lat_orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+           ) o
+           WHERE c.c_acctbal > 9000""")
+    }),
+
     // §2.7 — explicit GROUPING SETS (the general form rollup/cube sugar
     // over): chosen sets (flag, status), (flag), () — Catalyst expands to
     // one Expand + single hash aggregate, not N scans.
@@ -1226,6 +1243,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+         ) o
+         WHERE c.c_acctbal > 9000""",
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
