@@ -82,8 +82,10 @@ object Bench {
     // tail capture (full precision lives in BENCH_LOCAL.json)
     val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // sf as the dir basename (sf0.1), not the full path — 15 chars of
+    // headroom against the tail capture
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — the " +
         "driver tail-captures 2000; trim precision or names before adding queries")
