@@ -31,14 +31,15 @@ object Bench {
     // queries and makes per-query times incomparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query persists (dedup/LSH signature stages etc.) must not
       // accumulate across the 50+ queries of one session — drop cached
       // blocks after each measurement so later timings aren't skewed
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, ok)
     }
 
     // Regression watch (round-2 verdict #8): compare to the previous run's
@@ -55,11 +56,15 @@ object Bench {
         "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
-    val full = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // only HEALTHY timings enter the baseline and the comparison — a
+    // failed query's elapsed time is garbage that would both poison the
+    // stored baseline and produce nonsense ratios against it
+    val healthy = results.collect { case (k, v, true) => (k, v) }
+    val full = healthy.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     java.nio.file.Files.write(prevFile.toPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (prev.nonEmpty) {
-      val ratios = results.flatMap { case (k, v) =>
+      val ratios = healthy.flatMap { case (k, v) =>
         prev.get(k).filter(_ > 0).map(p => (k, v, p, v / p)) }
       val deltas = ratios.map { case (k, _, _, r) => f""""$k":$r%.2f""" }
         .mkString("{", ",", "}")
@@ -80,7 +85,7 @@ object Bench {
     // 2000-char tail capture or it records "parsed": null for the round.
     // centisecond precision: 1 char/query of headroom against the 2000-char
     // tail capture (full precision lives in BENCH_LOCAL.json)
-    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // sf as the dir basename (sf0.1), not the full path — 15 chars of
     // headroom against the tail capture

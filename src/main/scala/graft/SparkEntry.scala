@@ -951,9 +951,8 @@ object SparkEntry {
     // corpus-scale vector serving): map-only, no shuffle; rounding is the
     // engine-stable floor(y + 0.5) so the oracle reproduces every element.
     "sim_quantize_int8" -> ((s, dir) => {
-      val (scale, q) = Similarity.quantizeInt8(col("embedding"))
-      t(s, dir, "embeddings")
-        .select(col("vec_id"), scale.as("scale"), q.as("q"))
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("scale"), col("q"))
     }),
 
     // Brute-force cosine top-k for a fixed query set (broadcast queries,

@@ -161,22 +161,35 @@ object TextSignalsUtil {
           if (b == 0x20) nSpaces += 1
         }
         i += 1
-      } else { // multi-byte code point
+      } else { // non-ASCII: multi-byte code point, or a stray/invalid byte
+        // step EXACTLY like UTF8String.numBytesForFirstByte so n_chars
+        // always equals length(), even on malformed input (a stray
+        // continuation byte steps 1 and counts 1, like numChars does)
         nChars += 1
-        val len =
-          if (b >= 0xf0) 4 else if (b >= 0xe0) 3 else 2
+        val len = math.max(1, UTF8String.numBytesForFirstByte(s.getByte(i)))
+        val end = math.min(i + len, nBytes)
+        // decode only a STRUCTURALLY VALID 2-4 byte sequence (lead bits
+        // match, continuation bytes all present); anything else — stray
+        // continuation, invalid lead, truncated tail — is what String
+        // conversion turns into U+FFFD (So, non-word), so treat it as a
+        // run boundary exactly like the regex path sees it
+        var valid = len >= 2 && len <= 4 && i + len <= nBytes
         var cp =
           if (len == 2) b & 0x1f else if (len == 3) b & 0x0f else b & 0x07
         var j = i + 1
-        val end = math.min(i + len, nBytes)
-        while (j < end) { cp = (cp << 6) | (s.getByte(j) & 0x3f); j += 1 }
+        while (valid && j < end) {
+          val cb = s.getByte(j) & 0xff
+          if ((cb & 0xc0) != 0x80) valid = false
+          else cp = (cp << 6) | (cb & 0x3f)
+          j += 1
+        }
         // Java Pattern.Bound's exact word predicate: letter-or-digit, OR a
         // non-spacing mark sitting on a word base ("éist" is ONE
         // run — no boundary inside; a bare mark with no word base is not).
         // `runLen > 0` is precisely "the preceding char was word or a
         // word-attached mark", i.e. hasBaseCharacter.
-        val isWordCp = Character.isLetterOrDigit(cp) ||
-          (Character.getType(cp) == Character.NON_SPACING_MARK && runLen > 0)
+        val isWordCp = valid && (Character.isLetterOrDigit(cp) ||
+          (Character.getType(cp) == Character.NON_SPACING_MARK && runLen > 0))
         if (isWordCp) {
           // extends the run (no \b boundary) but can never be part of an
           // ASCII stopword

@@ -432,13 +432,24 @@ object Similarity {
     * whose Spark implementation rounds the SHORTEST DECIMAL
     * representation (BigDecimal.valueOf) and can differ from C-library
     * rounding near .5 boundaries. Zero vectors quantize to NULL elements
-    * (try_divide), mirroring their exclusion everywhere else. */
-  def quantizeInt8(vecCol: Column): (Column, Column) = {
-    val vd = vecCol.cast("array<double>")
-    val scale = array_max(transform(vd, x => abs(x)))
-    val q = transform(vd, x =>
-      floor(try_divide(x * 127.0, scale) + 0.5).cast("int"))
-    (scale, q)
+    * (try_divide), mirroring their exclusion everywhere else.
+    *
+    * DataFrame-shaped on purpose: the scale must be MATERIALIZED as a
+    * column the element lambda references — embedding the array_max
+    * expression inside the lambda would re-evaluate it per ELEMENT
+    * (Catalyst does not hoist loop invariants out of higher-order-
+    * function lambdas), turning the map-only op O(d²) per row. Both
+    * output columns reference the scale, so CollapseProject keeps the
+    * two projections separate instead of re-inlining it. */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String,
+      scaleCol: String = "scale",
+      qCol: String = "q"): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    df.withColumn(scaleCol, array_max(transform(vd, x => abs(x))))
+      .withColumn(qCol, transform(vd, x =>
+        floor(try_divide(x * 127.0, col(scaleCol)) + 0.5).cast("int")))
   }
 
   /** Exact all-pairs cosine above a threshold (near-dup audit). Quadratic:

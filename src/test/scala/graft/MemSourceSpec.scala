@@ -116,6 +116,11 @@ class MemSourceSpec extends AnyFunSuite {
     MemStore.lastOptions.remove("programmers")
     assert(spark.read.format(fmt).option("collection", "programmers")
       .option("maxTimeMS", "0").load().count() === 100)
+    // the scan DID record options store-side, and 0 was interpreted as
+    // "no deadline" — no maxTimeMS entry, rather than a 0ms one
+    val opts0 = MemStore.lastOptions.getOrElse("programmers", Map.empty)
+    assert(opts0.get("readPreference").contains("primary"))
+    assert(!opts0.contains("maxTimeMS"))
     // tiny positive deadline + injected per-fetch latency: the first
     // fetch alone exceeds it deterministically → query error, not a
     // truncated result

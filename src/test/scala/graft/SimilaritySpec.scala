@@ -153,9 +153,8 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("int8 quantization: bounded codes, near-lossless cosine round-trip") {
-    val (scale, q) = Similarity.quantizeInt8(col("embedding"))
-    val quantized = emb.select(col("vec_id"), col("embedding"),
-      scale.as("s"), q.as("q")).cache()
+    val quantized = Similarity.quantizeInt8(emb, "embedding", scaleCol = "s")
+      .select(col("vec_id"), col("embedding"), col("s"), col("q")).cache()
     // codes live in [-127, 127]
     assert(quantized.where(exists(col("q"),
       c => abs(c) > 127 || c.isNull)).count() === 0)

@@ -86,6 +86,29 @@ class TextSignalsSpec extends AnyFunSuite {
   private def TextSignalsUtil_atoms: IndexedSeq[String] =
     graft.expressions.TextSignalsUtil.langWords.flatMap(_._2).toIndexedSeq
 
+  test("malformed UTF-8 bytes: n_chars matches length(); stray bytes act as boundaries") {
+    import spark.implicits._
+    // UTF8String does not validate UTF-8 — craft invalid byte sequences
+    // through binary→string casts: a stray continuation byte, an invalid
+    // lead, and a truncated multi-byte tail. Each must count like
+    // length() counts it and behave as a non-word boundary (String
+    // conversion yields U+FFFD, category So) — "a" after the stray byte
+    // is still a stopword hit in both paths.
+    val cases = Seq(
+      Array[Byte](0x80.toByte, 'a'.toByte),
+      Array[Byte]('f'.toByte, 'o'.toByte, 'r'.toByte, 0xff.toByte, 'a'.toByte),
+      Array[Byte]('t'.toByte, 'h'.toByte, 'e'.toByte, 0xc3.toByte)) // truncated é
+    val df = cases.toDF("raw").select(col("raw").cast("string").as("text"))
+    val sig = TextAnalysis.signals(col("text")).as("sig")
+    val diff = df.select(col("text"), sig)
+      .where(
+        col("sig.n_chars") =!= length(col("text")) ||
+        col("sig.n_alpha") =!=
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))) ||
+        col("sig.hits_en") =!= TextAnalysis.langHits(col("text"), "en"))
+    assert(diff.count() === 0)
+  }
+
   test("signals survive whole-stage codegen and interpreted eval identically") {
     // collect() exercises codegen; a literal eval outside codegen hits
     // nullSafeEval — both funnel into the same traversal
