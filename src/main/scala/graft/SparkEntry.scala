@@ -570,6 +570,13 @@ object SparkEntry {
       df.write.mode("overwrite").json(out)
       s.read.schema(df.schema).json(out)
     }),
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+      df.write.mode("overwrite").orc(out)
+      s.read.schema(df.schema).orc(out)
+    }),
 
     // §2.7 — full CUBE grouping sets (rollup's sibling).
     "q_cube" -> ((s, dir) => {
@@ -693,6 +700,20 @@ object SparkEntry {
       t(s, dir, "events")
         .withColumn("running_value", sum(money(col("value"))).over(w).cast("double"))
         .select(col("user_id"), col("event_id"), col("value"), col("running_value"))
+    }),
+
+    // §2.7 — RANGE-framed window (value-based frame: all events within
+    // the trailing hour BY TIMESTAMP, not by row count): includes all
+    // ts-peers, so the result is deterministic under ties where a ROWS
+    // frame would not be. Nanos are exact longs; sums are exact cents.
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("cents", (money(col("value")) * 100).cast("long"))
+        .withColumn("sum_cents_1h", sum(col("cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("sum_cents_1h"))
     }),
 
     // §2.6 — top-k (Catalyst fuses to TakeOrderedAndProject: no global sort).
@@ -1223,8 +1244,18 @@ object SparkEntry {
     "src_json_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "src_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_ns(ts)
+                  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS sum_cents_1h
+         FROM events""",
     "t_stateful_running" ->
       """SELECT user_id, COUNT(*) AS events,
                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
