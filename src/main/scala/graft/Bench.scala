@@ -85,15 +85,25 @@ object Bench {
     // 2000-char tail capture or it records "parsed": null for the round.
     // centisecond precision: 1 char/query of headroom against the 2000-char
     // tail capture (full precision lives in BENCH_LOCAL.json)
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // sf as the dir basename (sf0.1), not the full path — 15 chars of
     // headroom against the tail capture
-    val line =
+    def render(decimals: Int): String = {
+      val qs = results.map { case (k, v, _) =>
+        s""""$k":${s"%.${decimals}f".format(v)}""" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
-    if (line.length > 1850)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — the " +
-        "driver tail-captures 2000; trim precision or names before adding queries")
+    }
+    // centiseconds normally; self-degrade to deciseconds if the line
+    // would crowd the driver's 2000-char tail capture (sbt appends its
+    // own ~75-char "[success]" line after ours; full precision is always
+    // in BENCH_LOCAL_<sf>.json)
+    val line = {
+      val l2 = render(2)
+      if (l2.length <= 1900) l2 else render(1)
+    }
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars even at " +
+        "1-decimal precision — the driver tail-captures 2000; shorten query names")
     println(line)
     spark.stop()
   }
