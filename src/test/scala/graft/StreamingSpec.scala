@@ -45,6 +45,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.groupBy("doc_id").count().where(col("count") > 1).count() === 0)
   }
 
+  test("transformWithState: canonical min survives ACROSS micro-batches") {
+    // two files + maxFilesPerTrigger=1 => two micro-batches. The SMALLER
+    // event_id for each key arrives in batch 1, larger in batch 2 — the
+    // batch-2 emission must still report batch-1's minimum, proving the
+    // ValueState actually persists between batches (the AvailableNow
+    // gate alone cannot distinguish state from per-batch aggregation).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val tmp = java.nio.file.Files.createTempDirectory("tws").toString
+    Seq((1L, "click", 10L), (2L, "view", 20L)).toDF("user_id", "event_type", "event_id")
+      .coalesce(1).write.parquet(tmp + "/b1")
+    Seq((1L, "click", 99L), (2L, "view", 5L)).toDF("user_id", "event_type", "event_id")
+      .coalesce(1).write.parquet(tmp + "/b2")
+    val schema = ss.read.parquet(tmp + "/b1").schema
+    val src = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp + "/{b1,b2}")
+      .as[(Long, String, Long)]
+    val q = graft.streaming.Stateful.canonicalDedup(src).toDF()
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val snaps = ss.table("tws_test")
+    // one emission per key per batch that contained it => 4 rows total
+    assert(snaps.count() === 4)
+    val finalMin = snaps.groupBy("user_id")
+      .agg(min("min_event_id").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalMin === Map(1L -> 10L, 2L -> 5L))
+    // key 1's batch-2 emission must carry batch-1's min (10), not 99:
+    // exactly two distinct snapshots say 10 iff state crossed the batch
+    assert(snaps.where(col("user_id") === 1L && col("min_event_id") === 10L)
+      .count() === 2)
+  }
+
   test("T6 supervision: restart from checkpoint resumes exactly-once (no loss, no replay)") {
     // The reference delegates supervision to runtime config (SURVEY.md
     // §2.8); Spark's form is checkpointed restart: a query that stops is
