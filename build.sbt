@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "ONE JSON line on stdout, last" — but sbt's
+// default LoggedOutput re-logs forked output with an "[info] " prefix and
+// appends its own "[success] Total time" line, so a driver tailing stdout
+// never sees a line that parses as JSON. Pipe forked output straight
+// through and suppress the success trailer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

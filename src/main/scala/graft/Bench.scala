@@ -2,6 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  // All numeric output that lands in a JSON file or the stdout contract
+  // line must be locale-independent: the f-interpolator and String.format
+  // default to the JVM locale, and a comma-decimal locale would emit
+  // invalid JSON (ADVICE r4 #3).
+  private def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,12 +73,12 @@ object Bench {
     if (prev.nonEmpty) {
       val ratios = healthy.flatMap { case (k, v) =>
         prev.get(k).filter(_ > 0).map(p => (k, v, p, v / p)) }
-      val deltas = ratios.map { case (k, _, _, r) => f""""$k":$r%.2f""" }
+      val deltas = ratios.map { case (k, _, _, r) => s""""$k":${num(r, 2)}""" }
         .mkString("{", ",", "}")
       val regressions = ratios.filter { case (k, v, _, r) => r > 1.5 && v > 0.5 }
         .sortBy(-_._4)
       val regJson = regressions.map { case (k, v, p, r) =>
-        f"""{"query":"$k","sec":$v%.3f,"prev_sec":$p%.3f,"ratio":$r%.2f}""" }
+        s"""{"query":"$k","sec":${num(v, 3)},"prev_sec":${num(p, 3)},"ratio":${num(r, 2)}}""" }
         .mkString("[", ",", "]")
       java.nio.file.Files.write(new java.io.File("BENCH_DELTAS.json").toPath,
         s"""{"prev_ratio":$deltas,"regressions":$regJson}"""
@@ -90,8 +97,8 @@ object Bench {
     // headroom against the tail capture
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v, _) =>
-        s""""$k":${s"%.${decimals}f".format(v)}""" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+        s""""$k":${num(v, decimals)}""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
     // centiseconds normally; self-degrade to deciseconds if the line
     // would crowd the driver's 2000-char tail capture (sbt appends its
@@ -104,7 +111,11 @@ object Bench {
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars even at " +
         "1-decimal precision — the driver tail-captures 2000; shorten query names")
-    println(line)
+    // Stop Spark BEFORE printing the contract line: shutdown logging (and,
+    // with sbt's LoggedOutput, the "[success]" trailer) must not land after
+    // it — the driver parses the LAST line of the captured tail.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
