@@ -819,6 +819,32 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).as("n_o"))
     }),
 
+    // §2.7 extension — unpivot (long-form reshape, the inverse of pivot):
+    // 4 measure columns melt to (metric, value) rows. Map-only expansion
+    // (each input row emits 4 output rows in the same task — no shuffle);
+    // DuckDB runs its native UNPIVOT for the identical reshape.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+    }),
+
+    // §2.7 extension — grouped array aggregation (nested result type):
+    // the per-key DISTINCT set, SORTED so the array value is
+    // deterministic under any partitioning/arrival order. Partial
+    // aggregation combines the sets map-side.
+    "q_collect_list" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // §2.7 — exact percentiles (sort-based, linear interpolation — the
     // deterministic form; approx quantile sketches are rows-only land).
     "q_percentile" -> ((s, dir) => {
@@ -945,6 +971,41 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     }),
 
+    // Duplicate-CLUSTER resolution on top of pairwise dedup: connected
+    // components over the near-dup edge set, every doc labeled with its
+    // cluster's minimum doc_id (the keeper). Pairwise output alone
+    // over-deletes on A~B, B~C chains; this is the transitive-closure
+    // step every production dedup pipeline runs after candidate pairing.
+    // Edges = exact n-gram Jaccard pairs (the oracle-able pair source)
+    // UNION a planted 3-hop chain per doc_id < 50 (id—id+100000—
+    // id+200000—id+300000): the chain's far end resolves to the REAL
+    // doc's cluster minimum only if labels propagate multiple hops, so
+    // the oracle (DuckDB recursive CTE) checks true transitivity, not
+    // just 1-hop pair symmetry. Output covers docs ∪ chain nodes;
+    // singletons map to themselves.
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val natural = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val low = docs.select(col("doc_id")).where(col("doc_id") < 50)
+      def shifted(by: Long) = low.select((col("doc_id") + by).as("doc_id"))
+      val chain = low.select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 100000L).as("doc_b"))
+        .unionByName(low.select((col("doc_id") + 100000L).as("doc_a"),
+          (col("doc_id") + 200000L).as("doc_b")))
+        .unionByName(low.select((col("doc_id") + 200000L).as("doc_a"),
+          (col("doc_id") + 300000L).as("doc_b")))
+      val cc = Dedup.connectedComponents(
+        natural.unionByName(chain), "doc_a", "doc_b")
+      val nodes = docs.select(col("doc_id"))
+        .unionByName(shifted(100000L)).unionByName(shifted(200000L))
+        .unionByName(shifted(300000L)).distinct()
+      nodes.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+    }),
+
     // Embedding near-dup pairs at a LOOSE audit threshold (0.45). The
     // auto plan here is the exact-verify cross join: at θ < 0.6 no
     // hyperplane-LSH geometry prunes (the 64×4 banding that holds recall
@@ -964,8 +1025,20 @@ object SparkEntry {
     // the worst-case 64x4 the θ=0.45 audit gate needs — proving callers
     // no longer pay worst-case geometry unconditionally. Oracle is the
     // exact all-pairs SQL at the same threshold.
+    //
+    // The synthetic corpus has no natural pair above cos ≈ 0.60, so the
+    // raw θ=0.9 comparison was two EMPTY result sets (r4 advice #2). Each
+    // vector gets a planted twin (vec_id+100000, 2·v): doubling is exact
+    // in both engines (power of two), cosine-invariant, and SIGN-invariant
+    // per hyperplane, so every {v, 2v} pair is a guaranteed ≥0.9 hit the
+    // banded path must surface — the oracle now compares n non-empty rows.
+    // Recall on non-identical signatures is SimilaritySpec's planted
+    // perturbed-pair test; this gate proves the end-to-end plumbing.
     "dedup_embedding_cosine_t90" -> ((s, dir) => {
-      Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.9)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.cosinePairsLsh(emb.unionByName(twins), "vec_id", "embedding", 0.9)
     }),
 
     // Symmetric int8 embedding quantization (4× storage compression for
@@ -1033,6 +1106,49 @@ object SparkEntry {
         TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"),
         TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
+    }),
+
+    // Gopher-style repetition signals: duplicate-word mass and top-word
+    // mass per document — the boilerplate/spam indicators a quality gate
+    // thresholds on. Explode + two partial-aggregated groupBys: linear
+    // per-row work, shuffles carry (doc_id, word) tuples — scales where
+    // a per-row O(d²) HOF lambda would not.
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // PII redaction: plant deterministic synthetic emails/phone numbers on
+    // every 5th doc (both engines synthesize the identical string — the
+    // clean corpus has none naturally), then scrub with patterns from the
+    // backtracking-free regex subset Java and RE2 agree on. Map-only,
+    // codegen'd regexp_replace — a stateless scan stage at any scale.
+    "pii_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+          lit("\\+?1-555-[0-9]{4}"), lit("<PHONE>")).as("clean"))
+    }),
+
+    // Stratified hash-mod sampling: downsample the dominant language to
+    // 10%, keep minority languages at 50%, unknown whole — the training-
+    // mix rebalancing step. Stateless per-row predicate (content-hash
+    // bucket < per-stratum threshold): no shuffle, no per-stratum
+    // window — the exact-quota alternative would sort within a handful
+    // of giant language partitions at corpus scale.
+    "corpus_stratified_sample" -> ((s, dir) => {
+      val withLang = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"))
+      Corpus.sampleStratified(withLang, "doc_id", col("lang"),
+        Seq("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50), defaultRate = 100)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // Text normalization pipeline: boilerplate-line strip → Unicode NFC →
@@ -1124,29 +1240,43 @@ object SparkEntry {
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
     // hash aggregation. Money math accumulates EXACT INTEGER CENTS in
     // long (pure codegen'd long arithmetic — no per-row Decimal objects,
-    // which made the decimal(18,2)-sum form 3× slower) and casts to
-    // double once per GROUP at the end. Bit-identical to the oracle's
-    // decimal(18,2) sums: every per-row value is a whole number of cents
-    // (floor(x*100+0.5) recovers it exactly from the stored double — all
-    // inputs are non-negative, so this is round-half-up), the long sums
-    // stay far under 2^53, and dividing an exactly-represented integer by
-    // 100.0/10000.0 is the same correctly-rounded double as casting the
-    // exact decimal sum.
+    // which made the decimal(18,2)-sum form 3× slower). Every per-row
+    // value is a whole number of cents (floor(x*100+0.5) recovers it
+    // exactly from the stored double — inputs are non-negative, so this
+    // is round-half-up).
+    //
+    // Bit-parity with the oracle's CAST(SUM(decimal) AS DOUBLE) holds at
+    // ANY scale (r4 advice #5): the exact long sums are widened to
+    // decimal, scaled down by the power of ten IN DECIMAL (exact — the
+    // result scale ≥ the needed 2/4 digits), and cast to double once per
+    // GROUP — the same single correctly-rounded conversion the oracle
+    // performs. The previous form cast the long sum to double BEFORE
+    // dividing, which is exact only while the sum stays under 2^53
+    // (≈ sf 10 for sum_disc_price). The disc-price product (≤ ~1e9 per
+    // row) is further split into (quotient, remainder) by 10^4 — two long
+    // sums, each bounded by rows/group × 1e5, recombined exactly in
+    // per-group decimal math — so long accumulation itself holds to
+    // ~9e13 rows per group (≈ petabytes of lineitem), not 9e9.
     "q1_agg" -> ((s, dir) => {
       val cents = (c: org.apache.spark.sql.Column) =>
         floor(c * 100.0 + 0.5).cast("long")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
           cents(col("l_quantity")).as("qty_c"),
           cents(col("l_extendedprice")).as("ep_c"),
           cents(col("l_discount")).as("disc_c"))
+        .withColumn("dp", col("ep_c") * (lit(100L) - col("disc_c")))
+        .withColumn("dp_hi", expr("dp DIV 10000"))
+        .withColumn("dp_lo", col("dp") - col("dp_hi") * lit(10000L))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          (sum(col("qty_c")).cast("double") / 100.0).as("sum_qty"),
-          (sum(col("ep_c")).cast("double") / 100.0).as("sum_base_price"),
-          (sum(col("ep_c") * (lit(100L) - col("disc_c"))).cast("double") / 10000.0)
-            .as("sum_disc_price"),
-          (sum(col("qty_c")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+          (dec(sum(col("qty_c"))) / lit(100)).cast("double").as("sum_qty"),
+          (dec(sum(col("ep_c"))) / lit(100)).cast("double").as("sum_base_price"),
+          ((dec(sum(col("dp_hi"))) * lit(10000) + dec(sum(col("dp_lo")))) / lit(10000))
+            .cast("double").as("sum_disc_price"),
+          ((dec(sum(col("qty_c"))) / lit(100)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
           count(lit(1)).as("count_order"))
     })
   )
@@ -1370,42 +1500,107 @@ object SparkEntry {
          FROM t a JOIN t b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    // transitive closure of the near-dup graph in pure SQL: DuckDB's
+    // recursive CTE floods every node's reachable set (UNION dedups, so
+    // it terminates), then min(lab) per node = the cluster minimum —
+    // exactly the fixpoint min-label propagation converges to
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE
+           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           t AS (SELECT doc_id,
+                        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1) ]) AS sh
+                 FROM s WHERE len(w) >= 3),
+           nat AS (SELECT a.doc_id AS da, b.doc_id AS db
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+           low AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+           chain AS (SELECT doc_id AS da, doc_id + 100000 AS db FROM low
+                     UNION ALL
+                     SELECT doc_id + 100000, doc_id + 200000 FROM low
+                     UNION ALL
+                     SELECT doc_id + 200000, doc_id + 300000 FROM low),
+           pe AS (SELECT da, db FROM nat UNION ALL SELECT da, db FROM chain),
+           edges AS (SELECT da AS a, db AS b FROM pe
+                     UNION ALL SELECT db, da FROM pe),
+           reach AS (SELECT a AS node, a AS lab FROM edges
+                     UNION
+                     SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node),
+           cc AS (SELECT node, min(lab) AS canon FROM reach GROUP BY node),
+           -- explicit DISTINCT over UNION ALL: inside WITH RECURSIVE,
+           -- DuckDB carves a trailing UNION arm off as a pseudo-recursive
+           -- term and skips deduplicating it against the base — a plain
+           -- SELECT body sidesteps that parse entirely
+           nodes AS (SELECT DISTINCT doc_id FROM (
+                       SELECT doc_id FROM documents
+                       UNION ALL SELECT da FROM chain
+                       UNION ALL SELECT db FROM chain))
+         SELECT n.doc_id AS doc_id, coalesce(cc.canon, n.doc_id) AS canon_id
+         FROM nodes n LEFT JOIN cc ON cc.node = n.doc_id""",
+    // NULL-on-zero convention (r4 advice #4): the engine maps zero-norm
+    // cosines to NULL via try_divide; plain DuckDB division would give
+    // NaN, and DuckDB sorts/compares NaN GREATER than any value, so the
+    // oracle encodes the same convention explicitly (NULL never passes
+    // the >= threshold filter in either engine).
     "dedup_embedding_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v) /
-               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       CASE WHEN list_dot_product(a.v, a.v) = 0
+                              OR list_dot_product(b.v, b.v) = 0 THEN NULL
+                            ELSE list_dot_product(a.v, b.v) /
+                                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                       END AS cos
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45""",
     "dedup_embedding_cosine_t90" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v) /
-               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              e AS (SELECT vec_id, v FROM base
+                    UNION ALL
+                    SELECT vec_id + 100000 AS vec_id,
+                           list_transform(v, x -> x * 2) AS v
+                    FROM base),
+              p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       CASE WHEN list_dot_product(a.v, a.v) = 0
+                              OR list_dot_product(b.v, b.v) = 0 THEN NULL
+                            ELSE list_dot_product(a.v, b.v) /
+                                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                       END AS cos
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
+    // zero vectors: scale = 0 and every element NULL (the engine's
+    // try_divide convention) — encoded here instead of relying on the
+    // corpus containing no zero vectors (r4 advice #4)
     "sim_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT vec_id,
-                list_max(list_transform(v, x -> abs(x))) AS scale,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              s AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS scale
+                    FROM e)
+         SELECT vec_id, scale,
                 list_transform(v, x ->
-                  CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5)
-                       AS INTEGER)) AS q
-         FROM e""",
+                  CASE WHEN scale = 0 THEN NULL
+                       ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)
+                  END) AS q
+         FROM s""",
+    // zero-norm vectors score NULL (engine drops them before ranking) —
+    // same explicit convention as the cosine-pair oracles (r4 advice #4)
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q AS (SELECT * FROM e WHERE vec_id < 10),
               scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       list_dot_product(q.v, c.v) /
-                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
+                       CASE WHEN list_dot_product(q.v, q.v) = 0
+                              OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                            ELSE list_dot_product(q.v, c.v) /
+                                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                       END AS s
                 FROM q JOIN e c ON q.vec_id <> c.vec_id),
               ranked AS (
                 SELECT query_id, neighbor_id, s,
                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
-                FROM scored)
+                FROM scored WHERE s IS NOT NULL)
          SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 5""",
     "text_langid" ->
@@ -1423,6 +1618,49 @@ object SparkEntry {
                      ELSE 'und' END AS pred_lang,
                 en AS en_hits
          FROM h""",
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+              c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+              s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+                           COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_count
+                    FROM c GROUP BY doc_id)
+         SELECT doc_id, n_words, n_distinct,
+                CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+                CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac
+         FROM s""",
+    "pii_scrub" ->
+      """WITH planted AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\+?1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+         FROM planted""",
+    "corpus_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, text,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es
+              FROM documents),
+              l AS (SELECT doc_id,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS lang
+              FROM h)
+         SELECT doc_id, lang FROM l
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
+               CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
+                         WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 100 END""",
     "text_quality" ->
       """WITH b AS (SELECT doc_id,
                 length(text) AS n_chars,
@@ -1649,6 +1887,16 @@ object SparkEntry {
                 COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
                 COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
          FROM lineitem GROUP BY l_returnflag""",
+    "q_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                             l_extendedprice, l_discount, l_tax
+                      FROM lineitem WHERE l_orderkey < 1000)
+         UNPIVOT src ON l_quantity, l_extendedprice, l_discount, l_tax
+         INTO NAME metric VALUE value""",
+    "q_collect_list" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+                COUNT(*) AS n_events
+         FROM events GROUP BY user_id""",
     "q_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.25) AS p25,

@@ -183,6 +183,16 @@ object TextSignalsUtil {
           else cp = (cp << 6) | (cb & 0x3f)
           j += 1
         }
+        // structural validity is not enough: overlong forms (cp below the
+        // minimum for the sequence length, e.g. 0xC1 0xA1 "decoding" to
+        // 'a'), surrogate-range cps (CESU-8 halves), and cps past U+10FFFF
+        // also become U+FFFD under String conversion, so they must act as
+        // run boundaries exactly like the regex path sees them (r4 advice)
+        if (valid) {
+          val minCp = if (len == 2) 0x80 else if (len == 3) 0x800 else 0x10000
+          if (cp < minCp || (cp >= 0xd800 && cp <= 0xdfff) || cp > 0x10ffff)
+            valid = false
+        }
         // Java Pattern.Bound's exact word predicate: letter-or-digit, OR a
         // non-spacing mark sitting on a word base ("éist" is ONE
         // run — no boundary inside; a bare mark with no word base is not).

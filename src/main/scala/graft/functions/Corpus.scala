@@ -36,6 +36,26 @@ object Corpus {
   def sampleHashMod(df: DataFrame, key: String, k: Int, n: Int): DataFrame =
     df.where(hashBucket(col(key), n) < k)
 
+  /** Stratified hash-mod sampling: per-stratum keep rates out of `n`
+    * (e.g. downsample the dominant language, keep the rest whole — the
+    * rebalancing step of every training-mix pipeline). Same stateless
+    * per-row predicate as [[sampleHashMod]]: no shuffle, no per-stratum
+    * window/sort (a per-stratum exact-count quota would partition the
+    * corpus by stratum — a handful of giant skewed partitions at 100 TB;
+    * hash-mod holds each stratum's rate to ±O(1/√rows) with zero
+    * coordination). Unlisted strata get `defaultRate`. */
+  def sampleStratified(
+      df: DataFrame,
+      key: String,
+      stratum: Column,
+      rates: Seq[(String, Int)],
+      defaultRate: Int,
+      n: Int = 100): DataFrame = {
+    val thr = rates.foldRight(lit(defaultRate): Column) { case ((s, r), acc) =>
+      when(stratum === s, lit(r)).otherwise(acc) }
+    df.where(hashBucket(col(key), n) < thr)
+  }
+
   /** Greedy fixed-budget sequence packing, sharded for parallelism:
     * documents are sharded by content hash (`nShards`-way), ordered
     * deterministically by key within each shard, and assigned the bin id

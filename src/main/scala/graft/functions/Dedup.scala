@@ -152,6 +152,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected-components duplicate clustering: every node of the
+    * undirected near-dup edge set gets the MINIMUM node id reachable from
+    * it — its cluster's canonical representative (the "keep lowest doc_id
+    * per duplicate cluster" step that follows any pairwise dedup:
+    * pairwise output alone over-deletes when A~B and B~C but the pipeline
+    * drops both B and C against different keepers).
+    *
+    * Algorithm: iterative min-label propagation (the HashToMin family —
+    * "Connected Components in MapReduce and Beyond", Rastogi et al.,
+    * public literature): each round every node takes the min of its own
+    * label and its neighbors' labels. One hash-partitioned equi-join +
+    * partial-aggregated groupBy per round — no all-pairs, no driver
+    * state; rounds = cluster diameter, and near-dup clusters are shallow
+    * (a duplicate web page does not form a 50-hop chain), so the loop is
+    * bounded by `maxIter` with a loud failure rather than a silent
+    * wrong answer if a pathological graph exceeds it. Converged labels
+    * are detected with one count per round (the same driver-side loop
+    * shape GraphX/GraphFrames use); each round's labels are persisted and
+    * the previous round's unpersisted so lineage and memory stay bounded.
+    *
+    * Returns (doc_id, canon_id) for every node that appears in an edge;
+    * callers left-join singletons back with canon_id = doc_id. */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = fwd.unionByName(
+        edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor minima: edge (src ← dst's label), then min over src's
+      // neighborhood — partial aggregation combines map-side
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, "node")
+        .select(col("node"), least(col("label"), col("nbr_min")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one action per round: did any label improve?
+      val changed = next.alias("n")
+        .join(labels.alias("p"), col("n.node") === col("p.node"))
+        .where(col("n.label") < col("p.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIter rounds — " +
+        "cluster diameter exceeds the bound; raise maxIter")
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
+  }
+
   /** Exact n-gram Jaccard pairs via shingle explode + equi-join — the
     * SQL-expressible exact path (oracle-checked). Cost is quadratic only
     * within groups sharing a shingle; for corpora with heavy-hitter

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality scoring,
@@ -110,6 +110,34 @@ object TextAnalysis {
       when(h > 0 && h === best, lit(l)).otherwise(acc)
     }
   }
+
+  /** Gopher-style repetition signals: what fraction of a document's word
+    * occurrences are repeats, and how much mass its single most frequent
+    * word carries — the classic boilerplate/spam indicators a quality
+    * gate thresholds on (repetition heuristics from the public Gopher /
+    * MassiveText filtering literature).
+    *
+    * Scalable form: explode + two partial-aggregated groupBys keyed by
+    * doc_id — per-row work is linear and the shuffles carry (doc_id,
+    * word) then (doc_id) tuples. The per-row higher-order-function
+    * alternative (`transform(distinct, x -> count matches)`) is O(d²)
+    * per document and runs interpreted; this never is. Tokenization is
+    * bare single-space split (empty tokens kept) so the DuckDB
+    * string_split oracle is bit-identical; fractions are one
+    * int→double division each. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_count"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        ((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        (col("top_count").cast("double") /
+          col("n_words").cast("double")).as("top_word_frac"))
 
   /** Winnowing-style rolling fingerprints: hash token shingles, take the
     * minimum in each sliding window, dedupe. Near-identical documents share

@@ -85,4 +85,28 @@ class DedupSpec extends AnyFunSuite {
       .select(size(TextOps.shingles(col("text"), 3)).as("n"))
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0))
   }
+
+  test("connected components: chains resolve transitively to the cluster minimum") {
+    import spark.implicits._
+    // two chains and one triangle; 5—6—7—8 needs 3 propagation hops
+    val edges = Seq((6L, 5L), (6L, 7L), (7L, 8L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (30L, 32L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("connected components: maxIter below the diameter fails loudly, not wrongly") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+    // and the required rounds DO converge (diameter 4 ⇒ ≤ 5 rounds)
+    val ok = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 6)
+      .where(col("canon_id") === 1L).count()
+    assert(ok === 5L)
+  }
 }

@@ -97,7 +97,21 @@ class TextSignalsSpec extends AnyFunSuite {
     val cases = Seq(
       Array[Byte](0x80.toByte, 'a'.toByte),
       Array[Byte]('f'.toByte, 'o'.toByte, 'r'.toByte, 0xff.toByte, 'a'.toByte),
-      Array[Byte]('t'.toByte, 'h'.toByte, 'e'.toByte, 0xc3.toByte)) // truncated é
+      Array[Byte]('t'.toByte, 'h'.toByte, 'e'.toByte, 0xc3.toByte), // truncated é
+      // structurally valid but semantically invalid sequences — each must
+      // act as a boundary, not decode to a word char (r4 advice #1):
+      // overlong 2-byte 'a' (0xC1 0xA1) — accepting it would fuse "a?a"
+      // into one non-stopword run and lose two hits_en
+      Array[Byte]('a'.toByte, 0xc1.toByte, 0xa1.toByte, 'a'.toByte),
+      // overlong 3-byte '/' (0xE0 0x80 0xAF)
+      Array[Byte]('t'.toByte, 'o'.toByte, 0xe0.toByte, 0x80.toByte,
+        0xaf.toByte, 't'.toByte, 'o'.toByte),
+      // CESU-8 high surrogate U+D800 (0xED 0xA0 0x80)
+      Array[Byte]('i'.toByte, 's'.toByte, 0xed.toByte, 0xa0.toByte,
+        0x80.toByte, 'i'.toByte, 's'.toByte),
+      // past U+10FFFF: 0xF4 0x90 0x80 0x80 = cp 0x110000
+      Array[Byte]('o'.toByte, 'f'.toByte, 0xf4.toByte, 0x90.toByte,
+        0x80.toByte, 0x80.toByte, 'o'.toByte, 'f'.toByte))
     val df = cases.toDF("raw").select(col("raw").cast("string").as("text"))
     val sig = TextAnalysis.signals(col("text")).as("sig")
     val diff = df.select(col("text"), sig)
