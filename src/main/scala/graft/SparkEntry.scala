@@ -837,11 +837,15 @@ object SparkEntry {
     // §2.7 extension — grouped array aggregation (nested result type):
     // the per-key DISTINCT set, SORTED so the array value is
     // deterministic under any partitioning/arrival order. Partial
-    // aggregation combines the sets map-side.
+    // aggregation combines the sets map-side. The set is emitted as a
+    // comma-joined STRING, not a raw array: the driver's oracle harness
+    // sorts result rows with pandas, which cannot order numpy array
+    // cells (r5 `q_collect_list` err) — serializing keeps the value
+    // comparable while the aggregation under test is unchanged.
     "q_collect_list" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
           count(lit(1)).as("n_events"))
     }),
 
@@ -1044,9 +1048,15 @@ object SparkEntry {
     // Symmetric int8 embedding quantization (4× storage compression for
     // corpus-scale vector serving): map-only, no shuffle; rounding is the
     // engine-stable floor(y + 0.5) so the oracle reproduces every element.
+    // The codes array is emitted comma-joined (NULL elements as "null"):
+    // the driver's pandas-based compare cannot sort numpy array cells
+    // (r4/r5 `sim_quantize_int8` err), and the serialization is exact for
+    // integers so every element is still oracle-checked.
     "sim_quantize_int8" -> ((s, dir) => {
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
-        .select(col("vec_id"), col("scale"), col("q"))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"),
+            x => coalesce(x.cast("string"), lit("null"))), ",").as("q"))
     }),
 
     // Brute-force cosine top-k for a fixed query set (broadcast queries,
@@ -1579,10 +1589,10 @@ object SparkEntry {
                            list_max(list_transform(v, x -> abs(x))) AS scale
                     FROM e)
          SELECT vec_id, scale,
-                list_transform(v, x ->
-                  CASE WHEN scale = 0 THEN NULL
-                       ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)
-                  END) AS q
+                array_to_string(list_transform(v, x ->
+                  coalesce(CAST(CASE WHEN scale = 0 THEN NULL
+                                     ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)
+                                END AS VARCHAR), 'null')), ',') AS q
          FROM s""",
     // zero-norm vectors score NULL (engine drops them before ranking) —
     // same explicit convention as the cosine-pair oracles (r4 advice #4)
@@ -1894,7 +1904,8 @@ object SparkEntry {
          UNPIVOT src ON l_quantity, l_extendedprice, l_discount, l_tax
          INTO NAME metric VALUE value""",
     "q_collect_list" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      """SELECT user_id,
+                array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
                 COUNT(*) AS n_events
          FROM events GROUP BY user_id""",
     "q_percentile" ->

@@ -159,18 +159,25 @@ object Dedup {
     * pairwise output alone over-deletes when A~B and B~C but the pipeline
     * drops both B and C against different keepers).
     *
-    * Algorithm: iterative min-label propagation (the HashToMin family —
-    * "Connected Components in MapReduce and Beyond", Rastogi et al.,
-    * public literature): each round every node takes the min of its own
-    * label and its neighbors' labels. One hash-partitioned equi-join +
-    * partial-aggregated groupBy per round — no all-pairs, no driver
-    * state; rounds = cluster diameter, and near-dup clusters are shallow
-    * (a duplicate web page does not form a 50-hop chain), so the loop is
-    * bounded by `maxIter` with a loud failure rather than a silent
-    * wrong answer if a pathological graph exceeds it. Converged labels
-    * are detected with one count per round (the same driver-side loop
-    * shape GraphX/GraphFrames use); each round's labels are persisted and
-    * the previous round's unpersisted so lineage and memory stay bounded.
+    * Algorithm: min-label propagation WITH pointer jumping (the HashToMin
+    * family — "Connected Components in MapReduce and Beyond", Rastogi et
+    * al., public literature). Each round every node takes the min of (its
+    * own label, its neighbors' labels, its label's label): the third term
+    * is the pointer jump — labels chase their own target through the
+    * current label map, so label reach DOUBLES per round and convergence
+    * is O(log diameter) rounds instead of O(diameter). That matters
+    * twice: a pathological near-dup chain (paginated boilerplate) no
+    * longer costs one full shuffle round per hop, and the driver loop
+    * issues ~4 jobs for any realistic cluster shape instead of ~15.
+    * Per round: one hash-partitioned equi-join + partial-aggregated
+    * groupBy (neighbor min) and one self-join of the label map (jump) —
+    * no all-pairs, no driver state. Convergence is detected from a flag
+    * computed IN the same row (`improved` = new < old), so materializing
+    * the round's labels and testing the fixpoint is ONE action with no
+    * extra join. The loop is bounded by `maxIter` with a loud failure
+    * rather than a silent wrong answer (2^maxIter diameter headroom);
+    * each round's labels are persisted and the previous round's
+    * unpersisted so lineage and memory stay bounded.
     *
     * Returns (doc_id, canon_id) for every node that appears in an edge;
     * callers left-join singletons back with canon_id = doc_id. */
@@ -180,39 +187,57 @@ object Dedup {
       bCol: String,
       maxIter: Int = 20): DataFrame = {
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // localCheckpoint (eager), NOT persist: `labels` appears THREE times in
+    // each round's plan (neighbor-min, hop, jump), so with lineage intact
+    // the logical plan would grow 3^round copies of the full edge-derivation
+    // subtree — measured as seconds of DRIVER analysis/optimization time by
+    // round 2 even with every round's data cached. Checkpointing truncates
+    // the plan to the materialized partitions, so per-round plan size (and
+    // driver overhead) is CONSTANT regardless of round count. The
+    // materialized label map is one row per edge-participating node, stored
+    // across executors (MEMORY_AND_DISK) — scales horizontally.
     val sym = fwd.unionByName(
         edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       // neighbor minima: edge (src ← dst's label), then min over src's
       // neighborhood — partial aggregation combines map-side
       val nbrMin = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, "node")
-        .select(col("node"), least(col("label"), col("nbr_min")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one action per round: did any label improve?
-      val changed = next.alias("n")
-        .join(labels.alias("p"), col("n.node") === col("p.node"))
-        .where(col("n.label") < col("p.label"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
+      // pointer jump: resolve each node's CANDIDATE label one more hop
+      // through the current map. Every label value is itself a node of the
+      // same component (labels only ever flow from reachable nodes), so
+      // the inner join is total.
+      val hop = labels.join(nbrMin, "node")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), col("nbr_min")).as("l1"))
+      val jump = labels.select(col("node").as("l1"), col("label").as("l2"))
+      // eager checkpoint materializes the round; the convergence flag is
+      // computed IN the row, so testing the fixpoint reads checkpointed
+      // partitions — no extra join, no lineage growth
+      val next = hop.join(jump, "l1")
+        .select(col("node"), least(col("l1"), col("l2")).as("label"),
+          (least(col("l1"), col("l2")) < col("old")).as("improved"))
+        .localCheckpoint()
+      val changed = next.where(col("improved")).limit(1).count()
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(f"[cc] round $iter: changed=$changed in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0L
       iter += 1
     }
     require(converged,
       s"connectedComponents: no fixpoint after $maxIter rounds — " +
         "cluster diameter exceeds the bound; raise maxIter")
-    sym.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
   }
 
