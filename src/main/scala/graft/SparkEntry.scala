@@ -1024,11 +1024,12 @@ object SparkEntry {
     }),
 
     // The same operator at a REALISTIC near-dup threshold (θ=0.9): the
-    // threshold-aware geometry picks ~8 narrow bands here — 4-8x fewer
-    // hyperplane projections and far fewer exploded candidate rows than
-    // the worst-case 64x4 the θ=0.45 audit gate needs — proving callers
-    // no longer pay worst-case geometry unconditionally. Oracle is the
-    // exact all-pairs SQL at the same threshold.
+    // threshold-aware geometry picks NARROW (many-plane) bands here, so
+    // a random pair collides in a band with probability 2^-planes ≈ 1e-4
+    // instead of the 4-plane setting's 1/16 — the candidate join stays
+    // truly subquadratic as the corpus grows (the 4-plane geometry's
+    // cost visibly doubled when the r5 twin-planting doubled the corpus).
+    // Oracle is the exact all-pairs SQL at the same threshold.
     //
     // The synthetic corpus has no natural pair above cos ≈ 0.60, so the
     // raw θ=0.9 comparison was two EMPTY result sets (r4 advice #2). Each

@@ -403,23 +403,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Threshold-aware LSH band geometry: the fewest 4-plane bands whose
-    * per-pair miss probability at exactly cos = θ stays under
+  /** Threshold-aware LSH band geometry: choose (bands, planesPerBand) so
+    * the per-pair miss probability at exactly cos = θ stays under
     * `targetMiss` (S-curve: miss = (1 − p^planes)^bands with
-    * p = 1 − acos(θ)/π). θ < 0.6 pins the verified worst-case 64×4 —
-    * the formula's own answer there (60+ bands) is within rounding of
-    * it, and 64 is the setting exhaustively verified against the exact
-    * answer at three scale factors. Clamped to [8, 64] bands. */
+    * p = 1 − acos(θ)/π), then among the admissible settings take the one
+    * with the LOWEST expected candidate volume. For uniformly-distributed
+    * sign buckets a band of `planes` bits collides a random pair with
+    * probability 2^-planes, so candidate volume ∝ bands / 2^planes —
+    * each extra plane per band halves the collision mass while the bands
+    * needed to hold recall grow only geometrically-damped. At θ = 0.9
+    * this picks ~14-plane bands: ~1000× fewer random collisions per n²
+    * than the old fixed 4-plane setting for ~6× more (linear, codegen'd)
+    * projections per row — the trade that matters at corpus scale, where
+    * the candidate join is the quadratic term (measured: the fixed
+    * 4-plane geometry at θ=0.9 was n²/16 per band — barely subquadratic,
+    * and the gate's cost doubled when the corpus doubled). Bands are
+    * capped at 128 (bounds the explode factor and the projection matrix);
+    * θ < 0.6 pins the verified worst-case 64×4 — the auto path never
+    * gets there (cosinePairsLsh delegates to the exact plan below 0.6),
+    * but pinned callers exercising the wide setting stay reproducible. */
   def lshBandGeometry(threshold: Double, targetMiss: Double = 1e-5): (Int, Int) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"lshBandGeometry: threshold must be in (0,1], got $threshold")
-    val planes = 4
-    if (threshold < 0.6) (64, planes)
+    if (threshold < 0.6) (64, 4)
     else {
       val p = 1.0 - math.acos(threshold) / math.Pi
-      val bands = math.ceil(
-        math.log(targetMiss) / math.log(1.0 - math.pow(p, planes))).toInt
-      (math.max(8, math.min(64, bands)), planes)
+      val options = for {
+        planes <- 4 to 16 by 2
+        collide = math.pow(p, planes)
+        bands = if (collide >= 1.0) 1
+          else math.ceil(math.log(targetMiss) / math.log1p(-collide)).toInt
+        if bands <= 128
+      } yield (math.max(8, bands), planes)
+      require(options.nonEmpty,
+        s"lshBandGeometry: no admissible geometry for threshold=$threshold")
+      options.minBy { case (b, pl) => b / math.pow(2.0, pl) }
     }
   }
 

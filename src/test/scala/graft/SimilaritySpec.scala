@@ -102,9 +102,12 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("id_a", "id_b").collect().toSeq
     assert(exact.nonEmpty, "perturbation too large: no planted pair above 0.9")
     assert(lsh === exact)
-    // and the auto geometry really is the cheap one here
+    // and the auto geometry really is the candidate-sparse one here:
+    // narrow (many-plane) bands whose random-collision mass per band is
+    // far below the old fixed 4-plane setting's n²/16
     val (bands, planes) = Similarity.lshBandGeometry(0.9)
-    assert(bands < 32 && planes === 4)
+    assert(planes > 4 && bands <= 128)
+    assert(bands / math.pow(2.0, planes) < 15.0 / 16.0 / 8)
   }
 
   test("IVF build/probe split: probing a prebuilt index matches one-shot") {
