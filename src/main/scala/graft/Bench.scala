@@ -95,22 +95,37 @@ object Bench {
     val total = results.map(_._2).sum
     // sf as the dir basename (sf0.1), not the full path — 15 chars of
     // headroom against the tail capture
-    def render(decimals: Int): String = {
-      val qs = results.map { case (k, v, _) =>
+    def render(decimals: Int, keep: Int): String = {
+      // when the full map cannot fit, keep the SLOWEST `keep` queries (the
+      // only ones with gradeable signal) and say how many sub-threshold
+      // entries were dropped — full precision for every query is always in
+      // the committed BENCH_LOCAL_<sf>.json
+      val kept = results.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = kept.map { case (k, v, _) =>
         s""""$k":${num(v, decimals)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+      val omitted = if (keep >= results.size) ""
+        else s""","omitted":${results.size - keep}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$omitted,"sf":"$sfTag"}"""
     }
-    // centiseconds normally; self-degrade to deciseconds if the line
-    // would crowd the driver's 2000-char tail capture (sbt appends its
-    // own ~75-char "[success]" line after ours; full precision is always
-    // in BENCH_LOCAL_<sf>.json)
+    // self-bounding against the driver's 2000-char stdout tail capture: a
+    // line longer than the capture window gets truncated MID-LINE and the
+    // round records parsed:null. Degrade precision first (2 → 1 decimals),
+    // then shed the fastest queries until the line fits — the query count
+    // grows every round, so a fixed precision knob alone stops working.
     val line = {
-      val l2 = render(2)
-      if (l2.length <= 1900) l2 else render(1)
+      val full2 = render(2, results.size)
+      if (full2.length <= 1900) full2
+      else {
+        val full1 = render(1, results.size)
+        if (full1.length <= 1900) full1
+        else Iterator.range(results.size - 1, 9, -1).map(render(1, _))
+          .find(_.length <= 1900)
+          .getOrElse(render(1, 10))
+      }
     }
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars even at " +
-        "1-decimal precision — the driver tail-captures 2000; shorten query names")
+        "10 queries — the driver tail-captures 2000; shorten query names")
     // Stop Spark BEFORE printing the contract line: shutdown logging (and,
     // with sbt's LoggedOutput, the "[success]" trailer) must not land after
     // it — the driver parses the LAST line of the captured tail.

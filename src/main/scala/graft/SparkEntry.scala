@@ -1010,6 +1010,32 @@ object SparkEntry {
           coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
     }),
 
+    // Canonical selection by QUALITY, not min-id: per near-dup cluster,
+    // keep the highest-quality member (doc_id breaks exact quality ties)
+    // — what a production dedup actually ships, since the lowest id is
+    // arbitrarily often the worst copy. Clusters come from the same
+    // pointer-jumping CC as dedup_cluster_cc; the keeper is one
+    // partial-aggregated max(struct(quality, doc_id)) per cluster — no
+    // window over the corpus, no skew on singleton clusters. Quality is
+    // the text_quality expression, already proven IEEE-identical to the
+    // oracle.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val member = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+      val q = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      member.join(q, "doc_id")
+        .groupBy(col("canon_id"))
+        .agg(max(struct(col("quality"), col("doc_id"))).as("m"))
+        .select(col("canon_id"), col("m.doc_id").as("keep_id"),
+          col("m.quality").as("keep_quality"))
+    }),
+
     // Embedding near-dup pairs at a LOOSE audit threshold (0.45). The
     // auto plan here is the exact-verify cross join: at θ < 0.6 no
     // hyperplane-LSH geometry prunes (the 64×4 banding that holds recall
@@ -1196,6 +1222,54 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.signals(col("text")).getField("n_words").as("toks"))
       Corpus.packTokenBudget(docs, "doc_id", "toks", budget = 512L, nShards = 8)
+    }),
+
+    // Benchmark decontamination: distinct 8-gram overlap between every
+    // train doc and the eval split (doc_id % 13 = 0). The clean synthetic
+    // corpus shares few long n-grams naturally, so a contaminating
+    // sentence is PLANTED deterministically into the eval split and a
+    // disjoint slice of train docs (both engines synthesize the identical
+    // string — same trick as pii_scrub/dedup_normalized), guaranteeing the
+    // gate compares non-empty results at every scale factor. Eval shingles
+    // broadcast; the corpus side is one linear explode — see
+    // Dedup.contamination for the 100 TB shape.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seeded = docs.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0 || col("doc_id") % 10 === 3,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog tonight")))
+          .otherwise(col("text")).as("text"))
+      Dedup.contamination(seeded, "doc_id", "text",
+        col("doc_id") % 13 === 0, shingleLen = 8)
+    }),
+
+    // Training-mix resampling weights: per-source token share and the
+    // multiplier that rebalances to a uniform mix (weight > 1 ⇒ upsample).
+    // One partial-aggregated groupBy over the corpus; the window runs over
+    // the AGGREGATED per-source rows (a handful), not the data. Every
+    // double op mirrors the oracle op-for-op (exact long sums, one cast,
+    // one divide) so the ratios are IEEE-identical.
+    "corpus_mix_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select(col("source"),
+        TextAnalysis.signals(col("text")).getField("n_words").cast("long").as("toks"))
+      val agg = toks.groupBy(col("source")).agg(sum(col("toks")).as("toks"))
+      val w = Window.partitionBy()
+      val share = col("toks").cast("double") / sum(col("toks")).over(w).cast("double")
+      agg.select(col("source"), col("toks"), share.as("share"),
+        ((lit(1.0) / count(lit(1)).over(w)) / share).as("weight"))
+    }),
+
+    // Language-audit: docs whose DECLARED lang disagrees with the n-gram
+    // detector (the metadata-vs-content consistency check run before
+    // language-stratified sampling trusts either). Map-only scan — the
+    // fused text_signals pass feeds the detector, no second traversal.
+    "text_lang_mismatch" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("declared"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .where(col("pred_lang") =!= col("declared"))
     }),
 
     // Winnowing fingerprints (xxhash64-based: rows-only + spec).
@@ -1549,6 +1623,46 @@ object SparkEntry {
                        UNION ALL SELECT db FROM chain))
          SELECT n.doc_id AS doc_id, coalesce(cc.canon, n.doc_id) AS canon_id
          FROM nodes n LEFT JOIN cc ON cc.node = n.doc_id""",
+    // same transitive closure as dedup_cluster_cc (natural edges only),
+    // then per-cluster arg-max on (quality, doc_id) via a DESC row_number
+    // — lexicographic on the same IEEE doubles the text_quality oracle
+    // already matches bit-for-bit
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           t AS (SELECT doc_id,
+                        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1) ]) AS sh
+                 FROM s WHERE len(w) >= 3),
+           nat AS (SELECT a.doc_id AS da, b.doc_id AS db
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS a, db AS b FROM nat
+                     UNION ALL SELECT db, da FROM nat),
+           reach AS (SELECT a AS node, a AS lab FROM edges
+                     UNION
+                     SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node),
+           cc AS (SELECT node, min(lab) AS canon FROM reach GROUP BY node),
+           member AS (SELECT d.doc_id, coalesce(cc.canon, d.doc_id) AS canon_id
+                      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+           b AS (SELECT doc_id,
+                        length(text) AS n_chars,
+                        len(string_split(text, ' ')) AS n_words,
+                        len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+                 FROM documents),
+           q AS (SELECT doc_id,
+                        least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                        least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                        CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality
+                 FROM b),
+           r AS (SELECT m.canon_id, q.doc_id, q.quality,
+                        row_number() OVER (PARTITION BY m.canon_id
+                                           ORDER BY q.quality DESC, q.doc_id DESC) AS rn
+                 FROM member m JOIN q USING (doc_id))
+         SELECT canon_id, doc_id AS keep_id, quality AS keep_quality
+         FROM r WHERE rn = 1""",
     // NULL-on-zero convention (r4 advice #4): the engine maps zero-norm
     // cosines to NULL via try_divide; plain DuckDB division would give
     // NaN, and DuckDB sorts/compares NaN GREATER than any value, so the
@@ -1672,6 +1786,52 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
                CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
                          WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 100 END""",
+    // same planted-contamination synthesis as the Spark side; the 8-gram
+    // comprehension is stop-exclusive range(1, len-6) = Spark's
+    // sequence(0, size-8) shingle starts
+    "text_decontaminate" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0 OR doc_id % 10 = 3
+                       THEN text || ' the quick brown fox jumps over the lazy dog tonight'
+                       ELSE text END AS text
+           FROM documents),
+           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded),
+           t AS (SELECT doc_id,
+                        list_distinct([ w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                                        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+                                        for i in range(1, len(w)-6) ]) AS sh
+                 FROM s WHERE len(w) >= 8),
+           ev AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id % 13 = 0),
+           tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE doc_id % 13 <> 0)
+         SELECT tr.doc_id AS doc_id, COUNT(DISTINCT tr.g) AS n_hits
+         FROM tr JOIN ev ON tr.g = ev.g
+         GROUP BY tr.doc_id""",
+    // double ops mirror the Spark side op-for-op: exact long sums, one
+    // cast each, one divide (share), then (1.0/n)/share for the weight
+    "corpus_mix_weights" ->
+      """WITH b AS (SELECT source, len(string_split(text, ' ')) AS toks FROM documents),
+              a AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS toks FROM b GROUP BY source)
+         SELECT source, toks,
+                CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS DOUBLE) AS share,
+                (1.0 / COUNT(*) OVER ()) /
+                  (CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS DOUBLE)) AS weight
+         FROM a""",
+    "text_lang_mismatch" ->
+      """WITH h AS (SELECT doc_id, lang, text,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es
+              FROM documents),
+              l AS (SELECT doc_id, lang AS declared,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS pred_lang
+              FROM h)
+         SELECT doc_id, declared, pred_lang FROM l WHERE pred_lang <> declared""",
     "text_quality" ->
       """WITH b AS (SELECT doc_id,
                 length(text) AS n_chars,

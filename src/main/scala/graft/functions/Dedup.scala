@@ -241,6 +241,34 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
   }
 
+  /** Benchmark decontamination: for every NON-eval document, the number of
+    * distinct word n-grams it shares with the eval set — the train/test
+    * contamination check every LLM training pipeline runs before a corpus
+    * ships (docs with n_hits > 0 are quarantined or stripped).
+    *
+    * Shape: the eval side's distinct shingle set is SMALL by construction
+    * (benchmarks are thousands of documents, the corpus is billions), so it
+    * broadcasts — the train side is one linear explode probed against the
+    * broadcast hash set, no shuffle until the per-doc count aggregation
+    * (partial map-side). A 100 TB corpus pays one scan; nothing quadratic,
+    * nothing driver-side. */
+  def contamination(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalPred: Column,
+      shingleLen: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+    val evalGrams = sh.where(col("is_eval"))
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = sh.where(!col("is_eval"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    train.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+  }
+
   /** Exact n-gram Jaccard pairs via shingle explode + equi-join — the
     * SQL-expressible exact path (oracle-checked). Cost is quadratic only
     * within groups sharing a shingle; for corpora with heavy-hitter

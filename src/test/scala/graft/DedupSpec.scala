@@ -109,4 +109,23 @@ class DedupSpec extends AnyFunSuite {
       .where(col("canon_id") === 1L).count()
     assert(ok === 5L)
   }
+
+  test("contamination: shared n-grams counted per train doc; eval side broadcasts") {
+    import spark.implicits._
+    // eval doc 100 = "a b c d e f"; train doc 1 shares the 4-grams starting
+    // at a and b (2 hits), train doc 2 shares none, train doc 3 is an exact
+    // copy (3 distinct 4-grams, all hits)
+    val docs = Seq(
+      (100L, "a b c d e f"),
+      (1L, "z a b c d e y"),
+      (2L, "p q r s t u v"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.contamination(docs, "doc_id", "text",
+        col("doc_id") >= 100L, shingleLen = 4)
+    val m = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 2L, 3L -> 3L))
+    // the eval shingle set must be the BROADCAST side — a 100 TB corpus
+    // never shuffles for the probe
+    assert(got.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
 }
