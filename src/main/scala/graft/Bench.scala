@@ -96,15 +96,16 @@ object Bench {
     // sf as the dir basename (sf0.1), not the full path — 15 chars of
     // headroom against the tail capture
     def render(decimals: Int, keep: Int): String = {
-      // when the full map cannot fit, keep the SLOWEST `keep` queries (the
-      // only ones with gradeable signal) and say how many sub-threshold
-      // entries were dropped — full precision for every query is always in
-      // the committed BENCH_LOCAL_<sf>.json
-      val kept = results.sortBy(-_._2).take(keep).sortBy(_._1)
-      val qs = kept.map { case (k, v, _) =>
+      // when the full map cannot fit, keep the SLOWEST `keep` HEALTHY
+      // queries (failed queries' elapsed times are garbage — ranking on
+      // them would let a 30 s OOM claim a slot a real timing deserves)
+      // and say how many entries were dropped — full precision for every
+      // healthy query is always in the committed BENCH_LOCAL_<sf>.json
+      val kept = healthy.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = kept.map { case (k, v) =>
         s""""$k":${num(v, decimals)}""" }.mkString("{", ",", "}")
-      val omitted = if (keep >= results.size) ""
-        else s""","omitted":${results.size - keep}"""
+      val omitted = if (kept.size >= results.size) ""
+        else s""","omitted":${results.size - kept.size}"""
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$omitted,"sf":"$sfTag"}"""
     }
     // self-bounding against the driver's 2000-char stdout tail capture: a

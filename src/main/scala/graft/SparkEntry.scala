@@ -1225,23 +1225,26 @@ object SparkEntry {
     }),
 
     // Benchmark decontamination: distinct 8-gram overlap between every
-    // train doc and the eval split (doc_id % 13 = 0). The clean synthetic
-    // corpus shares few long n-grams naturally, so a contaminating
-    // sentence is PLANTED deterministically into the eval split and a
-    // disjoint slice of train docs (both engines synthesize the identical
-    // string — same trick as pii_scrub/dedup_normalized), guaranteeing the
-    // gate compares non-empty results at every scale factor. Eval shingles
-    // broadcast; the corpus side is one linear explode — see
-    // Dedup.contamination for the 100 TB shape.
+    // train doc and the eval split. The eval split is a FIXED id range
+    // (doc_id < 40) — a benchmark suite is a fixed-size artifact, and the
+    // bounded split is what makes Dedup.contamination's broadcast side
+    // constant under corpus growth (a %-of-corpus split would grow the
+    // broadcast linearly and eventually OOM the driver). The clean
+    // synthetic corpus shares few long n-grams naturally, so a
+    // contaminating sentence is PLANTED deterministically into the eval
+    // split and a disjoint slice of train docs (both engines synthesize
+    // the identical string — same trick as pii_scrub/dedup_normalized),
+    // guaranteeing the gate compares non-empty results at every scale
+    // factor.
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val seeded = docs.select(col("doc_id"),
-        when(col("doc_id") % 13 === 0 || col("doc_id") % 10 === 3,
+        when(col("doc_id") < 40 || col("doc_id") % 10 === 3,
           concat(col("text"),
             lit(" the quick brown fox jumps over the lazy dog tonight")))
           .otherwise(col("text")).as("text"))
       Dedup.contamination(seeded, "doc_id", "text",
-        col("doc_id") % 13 === 0, shingleLen = 8)
+        col("doc_id") < 40, shingleLen = 8)
     }),
 
     // Training-mix resampling weights: per-source token share and the
@@ -1268,7 +1271,8 @@ object SparkEntry {
     "text_lang_mismatch" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("declared"),
-          TextAnalysis.langId(col("text")).as("pred_lang"))
+          TextAnalysis.langIdFromSignals(
+            TextAnalysis.signals(col("text"))).as("pred_lang"))
         .where(col("pred_lang") =!= col("declared"))
     }),
 
@@ -1652,14 +1656,20 @@ object SparkEntry {
                         len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
                         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
                  FROM documents),
+           -- NULLIF mirrors the engine's try_divide NULL-on-zero (a
+           -- zero-length text would otherwise be NaN here, and DuckDB
+           -- sorts NaN GREATER than any value while Spark's struct max
+           -- ranks the NULL-quality row last — the divergence would
+           -- SELECT the keeper, not just shade a value)
            q AS (SELECT doc_id,
                         least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
                         least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
-                        CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality
+                        CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality
                  FROM b),
            r AS (SELECT m.canon_id, q.doc_id, q.quality,
                         row_number() OVER (PARTITION BY m.canon_id
-                                           ORDER BY q.quality DESC, q.doc_id DESC) AS rn
+                                           ORDER BY q.quality DESC NULLS LAST,
+                                                    q.doc_id DESC) AS rn
                  FROM member m JOIN q USING (doc_id))
          SELECT canon_id, doc_id AS keep_id, quality AS keep_quality
          FROM r WHERE rn = 1""",
@@ -1792,7 +1802,7 @@ object SparkEntry {
     "text_decontaminate" ->
       """WITH seeded AS (
            SELECT doc_id,
-                  CASE WHEN doc_id % 13 = 0 OR doc_id % 10 = 3
+                  CASE WHEN doc_id < 40 OR doc_id % 10 = 3
                        THEN text || ' the quick brown fox jumps over the lazy dog tonight'
                        ELSE text END AS text
            FROM documents),
@@ -1802,8 +1812,8 @@ object SparkEntry {
                                         w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
                                         for i in range(1, len(w)-6) ]) AS sh
                  FROM s WHERE len(w) >= 8),
-           ev AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id % 13 = 0),
-           tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE doc_id % 13 <> 0)
+           ev AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id < 40),
+           tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE doc_id >= 40)
          SELECT tr.doc_id AS doc_id, COUNT(DISTINCT tr.g) AS n_hits
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id""",

@@ -176,11 +176,17 @@ object Dedup {
     * the round's labels and testing the fixpoint is ONE action with no
     * extra join. The loop is bounded by `maxIter` with a loud failure
     * rather than a silent wrong answer (2^maxIter diameter headroom);
-    * each round's labels are persisted and the previous round's
-    * unpersisted so lineage and memory stay bounded.
+    * each round's labels are checkpointed and the previous round's
+    * checkpoint blocks explicitly freed, so lineage AND storage stay
+    * bounded at two label maps regardless of round count.
     *
     * Returns (doc_id, canon_id) for every node that appears in an edge;
     * callers left-join singletons back with canon_id = doc_id. */
+  private def checkpointBlocks(ds: org.apache.spark.sql.Dataset[_]) =
+    ds.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
@@ -196,6 +202,13 @@ object Dedup {
     // driver overhead) is CONSTANT regardless of round count. The
     // materialized label map is one row per edge-participating node, stored
     // across executors (MEMORY_AND_DISK) — scales horizontally.
+    //
+    // Checkpoint blocks bypass the CacheManager (catalog.clearCache() does
+    // NOT free them), so each round's blocks are released EXPLICITLY via
+    // the LogicalRDD handle once the next round is materialized — without
+    // that, a long session pins O(rounds) label maps + the edge set until
+    // some future GC runs the ContextCleaner. Only the final round's
+    // blocks stay alive: the returned DataFrame reads them.
     val sym = fwd.unionByName(
         edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -231,6 +244,9 @@ object Dedup {
       val changed = next.where(col("improved")).limit(1).count()
       if (sys.env.contains("GRAFT_CC_TRACE"))
         System.err.println(f"[cc] round $iter: changed=$changed in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // `next` is materialized — the previous round's checkpoint blocks
+      // are dead now; free them instead of waiting for a GC
+      checkpointBlocks(labels).foreach(_.unpersist(false))
       labels = next.select(col("node"), col("label"))
       converged = changed == 0L
       iter += 1
@@ -238,6 +254,7 @@ object Dedup {
     require(converged,
       s"connectedComponents: no fixpoint after $maxIter rounds — " +
         "cluster diameter exceeds the bound; raise maxIter")
+    checkpointBlocks(sym).foreach(_.unpersist(false))
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
   }
 

@@ -362,19 +362,23 @@ object Similarity {
       planesPerBand: Int = 0,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    // Geometry is pinned BOTH-OR-NEITHER: bands and planesPerBand are only
+    // coherent as a pair (the auto band count is sized for the auto plane
+    // count — 95 bands meant for 14-plane buckets combined with pinned
+    // 4-plane bands would admit ~all pairs as candidates AND explode rows
+    // 95×, strictly worse than the exact join).
+    require((bands > 0) == (planesPerBand > 0),
+      s"cosinePairsLsh: pin both bands and planesPerBand or neither " +
+        s"(got bands=$bands, planesPerBand=$planesPerBand)")
     // Auto geometry only when the caller didn't pin it: lshBandGeometry
     // requires threshold in (0,1), but explicit (bands, planesPerBand)
     // must keep working for any threshold (e.g. 1.0 = exact-duplicate
     // verify), so it must not be evaluated eagerly.
-    if (bands <= 0 && planesPerBand <= 0 && threshold < 0.6)
+    if (bands <= 0 && threshold < 0.6)
       return cosinePairsExact(emb, idCol, vecCol, threshold) // see scaladoc
     val (nBands, nPlanes) =
-      if (bands > 0 && planesPerBand > 0) (bands, planesPerBand)
-      else {
-        val (autoBands, autoPlanes) = lshBandGeometry(threshold)
-        (if (bands > 0) bands else autoBands,
-          if (planesPerBand > 0) planesPerBand else autoPlanes)
-      }
+      if (bands > 0) (bands, planesPerBand)
+      else lshBandGeometry(threshold)
     // base feeds banding + both sides of the verify join — persist once
     // (same discipline as minHashLshPairs; Bench/Verify clear per query).
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),

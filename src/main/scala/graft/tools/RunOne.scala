@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * of the driver contract — exists so a single hotspot can be profiled
   * without paying the full Bench sweep.
   *
-  * usage: runMain graft.tools.RunOne <queryName> [sfDir] [explain|count N]
+  * usage: runMain graft.tools.RunOne <queryName> [sfDir] [explain] [runs=N]
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
