@@ -1010,6 +1010,29 @@ object SparkEntry {
           coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
     }),
 
+    // Incremental ingest dedup: a synthesized "today's crawl" batch (every
+    // 11th doc re-ingested under a new id, half byte-identical to the
+    // corpus copy, half genuinely extended) anti-joined against the
+    // existing corpus's content hashes — the byte-identical half must
+    // vanish, the fresh half survives with an in-batch keep-min collapse.
+    // Both engines synthesize the identical batch (md5 parity is already
+    // proven by dedup_exact).
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh content"))).as("text"))
+      Dedup.incremental(batch, corpus, "doc_id", "text")
+    }),
+
+    // Per-label embedding centroids — deterministic sorted-fold audit form
+    // (see Similarity.labelCentroids for the sum/count scale path).
+    "sim_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+    }),
+
     // Canonical selection by QUALITY, not min-id: per near-dup cluster,
     // keep the highest-quality member (doc_id breaks exact quality ties)
     // — what a production dedup actually ships, since the lowest id is
@@ -1627,6 +1650,32 @@ object SparkEntry {
                        UNION ALL SELECT db FROM chain))
          SELECT n.doc_id AS doc_id, coalesce(cc.canon, n.doc_id) AS canon_id
          FROM nodes n LEFT JOIN cc ON cc.node = n.doc_id""",
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+              batch AS (SELECT doc_id + 500000 AS doc_id,
+                               CASE WHEN doc_id % 2 = 0 THEN text
+                                    ELSE text || ' fresh content' END AS text
+                        FROM corpus WHERE doc_id % 11 = 0),
+              bh AS (SELECT doc_id, md5(text) AS h FROM batch),
+              ch AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+         SELECT min(bh.doc_id) AS doc_id, bh.h AS h
+         FROM bh LEFT JOIN ch ON bh.h = ch.h
+         WHERE ch.h IS NULL
+         GROUP BY bh.h""",
+    // zipped UNNESTs give (0-based pos, value) pairs; list(... ORDER BY
+    // vec_id) + list_reduce is the same sorted left fold the Spark side
+    // runs, so the float means are bit-identical
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              x AS (SELECT label, vec_id,
+                           UNNEST(range(0, len(v))) AS pos,
+                           UNNEST(v) AS val
+                    FROM e),
+              g AS (SELECT label, pos, list(val ORDER BY vec_id) AS vs
+                    FROM x GROUP BY label, pos)
+         SELECT label, pos,
+                list_reduce(vs, (a, b) -> a + b) / len(vs) AS centroid
+         FROM g""",
     // same transitive closure as dedup_cluster_cc (natural edges only),
     // then per-cluster arg-max on (quality, doc_id) via a DESC row_number
     // — lexicographic on the same IEEE doubles the text_quality oracle

@@ -258,6 +258,27 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
   }
 
+  /** Incremental ingest dedup: which docs of a NEW batch are genuinely
+    * fresh against an EXISTING corpus — the daily-ingest step of a living
+    * training corpus (re-crawled pages must not re-enter). Content-hash
+    * anti-join: batch hashes against the corpus's distinct hash set, then
+    * an in-batch keep-min collapse (the batch itself may carry duplicates).
+    * Both joins are hash-partitioned equi-joins on the digest — the corpus
+    * side never broadcasts (it is the BIG side) and nothing is quadratic;
+    * in production the corpus hash set would be a bucketed table so the
+    * anti-join is exchange-free on re-ingest. */
+  def incremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bh = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val ch = corpus.select(md5(col(textCol)).as("h")).distinct()
+    bh.join(ch, Seq("h"), "left_anti")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("h"))
+  }
+
   /** Benchmark decontamination: for every NON-eval document, the number of
     * distinct word n-grams it shares with the eval set — the train/test
     * contamination check every LLM training pipeline runs before a corpus

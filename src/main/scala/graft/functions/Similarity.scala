@@ -463,6 +463,32 @@ object Similarity {
     * function lambdas), turning the map-only op O(d²) per row. Both
     * output columns reference the scale, so CollapseProject keeps the
     * two projections separate instead of re-inlining it. */
+  /** Per-label embedding centroids (class prototypes for nearest-centroid
+    * classification / cluster summaries), one row per (label, dimension).
+    *
+    * The mean is computed as a LEFT FOLD over the group's values sorted by
+    * vec_id, then one division — a fully deterministic float pipeline that
+    * the DuckDB oracle (`list(val ORDER BY vec_id)` + `list_reduce`)
+    * reproduces bit-for-bit; a plain SUM would be partition-order-
+    * dependent in the last ulps and unhashable cross-engine. This is the
+    * AUDIT form: it materializes each (label, dim) group as an array, so
+    * per-group memory is the label's corpus share. The scale path is the
+    * same query with sum/count partial aggregation (order-free, exact to
+    * ~1 ulp) — swap when the corpus outgrows collect_list, keep this as
+    * the small-slice verifier. */
+  def labelCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), col(idCol).as("vid"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("vid"), col("col")))).as("vs"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        (aggregate(transform(col("vs"), v => v.getField("col")),
+          lit(0.0), (a, x) => a + x) / size(col("vs"))).as("centroid"))
+
   def quantizeInt8(
       df: DataFrame,
       vecCol: String,

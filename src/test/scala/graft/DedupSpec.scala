@@ -110,6 +110,35 @@ class DedupSpec extends AnyFunSuite {
     assert(ok === 5L)
   }
 
+  test("connected components: intermediate checkpoint storage is freed") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+    assert(cc.where(col("canon_id") === 1L).count() === 12L)
+    // several propagation rounds ran; only the FINAL label map may remain
+    // pinned (checkpoint blocks bypass catalog.clearCache, so leaking the
+    // per-round maps would accumulate across a long session)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"expected <=1 surviving checkpoint RDD, got ${after - before}")
+  }
+
+  test("incremental: corpus-known content vanishes, fresh survives, batch dupes collapse") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // byte-identical to corpus doc 1 → dropped
+      (11L, "epsilon zeta"), // fresh
+      (12L, "epsilon zeta"), // in-batch dup of 11 → collapsed to min id
+      (13L, "eta theta")     // fresh
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(11L, 13L))
+  }
+
   test("contamination: shared n-grams counted per train doc; eval side broadcasts") {
     import spark.implicits._
     // eval doc 100 = "a b c d e f"; train doc 1 shares the 4-grams starting

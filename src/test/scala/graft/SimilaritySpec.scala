@@ -169,6 +169,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err < 1e-2, s"max cosine distortion $err")
   }
 
+  test("labelCentroids: exact means, bit-stable under repartitioning") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 4.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(tiny, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((0, 0L) -> 2.0, (0, 1L) -> 3.0, (1, 0L) -> 10.0, (1, 1L) -> 20.0))
+    // the sorted fold makes the float mean independent of physical layout
+    val a = Similarity.labelCentroids(emb, "vec_id", "embedding", "label")
+      .orderBy("label", "pos").collect().toSeq
+    val b = Similarity.labelCentroids(emb.repartition(7, col("vec_id")),
+        "vec_id", "embedding", "label")
+      .orderBy("label", "pos").collect().toSeq
+    assert(a === b)
+  }
+
   test("dot_product registered for SQL text queries") {
     graft.expressions.VectorFunctions.registerSql(spark)
     emb.createOrReplaceTempView("emb_v")
