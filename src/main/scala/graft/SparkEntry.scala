@@ -1287,6 +1287,25 @@ object SparkEntry {
         ((lit(1.0) / count(lit(1)).over(w)) / share).as("weight"))
     }),
 
+    // Token-rarity quality signal: per doc, the mean DOCUMENT FREQUENCY of
+    // its tokens — low values flag gibberish/rare-vocab docs, high values
+    // boilerplate (the distribution-tail filter that complements stopword
+    // ratios). Two aggregations over the exploded token stream (vocab df,
+    // then per-doc mean) — both partial-aggregated, shuffles carry
+    // (token)/(doc_id) keys only. All-integer until one final division,
+    // so the ratio is IEEE-identical cross-engine.
+    "text_rarity" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dfreq = toks.distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      toks.join(dfreq, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("df_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("df_sum").cast("double") / col("n_tokens").cast("double")).as("mean_df"))
+    }),
+
     // Language-audit: docs whose DECLARED lang disagrees with the n-gram
     // detector (the metadata-vs-content consistency check run before
     // language-stratified sampling trusts either). Map-only scan — the
@@ -1876,6 +1895,13 @@ object SparkEntry {
                 (1.0 / COUNT(*) OVER ()) /
                   (CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS DOUBLE)) AS weight
          FROM a""",
+    "text_rarity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
+              j AS (SELECT t.doc_id, d.df FROM w t JOIN df d USING (w))
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
+         FROM j GROUP BY doc_id""",
     "text_lang_mismatch" ->
       """WITH h AS (SELECT doc_id, lang, text,
                 len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
