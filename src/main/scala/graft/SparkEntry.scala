@@ -1682,8 +1682,11 @@ object SparkEntry {
          WHERE ch.h IS NULL
          GROUP BY bh.h""",
     // zipped UNNESTs give (0-based pos, value) pairs; list(... ORDER BY
-    // vec_id) + list_reduce is the same sorted left fold the Spark side
-    // runs, so the float means are bit-identical
+    // vec_id) + list_reduce over a PREPENDED 0.0 seed is the same
+    // zero-seeded sorted left fold the Spark side runs, so the float
+    // means are bit-identical (an unseeded list_reduce starts from the
+    // first element and would keep -0.0 on an all-negative-zero group
+    // where Spark's 0.0 seed yields +0.0)
     "sim_label_centroids" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               x AS (SELECT label, vec_id,
@@ -1693,7 +1696,7 @@ object SparkEntry {
               g AS (SELECT label, pos, list(val ORDER BY vec_id) AS vs
                     FROM x GROUP BY label, pos)
          SELECT label, pos,
-                list_reduce(vs, (a, b) -> a + b) / len(vs) AS centroid
+                list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / len(vs) AS centroid
          FROM g""",
     // same transitive closure as dedup_cluster_cc (natural edges only),
     // then per-cluster arg-max on (quality, doc_id) via a DESC row_number

@@ -263,10 +263,12 @@ object Dedup {
     * training corpus (re-crawled pages must not re-enter). Content-hash
     * anti-join: batch hashes against the corpus's distinct hash set, then
     * an in-batch keep-min collapse (the batch itself may carry duplicates).
-    * Both joins are hash-partitioned equi-joins on the digest — the corpus
-    * side never broadcasts (it is the BIG side) and nothing is quadratic;
-    * in production the corpus hash set would be a bucketed table so the
-    * anti-join is exchange-free on re-ingest. */
+    * The anti-join is a plain equi-join on the digest, so the planner
+    * picks the right physical form per scale: at test scale the distinct
+    * digest set is under the broadcast threshold and broadcasts; at corpus
+    * scale it exceeds it and the join hash-partitions on the digest —
+    * nothing quadratic either way. In production the corpus digest set
+    * would be a bucketed table so re-ingest anti-joins are exchange-free. */
   def incremental(
       batch: DataFrame,
       corpus: DataFrame,

@@ -463,19 +463,33 @@ object Similarity {
     * function lambdas), turning the map-only op O(d²) per row. Both
     * output columns reference the scale, so CollapseProject keeps the
     * two projections separate instead of re-inlining it. */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String,
+      scaleCol: String = "scale",
+      qCol: String = "q"): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    df.withColumn(scaleCol, array_max(transform(vd, x => abs(x))))
+      .withColumn(qCol, transform(vd, x =>
+        floor(try_divide(x * 127.0, col(scaleCol)) + 0.5).cast("int")))
+  }
+
   /** Per-label embedding centroids (class prototypes for nearest-centroid
     * classification / cluster summaries), one row per (label, dimension).
     *
-    * The mean is computed as a LEFT FOLD over the group's values sorted by
-    * vec_id, then one division — a fully deterministic float pipeline that
-    * the DuckDB oracle (`list(val ORDER BY vec_id)` + `list_reduce`)
-    * reproduces bit-for-bit; a plain SUM would be partition-order-
-    * dependent in the last ulps and unhashable cross-engine. This is the
-    * AUDIT form: it materializes each (label, dim) group as an array, so
-    * per-group memory is the label's corpus share. The scale path is the
-    * same query with sum/count partial aggregation (order-free, exact to
-    * ~1 ulp) — swap when the corpus outgrows collect_list, keep this as
-    * the small-slice verifier. */
+    * The mean is computed as a LEFT FOLD seeded with 0.0 over the group's
+    * values sorted by vec_id, then one division — a fully deterministic
+    * float pipeline that the DuckDB oracle reproduces bit-for-bit via
+    * `list(val ORDER BY vec_id)` + `list_reduce(list_prepend(0.0, vs))`
+    * (the prepended seed matters: an unseeded fold starts from the first
+    * ELEMENT, which diverges on an all-negative-zero group — +0.0 vs
+    * -0.0). A plain SUM would be partition-order-dependent in the last
+    * ulps and unhashable cross-engine. This is the AUDIT form: it
+    * materializes each (label, dim) group as an array, so per-group memory
+    * is the label's corpus share. The scale path is the same query with
+    * sum/count partial aggregation (order-free, exact to ~1 ulp) — swap
+    * when the corpus outgrows collect_list, keep this as the small-slice
+    * verifier. */
   def labelCentroids(
       df: DataFrame,
       idCol: String,
@@ -488,17 +502,6 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"),
         (aggregate(transform(col("vs"), v => v.getField("col")),
           lit(0.0), (a, x) => a + x) / size(col("vs"))).as("centroid"))
-
-  def quantizeInt8(
-      df: DataFrame,
-      vecCol: String,
-      scaleCol: String = "scale",
-      qCol: String = "q"): DataFrame = {
-    val vd = col(vecCol).cast("array<double>")
-    df.withColumn(scaleCol, array_max(transform(vd, x => abs(x))))
-      .withColumn(qCol, transform(vd, x =>
-        floor(try_divide(x * 127.0, col(scaleCol)) + 0.5).cast("int")))
-  }
 
   /** Exact all-pairs cosine above a threshold (near-dup audit). Quadratic:
     * bounded corpora only; [[cosinePairsLsh]] is the scale path. */
