@@ -212,9 +212,14 @@ object Dedup {
     val sym = fwd.unionByName(
         edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+    // init fuses what would be round 0: label₀ = min(node, min neighbor).
+    // One partial-aggregated groupBy over the edge set — it both dedups
+    // the node set (replacing a distinct) and gives every node its 1-hop
+    // minimum before the first join round runs.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
