@@ -928,6 +928,39 @@ object SparkEntry {
           TextAnalysis.qualityScoreFromSignals(col("sig")).as("quality")))
     }),
 
+    // The END-TO-END training-corpus build: pipe_clean_corpus plus the
+    // train/eval split and benchmark decontamination — train docs only,
+    // quality-gated, language-gated, exact-deduped (against the WHOLE
+    // corpus incl. eval, so a train copy of an eval doc dies twice), and
+    // stripped of anything sharing an 8-gram with the eval split. Same
+    // planted contamination as text_decontaminate so the stage provably
+    // removes rows at every scale factor. Per-row signals still come from
+    // the single fused traversal; the decontamination stage adds one
+    // broadcast probe + one anti-join — the whole pipeline stays one
+    // corpus scan plus hash-partitioned metadata joins.
+    "pipe_training_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seeded = docs.select(col("doc_id"),
+        when(col("doc_id") < 40 || col("doc_id") % 10 === 3,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog tonight")))
+          .otherwise(col("text")).as("text"))
+      val keep = seeded.groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val contaminated = Dedup.contamination(seeded, "doc_id", "text",
+          col("doc_id") < 40, shingleLen = 8)
+        .select(col("doc_id"))
+      seeded |>
+        (d => d.where(col("doc_id") >= 40)) |>
+        (d => d.select(col("doc_id"), TextAnalysis.signals(col("text")).as("sig"))) |>
+        (d => d.where(TextAnalysis.qualityScoreFromSignals(col("sig")) >= 0.5)) |>
+        (d => d.where(TextAnalysis.langIdFromSignals(col("sig")) === "en")) |>
+        (d => d.join(keep, Seq("doc_id"), "left_semi")) |>
+        (d => d.join(contaminated, Seq("doc_id"), "left_anti")) |>
+        (d => d.select(col("doc_id"), col("sig.n_words").as("ws_tokens"),
+          TextAnalysis.qualityScoreFromSignals(col("sig")).as("quality")))
+    }),
+
     // Exact dedup: hash-groupBy on a content fingerprint.
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -1607,6 +1640,50 @@ object SparkEntry {
          FROM q
          WHERE quality >= 0.5 AND pred_lang = 'en'
            AND q.doc_id IN (SELECT doc_id FROM k)""",
+    // the pipe_clean_corpus oracle plus the train split and the
+    // text_decontaminate shingle CTE, composed over the same seeded text
+    "pipe_training_corpus" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id < 40 OR doc_id % 10 = 3
+                       THEN text || ' the quick brown fox jumps over the lazy dog tonight'
+                       ELSE text END AS text
+           FROM documents),
+           b AS (SELECT doc_id, text,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM seeded),
+           q AS (SELECT doc_id, n_words,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(en AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS pred_lang
+              FROM b),
+           k AS (SELECT MIN(doc_id) AS doc_id FROM seeded GROUP BY MD5(text)),
+           s2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded),
+           t2 AS (SELECT doc_id,
+                         list_distinct([ w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                                         w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+                                         for i in range(1, len(w)-6) ]) AS sh
+                  FROM s2 WHERE len(w) >= 8),
+           ev AS (SELECT DISTINCT unnest(sh) AS g FROM t2 WHERE doc_id < 40),
+           contam AS (SELECT DISTINCT tr.doc_id
+                      FROM (SELECT doc_id, unnest(sh) AS g FROM t2 WHERE doc_id >= 40) tr
+                      JOIN ev ON tr.g = ev.g)
+         SELECT q.doc_id, n_words AS ws_tokens, quality
+         FROM q
+         WHERE q.doc_id >= 40 AND quality >= 0.5 AND pred_lang = 'en'
+           AND q.doc_id IN (SELECT doc_id FROM k)
+           AND q.doc_id NOT IN (SELECT doc_id FROM contam)""",
     "dedup_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               t AS (SELECT doc_id,
