@@ -21,6 +21,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Planted-contamination seeding SHARED by `text_decontaminate` and
+    * `pipe_training_corpus` (their DuckDB oracles mirror it verbatim —
+    * keep all three sites in lockstep): the eval split is the fixed id
+    * range doc_id < 40, and a disjoint train slice (doc_id % 10 = 3) gets
+    * the same planted sentence so contamination hits exist at every scale
+    * factor. */
+  private def seededDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") < 40 || col("doc_id") % 10 === 3,
+        concat(col("text"),
+          lit(" the quick brown fox jumps over the lazy dog tonight")))
+        .otherwise(col("text")).as("text"))
+
   /** Money columns in the testdata are exact 2-decimal values; computing in
     * DECIMAL makes Spark and the DuckDB oracle bit-identical (double
     * accumulation order / round-half ties differ between engines). Final
@@ -939,12 +952,12 @@ object SparkEntry {
     // broadcast probe + one anti-join — the whole pipeline stays one
     // corpus scan plus hash-partitioned metadata joins.
     "pipe_training_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val seeded = docs.select(col("doc_id"),
-        when(col("doc_id") < 40 || col("doc_id") % 10 === 3,
-          concat(col("text"),
-            lit(" the quick brown fox jumps over the lazy dog tonight")))
-          .otherwise(col("text")).as("text"))
+      // seeded feeds FOUR consumers (dedup keeper set, both contamination
+      // sides, the main signal scan) — persist once so the corpus is read
+      // once, same discipline as the LSH signature stages (Bench/Verify
+      // clear the cache per query)
+      val seeded = seededDocs(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keep = seeded.groupBy(md5(col("text").cast("binary")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val contaminated = Dedup.contamination(seeded, "doc_id", "text",
@@ -1293,13 +1306,7 @@ object SparkEntry {
     // guaranteeing the gate compares non-empty results at every scale
     // factor.
     "text_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val seeded = docs.select(col("doc_id"),
-        when(col("doc_id") < 40 || col("doc_id") % 10 === 3,
-          concat(col("text"),
-            lit(" the quick brown fox jumps over the lazy dog tonight")))
-          .otherwise(col("text")).as("text"))
-      Dedup.contamination(seeded, "doc_id", "text",
+      Dedup.contamination(seededDocs(t(s, dir, "documents")), "doc_id", "text",
         col("doc_id") < 40, shingleLen = 8)
     }),
 

@@ -303,8 +303,12 @@ object Dedup {
       textCol: String,
       evalPred: Column,
       shingleLen: Int = 8): DataFrame = {
+    // sh feeds both the eval-gram build and the train probe — persist so
+    // the corpus (and the 8-gram pass) is read once, same discipline as
+    // ngramJaccardPairs (callers clear the cache per query)
     val sh = docs.select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
       TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = sh.where(col("is_eval"))
       .select(explode(col("sh")).as("g")).distinct()
     val train = sh.where(!col("is_eval"))
