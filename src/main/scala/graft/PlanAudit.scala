@@ -11,7 +11,8 @@ object PlanAudit {
     "s1_scan_pushdown", "j1_join_inner", "q1_agg", "q_topk", "q3_shipping",
     "q_asof_join", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "sim_brute_topk", "j2_zipwith", "pipe_clean_corpus", "corpus_pack_budget",
-    "corpus_sample_hash")
+    "corpus_sample_hash", "text_decontaminate", "corpus_mix_weights",
+    "pipe_training_corpus", "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
