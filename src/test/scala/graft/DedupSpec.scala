@@ -125,6 +125,29 @@ class DedupSpec extends AnyFunSuite {
       s"expected <=1 surviving checkpoint RDD, got ${after - before}")
   }
 
+  test("contamination == brute-force shingle intersection on randomized docs") {
+    import spark.implicits._
+    // seeded random docs over a 10-word vocab, lengths 0..11 — covers
+    // empty docs, sub-shingle-length docs, and heavy natural overlap
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.contamination(docs, "doc_id", "text",
+        col("doc_id") < 10, shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(col("text"), 3).as("sh"), (col("doc_id") < 10).as("ev"))
+    val evalGrams = sh.where(col("ev"))
+      .select(explode(col("sh")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expect = sh.where(!col("ev")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet.count(evalGrams.contains).toLong)
+      .filter(_._2 > 0L).toMap
+    assert(got === expect)
+  }
+
   test("incremental: corpus-known content vanishes, fresh survives, batch dupes collapse") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
