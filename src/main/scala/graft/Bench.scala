@@ -91,8 +91,12 @@ object Bench {
     // together with sbt's trailing "[success]" line — inside the driver's
     // 2000-char tail capture or it records "parsed": null for the round.
     // centisecond precision: 1 char/query of headroom against the 2000-char
-    // tail capture (full precision lives in BENCH_LOCAL.json)
-    val total = results.map(_._2).sum
+    // tail capture (full precision lives in BENCH_LOCAL.json).
+    // Only HEALTHY timings enter the headline total — a failed query's
+    // elapsed (e.g. a 30 s OOM) is garbage and would inflate the number
+    // the driver records; failures are counted separately on the line.
+    val total = healthy.map(_._2).sum
+    val nFailed = results.count(!_._3)
     // sf as the dir basename (sf0.1), not the full path — 15 chars of
     // headroom against the tail capture
     def render(decimals: Int, keep: Int): String = {
@@ -104,9 +108,10 @@ object Bench {
       val kept = healthy.sortBy(-_._2).take(keep).sortBy(_._1)
       val qs = kept.map { case (k, v) =>
         s""""$k":${num(v, decimals)}""" }.mkString("{", ",", "}")
-      val omitted = if (kept.size >= results.size) ""
-        else s""","omitted":${results.size - kept.size}"""
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$omitted,"sf":"$sfTag"}"""
+      val omitted = if (kept.size >= healthy.size) ""
+        else s""","omitted":${healthy.size - kept.size}"""
+      val failed = if (nFailed == 0) "" else s""","failed":$nFailed"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$omitted$failed,"sf":"$sfTag"}"""
     }
     // self-bounding against the driver's 2000-char stdout tail capture: a
     // line longer than the capture window gets truncated MID-LINE and the

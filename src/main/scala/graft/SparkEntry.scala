@@ -1635,7 +1635,7 @@ object SparkEntry {
               q AS (SELECT doc_id, n_words,
                 least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
                 least(CAST(en AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
-                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality,
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality,
                 CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
                      WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
                      WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
@@ -1668,7 +1668,7 @@ object SparkEntry {
            q AS (SELECT doc_id, n_words,
                 least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
                 least(CAST(en AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
-                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality,
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality,
                 CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
                      WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
                      WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
@@ -2014,10 +2014,10 @@ object SparkEntry {
          SELECT doc_id, n_chars, n_words,
                 CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
                 CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
-                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) AS alpha_ratio,
                 least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
                 least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
-                CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3 AS quality
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality
          FROM b""",
     "text_normalize" ->
       """WITH messy AS (

@@ -260,7 +260,22 @@ object Dedup {
       s"connectedComponents: no fixpoint after $maxIter rounds — " +
         "cluster diameter exceeds the bound; raise maxIter")
     checkpointBlocks(sym).foreach(_.unpersist(false))
-    labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
+    // The final round's checkpoint blocks (which also carry the dead
+    // `improved` column) bypass the CacheManager — catalog.clearCache()
+    // would never reclaim them, so a long-lived session would pin one
+    // label map per connectedComponents call. Copy the labels into a
+    // CacheManager-managed persist, materialize it, then free the
+    // checkpoint blocks: the returned DataFrame reads the managed cache
+    // and is reclaimed by the caller's clearCache(). (Recomputation of
+    // the managed copy after the blocks are freed would fail, but
+    // MEMORY_AND_DISK spills rather than evicts — losing these blocks
+    // requires executor failure, which localCheckpoint itself already
+    // does not survive.)
+    val out = labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    checkpointBlocks(labels).foreach(_.unpersist(false))
+    out
   }
 
   /** Incremental ingest dedup: which docs of a NEW batch are genuinely
@@ -305,8 +320,12 @@ object Dedup {
       shingleLen: Int = 8): DataFrame = {
     // sh feeds both the eval-gram build and the train probe — persist so
     // the corpus (and the 8-gram pass) is read once, same discipline as
-    // ngramJaccardPairs (callers clear the cache per query)
-    val sh = docs.select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+    // ngramJaccardPairs (callers clear the cache per query).
+    // A NULL predicate must not drop the doc from BOTH sides (`where(p)`
+    // and `where(!p)` each discard NULLs) — normalize to false so every
+    // doc lands on exactly one side and is contamination-checked.
+    val sh = docs.select(col(idCol).as("doc_id"),
+      coalesce(evalPred, lit(false)).as("is_eval"),
       TextOps.shingles(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = sh.where(col("is_eval"))

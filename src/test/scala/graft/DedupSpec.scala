@@ -123,6 +123,13 @@ class DedupSpec extends AnyFunSuite {
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before <= 1,
       s"expected <=1 surviving checkpoint RDD, got ${after - before}")
+    // …and that survivor is CacheManager-managed (the final labels are
+    // copied into a managed persist; raw checkpoint blocks would bypass
+    // clearCache and pin one label map per call in a long session)
+    spark.catalog.clearCache()
+    val afterClear = spark.sparkContext.getPersistentRDDs.size
+    assert(afterClear - before <= 0,
+      s"clearCache left ${afterClear - before} unmanaged RDD(s) pinned")
   }
 
   test("contamination == brute-force shingle intersection on randomized docs") {
