@@ -33,6 +33,20 @@ object Bench {
         System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
+    // Machine calibration: the regression baseline file is shared between
+    // runs on DIFFERENT machines (the round driver's run lands in the same
+    // committed file as local runs, and its machine is ~1.4× slower), so
+    // raw cross-run ratios flag spurious "regressions" in both directions.
+    // A fixed CPU-bound workload (hash-reduce over a 200M range, min of 3)
+    // measures this machine's speed; ratios below are normalized by the
+    // calibration ratio so only genuine per-query slowdowns flag.
+    val cal = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // pmod keeps the ANSI sum far from long overflow (2e8 * 1e6 < 2^63)
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000)) s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Stable (sorted) execution order: Map iteration order shifts when
     // entries are added, which moves one-time JIT/codegen warmup between
     // queries and makes per-query times incomparable across rounds.
@@ -67,12 +81,16 @@ object Bench {
     // failed query's elapsed time is garbage that would both poison the
     // stored baseline and produce nonsense ratios against it
     val healthy = results.collect { case (k, v, true) => (k, v) }
-    val full = healthy.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val full = (("_cal", cal) +: healthy)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     java.nio.file.Files.write(prevFile.toPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (prev.nonEmpty) {
+      // normalize by relative machine speed: a query is only as "slower"
+      // as it degraded BEYOND what the calibration workload degraded
+      val speedRatio = prev.get("_cal").filter(_ > 0).map(cal / _).getOrElse(1.0)
       val ratios = healthy.flatMap { case (k, v) =>
-        prev.get(k).filter(_ > 0).map(p => (k, v, p, v / p)) }
+        prev.get(k).filter(_ > 0).map(p => (k, v, p, v / p / speedRatio)) }
       val deltas = ratios.map { case (k, _, _, r) => s""""$k":${num(r, 2)}""" }
         .mkString("{", ",", "}")
       val regressions = ratios.filter { case (k, v, _, r) => r > 1.5 && v > 0.5 }
@@ -81,7 +99,7 @@ object Bench {
         s"""{"query":"$k","sec":${num(v, 3)},"prev_sec":${num(p, 3)},"ratio":${num(r, 2)}}""" }
         .mkString("[", ",", "]")
       java.nio.file.Files.write(new java.io.File("BENCH_DELTAS.json").toPath,
-        s"""{"prev_ratio":$deltas,"regressions":$regJson}"""
+        s"""{"cal_sec":${num(cal, 3)},"machine_speed_vs_prev":${num(speedRatio, 3)},"prev_ratio":$deltas,"regressions":$regJson}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       regressions.foreach { case (k, v, p, r) =>
         System.err.println(f"[bench] REGRESSION $k: $v%.3fs vs $p%.3fs (${r}%.2fx)") }

@@ -17,6 +17,11 @@ object RunOne {
     val explain = args.contains("explain")
     val runs = args.collectFirst { case a if a.startsWith("runs=") =>
       a.stripPrefix("runs=").toInt }.getOrElse(1)
+    // warm=<dir>: run once at another scale first (the driver bench warms
+    // every query at sf0.001 before timing it at sf0.1 — reproduces the
+    // codegen/AQE state the measured run actually sees)
+    val warmDir = args.collectFirst { case a if a.startsWith("warm=") =>
+      a.stripPrefix("warm=") }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +31,12 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    warmDir.foreach { wd =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, wd).count()
+      println(f"[runone] $name warm ($wd): $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.catalog.clearCache()
+    }
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
