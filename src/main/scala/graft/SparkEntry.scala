@@ -1257,6 +1257,48 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Per-source (domain) cap: at most 10 docs per source, best quality
+    // first — the domain-diversity guard of every web-scale corpus. The
+    // k-bounded TopK Aggregator ranks (map-side combine, O(cap) state per
+    // source per partition); a row_number window would funnel each heavy
+    // domain onto one reducer. Oracle: the window form, equivalent for
+    // finite scores.
+    "corpus_source_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.sourceCap(docs, "source", "doc_id",
+        TextAnalysis.qualityScoreFromSignals(TextAnalysis.signals(col("text"))),
+        n = 10)
+    }),
+
+    // Unigram-LM cross-entropy quality signal (the KenLM-style fluency
+    // proxy): vocabulary built from the corpus itself, per-doc mean of
+    // -ln p(token) folded in position order for cross-engine bit
+    // stability.
+    "text_perplexity" -> ((s, dir) => {
+      TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Point-in-interval RANGE join, binned to an equi-join: clicks landing
+    // inside a 10-minute window after any error spike (value > 150).
+    // Spark's native plan for a pure BETWEEN predicate is
+    // BroadcastNestedLoopJoin — Θ(points × intervals) at corpus scale;
+    // Joins.rangeJoin quantizes both sides to binWidth-sized bins and
+    // hash-joins on the bin id (spec asserts no BNLJ in the plan).
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+      val spikes = ev.where(col("event_type") === "error" && col("value") > 150.0)
+        .select(col("event_id").as("spike_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + 600000000L).as("end_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("click_us"))
+      Joins.rangeJoin(clicks, spikes, "click_us", "start_us", "end_us",
+          binWidth = 600000000L)
+        .select(col("spike_id"), col("click_id"), col("user_id"),
+          (col("click_us") - col("start_us")).as("gap_us"))
+    }),
+
     // Text normalization pipeline: boilerplate-line strip → Unicode NFC →
     // case fold → whitespace collapse. The documents corpus is already
     // clean lowercase ASCII, so the gate SYNTHESIZES a messy form
@@ -1951,6 +1993,47 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
                CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
                          WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 100 END""",
+    // the TopK-Aggregator cap is equivalent to the window form for finite
+    // scores (score desc, doc_id asc is a total order)
+    "corpus_source_cap" ->
+      """WITH b AS (SELECT doc_id, source,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents),
+           q AS (SELECT doc_id, source,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS score
+              FROM b),
+           r AS (SELECT source, doc_id, score,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY score DESC, doc_id ASC) AS rk
+                 FROM q WHERE score IS NOT NULL)
+         SELECT source, doc_id, score, rk FROM r WHERE rk <= 10""",
+    "text_perplexity" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           tok AS (SELECT doc_id,
+                          unnest(range(1, len(ws) + 1)) AS pos,
+                          unnest(ws) AS w
+                   FROM s),
+           vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+           tot AS (SELECT COUNT(*) AS total FROM tok),
+           lp AS (SELECT doc_id, pos,
+                         -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS lp
+                  FROM tok JOIN vocab USING (w) CROSS JOIN tot),
+           g AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
+         SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+                list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps) AS xent
+         FROM g""",
+    "q_range_join" ->
+      """SELECT i.event_id AS spike_id, p.event_id AS click_id, p.user_id,
+                epoch_us(p.ts) - epoch_us(i.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'error' AND value > 150.0) i
+         JOIN (SELECT * FROM events WHERE event_type = 'click') p
+           ON epoch_us(p.ts) >= epoch_us(i.ts)
+          AND epoch_us(p.ts) <= epoch_us(i.ts) + 600000000""",
     // same planted-contamination synthesis as the Spark side; the 8-gram
     // comprehension is stop-exclusive range(1, len-6) = Spark's
     // sequence(0, size-8) shingle starts

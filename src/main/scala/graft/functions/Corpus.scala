@@ -79,4 +79,35 @@ object Corpus {
         ((col("tokens_through") - col("n_tokens")) / budget).cast("long").as("bin"),
         ((col("tokens_through") - col("n_tokens")) % budget).cast("long").as("bin_offset"))
   }
+
+  /** Per-source document cap: keep at most `n` documents per source
+    * (domain / crawl host / feed), preferring the highest `score` — the
+    * domain-diversity guard every web-scale corpus applies so one prolific
+    * host cannot dominate the training mix.
+    *
+    * Ranking uses the k-bounded [[TopK]] Aggregator, NOT a window: a
+    * `row_number over (partition by source)` would shuffle EVERY document
+    * of a heavy domain onto one reducer (the exact skew the cap exists to
+    * fight), while the Aggregator's partial aggregation ships at most `n`
+    * (score, id) entries per partition per source — the buffer is bounded
+    * no matter how many billions of pages one domain has. Ordering
+    * (score desc, id asc) is total, so the kept set and ranks are
+    * deterministic under any partitioning. Rows with NULL/NaN scores are
+    * dropped (they cannot rank; mirrors every downstream quality gate). */
+  def sourceCap(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      score: Column,
+      n: Int): DataFrame = {
+    val tk = udaf(TopK.topK(n))
+    docs.select(col(sourceCol).as("source"), score.as("score"),
+        col(idCol).as("doc_id"))
+      .where(!isnan(col("score")) && !col("score").isNull)
+      .groupBy(col("source"))
+      .agg(tk(col("score"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rk"))
+  }
 }

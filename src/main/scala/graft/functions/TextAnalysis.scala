@@ -139,6 +139,43 @@ object TextAnalysis {
         (col("top_count").cast("double") /
           col("n_words").cast("double")).as("top_word_frac"))
 
+  /** Per-document unigram cross-entropy against the corpus's own unigram
+    * language model — the cheap KenLM-style fluency proxy: documents full
+    * of corpus-typical words score LOW (fluent/boilerplate), documents of
+    * rare tokens score HIGH (noise, foreign text, mangled encodings).
+    * `xent = mean over tokens of -ln(count(w) / total_tokens)`.
+    *
+    * Two aggregations, both hash-partitioned and partially aggregated:
+    * (1) token -> count over the corpus (the LM "training" pass — at
+    * 100 TB this is the same shape as any vocabulary build; the vocab is
+    * Zipf-bounded, orders of magnitude smaller than the corpus), then
+    * (2) tokens equi-join the vocab on the token (broadcast when small,
+    * shuffled hash at scale — the planner's call) and fold back per doc.
+    *
+    * The per-doc mean folds the token log-probs in POSITION order
+    * (sort_array over (pos, lp), then a left fold): double addition is
+    * not associative, so a plain SUM would be partition-order-dependent
+    * and break cross-engine hash parity — same discipline as
+    * [[Similarity.labelCentroids]]. */
+  def unigramCrossEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    tok.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"),
+        (-log(col("cnt").cast("double") / col("total").cast("double"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+      .select(col("doc_id"), size(col("lps")).cast("long").as("n_tokens"),
+        (aggregate(transform(col("lps"), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x) / size(col("lps"))).as("xent"))
+  }
+
   /** Winnowing-style rolling fingerprints: hash token shingles, take the
     * minimum in each sliding window, dedupe. Near-identical documents share
     * most fingerprints (spec-verified; xxhash64 is not DuckDB-expressible

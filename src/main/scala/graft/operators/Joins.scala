@@ -178,6 +178,55 @@ object Joins {
       .withColumnRenamed("_asof_match", "asof")
   }
 
+  /** Point-in-interval range join without a nested-loop plan (beyond the
+    * reference — SURVEY.md §2.4 lists only the equi INL join; this is the
+    * standard temporal "which points fall inside which windows" shape a
+    * pipeline needs the moment intervals exist).
+    *
+    * Spark's optimizer can only plan `p.ts BETWEEN i.start AND i.end` as
+    * BroadcastNestedLoopJoin (Θ(|points|·|intervals|) comparisons): there
+    * is no equality key. The classic fix is BINNING: quantize the domain
+    * into fixed-width bins, assign each point its one bin and each interval
+    * every bin it overlaps, equi-join on the bin id, and re-check the exact
+    * range predicate. A (point, interval) pair can only meet in the point's
+    * bin, so results carry no duplicates and the join is hash-partitionable
+    * — shuffle volume is |points| + |intervals|·(len/binWidth + 1) tuples
+    * instead of the quadratic compare. Pick `binWidth` near the typical
+    * interval length: much smaller explodes interval replicas; much larger
+    * degrades toward per-bin cross products (bins act as skew buckets).
+    *
+    * Bin math is exact floor-division (subtract `pmod`, divide in
+    * decimal — so negative coordinates bin correctly and no double
+    * rounding occurs, which matters for nanosecond epochs beyond 2^53).
+    * Bounds are inclusive on both ends. Point and interval column sets
+    * must be disjoint. */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"rangeJoin: binWidth must be positive, got $binWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"rangeJoin: point/interval column names must be disjoint, both have ${overlap.mkString(", ")}")
+    // (c - pmod) is an exact multiple of binWidth; dividing in decimal
+    // keeps it exact (long `/` is double true-division in Spark — loses
+    // low bits past 2^53, i.e. for nanosecond epochs)
+    def binOf(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / lit(binWidth))
+        .cast("long")
+    val p = points.withColumn("_rj_bin", binOf(col(pointCol)))
+    val i = intervals
+      .withColumn("_rj_bin",
+        explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+    p.join(i,
+        p("_rj_bin") === i("_rj_bin") &&
+          col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .select((points.columns ++ intervals.columns).map(col): _*)
+  }
+
   /** U1 — nondeterministic interleave of two differently-shaped streams into
     * a tagged union `A \/ B` (reference `either`,
     * src/main/scala/mongo/channel/package.scala:129-131 via `wye.either`).

@@ -43,4 +43,47 @@ class CorpusSpec extends AnyFunSuite {
     // shards are balanced enough to parallelize (no empty shard on 500 docs)
     assert(packed.select("shard").distinct().count() === 4)
   }
+
+  test("sourceCap == row_number window form; caps bind; null scores drop") {
+    import org.apache.spark.sql.expressions.Window
+    val score = TextAnalysis.qualityScoreFromSignals(
+      TextAnalysis.signals(col("text")))
+    val capped = Corpus.sourceCap(docs, "source", "doc_id", score, n = 10)
+      .cache()
+    // window oracle: identical kept set AND ranks for finite scores
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val oracle = docs.select(col("source"), score.as("score"), col("doc_id"))
+      .where(!isnan(col("score")) && !col("score").isNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+    assert(capped.count() === oracle.count())
+    assert(capped.join(oracle, Seq("source", "doc_id", "rk")).count()
+      === oracle.count())
+    // the cap binds: every source has exactly 10 (25 docs/source upstream)
+    val sizes = capped.groupBy("source").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(sizes === Seq(10L))
+    // a null-scoring doc (empty text -> try_divide null) never ranks
+    import spark.implicits._
+    val withEmpty = docs.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(Seq((999999L, "src0", "")).toDF("doc_id", "source", "text"))
+    assert(Corpus.sourceCap(withEmpty, "source", "doc_id",
+      TextAnalysis.qualityScoreFromSignals(TextAnalysis.signals(col("text"))),
+      n = 10).where(col("doc_id") === 999999L).count() === 0)
+  }
+
+  test("unigram cross-entropy: hand-computed tiny corpus") {
+    import spark.implicits._
+    // corpus: "a a b" and "b c" -> total 5 tokens, counts a=2 b=2 c=1
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramCrossEntropy(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(c: Double) = -math.log(c / 5.0)
+    val x1 = (lp(2) + lp(2) + lp(2)) / 3.0 // a a b
+    val x2 = (lp(2) + lp(1)) / 2.0         // b c
+    assert(got(1L)._1 === 3L && got(2L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - x1) < 1e-12, s"${got(1L)._2} vs $x1")
+    assert(math.abs(got(2L)._2 - x2) < 1e-12, s"${got(2L)._2} vs $x2")
+  }
 }

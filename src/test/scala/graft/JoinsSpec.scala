@@ -72,4 +72,48 @@ class JoinsSpec extends AnyFunSuite {
     // partition arithmetic: partition_nr = floor(event_id / 256)
     assert(log.where(col("partition_nr") =!= floor(col("event_id") / 256L)).count() === 0)
   }
+
+  test("rangeJoin == brute-force BETWEEN join, including negative coordinates") {
+    import spark.implicits._
+    // deterministic pseudo-random points/intervals straddling zero so the
+    // floor-division binning is exercised on negatives (truncating division
+    // would mis-bin them)
+    val rnd = new scala.util.Random(7)
+    val points = (0L until 400L).map(i => (i, rnd.nextLong() % 10000L))
+      .toDF("p_id", "p")
+    val intervals = (0L until 60L).map { i =>
+      val s = rnd.nextLong() % 10000L
+      (i, s, s + rnd.nextInt(800).toLong)
+    }.toDF("i_id", "s", "e")
+    val got = Joins.rangeJoin(points, intervals, "p", "s", "e", binWidth = 500L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    val expected = points.join(intervals, col("p") >= col("s") && col("p") <= col("e"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got === expected && expected.nonEmpty)
+    // and no duplicate pair survives the multi-bin interval replication
+    assert(Joins.rangeJoin(points, intervals, "p", "s", "e", 500L).count()
+      === expected.size)
+  }
+
+  test("rangeJoin plans as an equi-join on the bin, never a nested loop") {
+    import spark.implicits._
+    val points = (0L until 100L).map(i => (i, i * 7L)).toDF("p_id", "p")
+    val intervals = (0L until 10L).map(i => (i, i * 50L, i * 50L + 30L))
+      .toDF("i_id", "s", "e")
+    val plan = Joins.rangeJoin(points, intervals, "p", "s", "e", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop plan:\n$plan")
+  }
+
+  test("rangeJoin rejects overlapping column names and non-positive bins") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(df, df.withColumnRenamed("a", "c"), "a", "b", "c", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(df, df.toDF("c", "d"), "a", "c", "d", 0L)
+    }
+  }
 }
