@@ -477,6 +477,39 @@ object SparkEntry {
       ss.table(sink)
     }),
 
+    // Streaming twin of q_range_join: a live click stream range-joined
+    // against a static (broadcast) interval table through the SAME binned
+    // rangeJoin operator — the bin equi-key is what makes the join legal
+    // and stateless in Structured Streaming (a raw BETWEEN against a
+    // static side would be a nested-loop per micro-batch). Oracle = the
+    // batch range join.
+    "s9_stream_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val evBatch = t(ss, dir, "events")
+        .withColumn("ts_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+      val spikes = broadcast(
+        evBatch.where(col("event_type") === "error" && col("value") > 150.0)
+          .select(col("event_id").as("spike_id"), col("ts_us").as("start_us"),
+            (col("ts_us") + 600000000L).as("end_us")))
+      val schema = t(ss, dir, "events").schema
+      val clicks = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .where(col("event_type") === "click")
+        .withColumn("click_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+        .select(col("event_id").as("click_id"), col("user_id"), col("click_us"))
+      val joined = Joins.rangeJoin(clicks, spikes,
+          "click_us", "start_us", "end_us", binWidth = 600000000L)
+        .select(col("spike_id"), col("click_id"), col("user_id"),
+          (col("click_us") - col("start_us")).as("gap_us"))
+      val sink = "s9_stream_range_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     // §2.9 custom stateful operator — flatMapGroupsWithState running totals
     // (the reference's abandoned Semigroup `conflate`,
     // join/package.scala:162-171, industrialized). Batch-gated: the final
@@ -1183,6 +1216,18 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3,
           indexKey = Some(s"$dir#nlist=8"))
+    }),
+
+    // Product-quantization ANN (FAISS-style PQ8x16 + ADC): the corpus is
+    // encoded once as 8 subspace code ids (~32× smaller than the raw
+    // floats — the memory form a 100 TB index actually ships), queries
+    // score codes via per-query lookup tables. Approximation ⇒ rows-only;
+    // SimilaritySpec checks planted-twin recall and code bounds.
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 8, ksub = 16,
+          indexKey = Some(s"$dir#pq8x16"))
     }),
 
     // Language ID: stopword-hit argmax (cheap function-word heuristic).
@@ -2028,6 +2073,14 @@ object SparkEntry {
                 list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps) AS xent
          FROM g""",
     "q_range_join" ->
+      """SELECT i.event_id AS spike_id, p.event_id AS click_id, p.user_id,
+                epoch_us(p.ts) - epoch_us(i.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'error' AND value > 150.0) i
+         JOIN (SELECT * FROM events WHERE event_type = 'click') p
+           ON epoch_us(p.ts) >= epoch_us(i.ts)
+          AND epoch_us(p.ts) <= epoch_us(i.ts) + 600000000""",
+    // the streaming form must converge to exactly the batch answer
+    "s9_stream_range_join" ->
       """SELECT i.event_id AS spike_id, p.event_id AS click_id, p.user_id,
                 epoch_us(p.ts) - epoch_us(i.ts) AS gap_us
          FROM (SELECT * FROM events WHERE event_type = 'error' AND value > 150.0) i

@@ -313,6 +313,137 @@ object Similarity {
     ivfProbe(index, queries, idCol, vecCol, k, nprobe)
   }
 
+  // ---- Product quantization (PQ / ADC) ------------------------------------
+
+  /** A built PQ index: the corpus encoded as `m` per-subspace code ids plus
+    * the m×ksub codebooks (tiny — they live on the driver and enter the
+    * probe plan as literals, the expression-level analogue of a broadcast). */
+  final case class PqIndex(
+      encoded: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      m: Int, ksub: Int, dsub: Int) {
+    def unpersist(): Unit = { encoded.unpersist(); () }
+  }
+
+  private val pqRegistry = scala.collection.concurrent.TrieMap[String, PqIndex]()
+
+  /** Product-quantization index build (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", public literature; the FAISS `PQm×ksub`
+    * design): vectors are L2-normalized (so inner product == cosine), the
+    * dimension is split into `m` contiguous `dsub`-wide subspaces, and each
+    * subspace gets its own ksub-centroid Lloyd quantizer trained on the
+    * same ABSOLUTE-bounded sample discipline as [[ivfBuild]]. One map-only
+    * corpus pass then encodes every vector as its m nearest-subcentroid
+    * ids (the codegen'd [[graft.expressions.LshFunctions.nearest_cell]]
+    * argmin per subspace — no shuffle, no row amplification).
+    *
+    * Why it matters at 100 TB: a 64-dim float embedding is 256 bytes; its
+    * PQ code at m=8 is 8 small ints — a ~32× compression that lets the
+    * searchable representation of a corpus-scale index fit in executor
+    * memory, with scoring done against codes (ADC) instead of raw floats.
+    * Zero-norm vectors cannot rank under cosine and are excluded at encode
+    * time (same semantics as cosine's try_divide NULL). */
+  def pqBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      maxTrainVectors: Int = 200000): PqIndex = {
+    val sampleRaw = trainingSample(corpus, vecCol, maxTrainVectors, seed)
+    require(sampleRaw.nonEmpty, "pqBuild: empty training sample")
+    val dim = sampleRaw(0).length
+    require(dim % m == 0, s"pqBuild: dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    val samples = sampleRaw.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) Some(v.map(_ / n)) else None
+    }
+    require(samples.nonEmpty, "pqBuild: training sample is all zero-norm vectors")
+    val codebooks = Array.tabulate(m) { j =>
+      lloydKMeans(samples.map(_.slice(j * dsub, (j + 1) * dsub)),
+        ksub, iters = 5, seed = seed + j)
+    }
+    val withNorm = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("v"),
+        l2norm(col(vecCol)).as("n"))
+      .where(col("n") > 0)
+      .withColumn("vn", transform(col("v"), x => x / col("n")))
+    val codes = array((0 until m).map { j =>
+      graft.expressions.LshFunctions.nearest_cell(
+        slice(col("vn"), j * dsub + 1, dsub), codebooks(j).map(_.toSeq).toSeq)
+    }: _*)
+    val encoded = withNorm.select(col("neighbor_id"), codes.as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(encoded, codebooks, m, ksub, dsub)
+  }
+
+  /** Build-once lookup, same contract as [[ivfBuildOrGet]]. */
+  def pqBuildOrGet(
+      key: String,
+      corpus: => DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L): PqIndex =
+    pqRegistry.getOrElseUpdate(key, pqBuild(corpus, idCol, vecCol, m, ksub, seed))
+
+  /** PQ probe with Asymmetric Distance Computation: each (broadcast) query
+    * precomputes its m×ksub lookup table lut[j][c] = ⟨q̂_subj, codebook_j[c]⟩
+    * — m·ksub tiny dot products per QUERY, not per corpus row — and the
+    * corpus pass scores a row with m table lookups over its codes
+    * (`zip_with` + ordered fold) instead of a dim-wide float dot. Scores
+    * approximate cosine (both sides unit-normalized); ranking uses the
+    * k-bounded [[TopK]] aggregation, so per-partition state is O(k) per
+    * query exactly like [[bruteForceTopK]]. */
+  def pqProbe(
+      index: PqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val lut = array((0 until index.m).map { j =>
+      array((0 until index.ksub).map { c =>
+        dot(slice(col("qvn"), j * index.dsub + 1, index.dsub),
+          typedLit(index.codebooks(j)(c).toSeq))
+      }: _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+      .where(col("qn") > 0)
+      .withColumn("qvn", transform(col("qv"), x => x / col("qn")))
+      .select(col("query_id"), lut.as("lut")))
+    val scored = q.join(index.encoded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, t) => element_at(t, c + lit(1))),
+          lit(0.0), (a, x) => a + x))
+    rankTopK(scored, k)
+  }
+
+  /** One-shot PQ top-k (build + probe); `indexKey` reuses a registered
+    * index — query executions never retrain, mirroring [[ivfTopK]]. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      indexKey: Option[String] = None): DataFrame = {
+    val index = indexKey match {
+      case Some(key) => pqBuildOrGet(key, corpus, idCol, vecCol, m, ksub, seed)
+      case None => pqBuild(corpus, idCol, vecCol, m, ksub, seed)
+    }
+    pqProbe(index, queries, idCol, vecCol, k)
+  }
+
   /** LSH-banded near-dup pairs, exact-verified — the scale path for
     * embedding dedup (mirrors [[Dedup.minHashLshPairs]]'s construction):
     * candidate pairs come from an equi-self-join on (band_idx, sign-bucket)
