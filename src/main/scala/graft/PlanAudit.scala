@@ -12,7 +12,8 @@ object PlanAudit {
     "q_asof_join", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "sim_brute_topk", "j2_zipwith", "pipe_clean_corpus", "corpus_pack_budget",
     "corpus_sample_hash", "text_decontaminate", "corpus_mix_weights",
-    "pipe_training_corpus", "dedup_incremental")
+    "pipe_training_corpus", "dedup_incremental",
+    "q_range_join", "corpus_source_cap", "text_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

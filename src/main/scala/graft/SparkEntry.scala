@@ -1089,6 +1089,15 @@ object SparkEntry {
           coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
     }),
 
+    // Exact-substring duplication (Lee et al.): doc pairs sharing any
+    // contiguous 20-token span — catches partial overlap (syndicated
+    // paragraphs, quoted blocks) that whole-doc jaccard misses. Exploded
+    // hash-keyed equi-join, never all-pairs.
+    "dedup_substring" -> ((s, dir) => {
+      Dedup.sharedSubstringPairs(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 20)
+    }),
+
     // Incremental ingest dedup: a synthesized "today's crawl" batch (every
     // 11th doc re-ingested under a new id, half byte-identical to the
     // corpus copy, half genuinely extended) anti-joined against the
@@ -2079,6 +2088,18 @@ object SparkEntry {
          JOIN (SELECT * FROM events WHERE event_type = 'click') p
            ON epoch_us(p.ts) >= epoch_us(i.ts)
           AND epoch_us(p.ts) <= epoch_us(i.ts) + 600000000""",
+    // slice + array_to_string builds the identical space-joined window
+    // strings the codegen'd shingle expression emits
+    "dedup_substring" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT doc_id,
+                           list_distinct([ array_to_string(w[i:i+19], ' ')
+                                           for i in range(1, len(w) - 18) ]) AS sh
+                    FROM s WHERE len(w) >= 20),
+              e AS (SELECT doc_id, unnest(sh) AS g FROM t)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
     // the streaming form must converge to exactly the batch answer
     "s9_stream_range_join" ->
       """SELECT i.event_id AS spike_id, p.event_id AS click_id, p.user_id,

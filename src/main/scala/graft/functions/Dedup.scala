@@ -343,6 +343,49 @@ object Dedup {
       .agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** Shared-long-substring near-dup pairs — the exact-substring duplication
+    * criterion ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, public literature), token-windowed: two documents
+    * pair when they share at least one contiguous `windowTokens`-token
+    * span. Unlike whole-document Jaccard this catches PARTIAL overlap — a
+    * syndicated paragraph, a quoted license block, a boilerplate footer
+    * inside otherwise-unrelated pages — whose global similarity is far
+    * below any jaccard threshold.
+    *
+    * Same scale discipline as [[ngramJaccardPairs]]: distinct windows per
+    * doc (one codegen'd shingle pass), exploded hash-keyed equi-self-join
+    * (string verified in the condition), quadratic only within groups
+    * sharing a span. `maxDocFreq` drops ubiquitous spans before pairing —
+    * for this operator that is not just a cost cap but the standard
+    * boilerplate guard (a span in thousands of documents is template, not
+    * plagiarism); results under a cap are a subset (no false positives).
+    * Returns (doc_a, doc_b, n_shared) with n_shared = count of distinct
+    * shared spans. */
+  def sharedSubstringPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingles(col(textCol), windowTokens).as("sh"))
+      .where(size(col("sh")) > 0)
+    val explodedAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val exploded = maxDocFreq match {
+      case Some(cap) =>
+        val heavy = explodedAll.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).where(col("df") > cap).select("s")
+        explodedAll.join(broadcast(heavy), Seq("s"), "left_anti")
+      case None => explodedAll
+    }
+    exploded.alias("a").join(exploded.alias("b"),
+        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact n-gram Jaccard pairs via shingle explode + equi-join — the
     * SQL-expressible exact path (oracle-checked). Cost is quadratic only
     * within groups sharing a shingle; for corpora with heavy-hitter

@@ -132,6 +132,35 @@ class DedupSpec extends AnyFunSuite {
       s"clearCache left ${afterClear - before} unmanaged RDD(s) pinned")
   }
 
+  test("shared-substring pairs catch partial overlap jaccard misses; df cap drops boilerplate") {
+    import spark.implicits._
+    // four long docs with unique bodies; 1 and 2 share a syndicated
+    // 20-token span; ALL share a 20-token boilerplate footer
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val footer = (1 to 20).map(i => s"f$i").mkString(" ")
+    def body(p: String) = (1 to 80).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${body("a")} $span $footer"),
+      (2L, s"${body("b")} $span $footer"),
+      (3L, s"${body("c")} $footer"),
+      (4L, s"${body("d")} $footer")).toDF("doc_id", "text")
+    // whole-doc jaccard at a realistic threshold sees NOTHING here
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.8).count() === 0)
+    // substring criterion: every pair shares the footer window
+    val pairs = Dedup.sharedSubstringPairs(docs, "doc_id", "text", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    // the syndicated pair shares strictly more spans than footer-only pairs
+    assert(pairs((1L, 2L)) > pairs((3L, 4L)))
+    // df cap (>2 docs = boilerplate) keeps ONLY the syndicated pair
+    val capped = Dedup.sharedSubstringPairs(docs, "doc_id", "text", 20,
+      maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+  }
+
   test("contamination == brute-force shingle intersection on randomized docs") {
     import spark.implicits._
     // seeded random docs over a 10-word vocab, lengths 0..11 — covers
