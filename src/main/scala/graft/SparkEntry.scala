@@ -1138,8 +1138,11 @@ object SparkEntry {
       val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       val member = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+      // fused one-pass signals (bit-identical to the regex-composed form,
+      // TextSignalsSpec) — the 5-regex quality scan was measurable here
       val q = docs.select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+        TextAnalysis.qualityScoreFromSignals(
+          TextAnalysis.signals(col("text"))).as("quality"))
       member.join(q, "doc_id")
         .groupBy(col("canon_id"))
         .agg(max(struct(col("quality"), col("doc_id"))).as("m"))
@@ -1309,6 +1312,13 @@ object SparkEntry {
       Corpus.sampleStratified(withLang, "doc_id", col("lang"),
         Seq("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50), defaultRate = 100)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // Deterministic seeded epoch shuffle: the training order for epoch 7 —
+    // a pure function of (seed, doc_id), reproducible on any cluster
+    // layout; range-sort + zipWithIndex ordinal, no global window.
+    "corpus_epoch_shuffle" -> ((s, dir) => {
+      Corpus.epochShuffle(t(s, dir, "documents"), "doc_id", seed = 7L)
     }),
 
     // Per-source (domain) cap: at most 10 docs per source, best quality
@@ -2047,6 +2057,12 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
                CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
                          WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 100 END""",
+    "corpus_epoch_shuffle" ->
+      """SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY md5(concat_ws('#', '7',
+                                     CAST(doc_id AS VARCHAR))), doc_id) - 1
+                  AS epoch_ord
+         FROM documents""",
     // the TopK-Aggregator cap is equivalent to the window form for finite
     // scores (score desc, doc_id asc is a total order)
     "corpus_source_cap" ->

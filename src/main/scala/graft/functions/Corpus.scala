@@ -80,6 +80,26 @@ object Corpus {
         ((col("tokens_through") - col("n_tokens")) % budget).cast("long").as("bin_offset"))
   }
 
+  /** Deterministic epoch shuffle: a seeded, content-keyed global training
+    * order. Every data-parallel training run needs each epoch's document
+    * order to be (a) uniformly shuffled, (b) different per epoch, and
+    * (c) REPRODUCIBLE across re-runs, restarts, and cluster sizes — so
+    * the permutation must be a pure function of (seed, key), never of
+    * partition layout or RNG state. Sort key = md5(seed # key): a seeded
+    * uniform hash both engines compute bit-identically.
+    *
+    * The global sort is a range-partitioned distributed sort (parallel at
+    * any scale); the dense ordinal comes from
+    * [[graft.operators.Joins.zipWithOrdinal]] (per-partition offsets, one
+    * lightweight count job) — NOT a row_number window over the full
+    * corpus, which would funnel every row through one reducer. */
+  def epochShuffle(df: DataFrame, key: String, seed: Long): DataFrame = {
+    val sk = md5(concat_ws("#", lit(seed.toString), col(key).cast("string")))
+    val sorted = df.select(col(key), sk.as("sk"))
+      .orderBy(col("sk"), col(key)) // key tie-break: total order
+    graft.operators.Joins.zipWithOrdinal(sorted, "epoch_ord").drop("sk")
+  }
+
   /** Per-source document cap: keep at most `n` documents per source
     * (domain / crawl host / feed), preferring the highest `score` — the
     * domain-diversity guard every web-scale corpus applies so one prolific

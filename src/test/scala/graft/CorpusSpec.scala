@@ -73,6 +73,21 @@ class CorpusSpec extends AnyFunSuite {
       n = 10).where(col("doc_id") === 999999L).count() === 0)
   }
 
+  test("epoch shuffle: dense ordinal, seed-reproducible, seed-sensitive") {
+    val e7a = Corpus.epochShuffle(docs, "doc_id", 7L).cache()
+    val n = docs.count()
+    assert(e7a.count() === n)
+    // dense 0..n-1 ordinal
+    assert(e7a.agg(min(col("epoch_ord")), max(col("epoch_ord"))).head()
+      === org.apache.spark.sql.Row(0L, n - 1))
+    // pure function of (seed, key): identical permutation on re-run
+    val e7b = Corpus.epochShuffle(docs, "doc_id", 7L)
+    assert(e7a.join(e7b, Seq("doc_id", "epoch_ord")).count() === n)
+    // a different seed is a different permutation
+    val e8 = Corpus.epochShuffle(docs, "doc_id", 8L)
+    assert(e7a.join(e8, Seq("doc_id", "epoch_ord")).count() < n / 2)
+  }
+
   test("unigram cross-entropy: hand-computed tiny corpus") {
     import spark.implicits._
     // corpus: "a a b" and "b c" -> total 5 tokens, counts a=2 b=2 c=1
