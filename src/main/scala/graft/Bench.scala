@@ -12,10 +12,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.sessionBuilder(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: run EVERY query once at the smallest scale factor (falling
@@ -47,21 +47,59 @@ object Bench {
         .selectExpr("sum(pmod(xxhash64(id), 1000000)) s").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Contention probe (round-7 verdict #1): a ~100ms fixed CPU workload run
+    // every PROBE_EVERY queries. A few minutes of sandbox CPU contention
+    // lands on whatever alphabetical window happens to be executing; the
+    // probe detects it per-window instead of once per run, and the max/min
+    // probe ratio is emitted as `noise` so a reader can tell a contaminated
+    // run from a code regression.
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probe(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, cpus.toInt)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000)) s").collect()
+      probes += (System.nanoTime() - t0) / 1e9
+    }
+    val PROBE_EVERY = 10
     // Stable (sorted) execution order: Map iteration order shifts when
     // entries are added, which moves one-time JIT/codegen warmup between
     // queries and makes per-query times incomparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query persists (dedup/LSH signature stages etc.) must not
-      // accumulate across the 50+ queries of one session — drop cached
-      // blocks after each measurement so later timings aren't skewed
-      spark.catalog.clearCache()
-      (name, dt, ok)
+    //
+    // Per-query time = MIN of 2 back-to-back measured passes (round-7
+    // verdict #1): a single-shot timing hands a transient contention spike
+    // entirely to one query — BENCH_r07 recorded 245s on code that a clean
+    // re-run measured at 52s. Min-of-2 requires contention to persist across
+    // both passes of the SAME query to contaminate its number, and the min
+    // is the right estimator for "what the plan costs on an idle machine".
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i % PROBE_EVERY == 0) probe()
+        def onePass(): (Double, Boolean) = {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // per-query persists (dedup/LSH signature stages etc.) must not
+          // accumulate across the 100+ queries of one session — drop cached
+          // blocks after each measurement so later timings aren't skewed
+          spark.catalog.clearCache()
+          (dt, ok)
+        }
+        val (dt1, ok1) = onePass()
+        // a failed first pass is not re-timed (its elapsed is garbage either
+        // way and a deterministic failure would just double the cost)
+        val (dt, ok) = if (!ok1) (dt1, false) else {
+          val (dt2, ok2) = onePass()
+          (math.min(dt1, dt2), ok2)
+        }
+        (name, dt, ok)
     }
+    probe()
+    val noise = if (probes.min > 0) probes.max / probes.min else 1.0
+    if (noise > 1.5)
+      System.err.println(f"[bench] NOISE: probe spread ${noise}%.2fx " +
+        s"(${probes.map(p => num(p, 3)).mkString(", ")}) — machine was not idle")
 
     // Regression watch (round-2 verdict #8): compare to the previous run's
     // full-precision per-query file and FLAG anything >1.5× slower. Written
@@ -98,8 +136,9 @@ object Bench {
       val regJson = regressions.map { case (k, v, p, r) =>
         s"""{"query":"$k","sec":${num(v, 3)},"prev_sec":${num(p, 3)},"ratio":${num(r, 2)}}""" }
         .mkString("[", ",", "]")
+      val probeJson = probes.map(p => num(p, 3)).mkString("[", ",", "]")
       java.nio.file.Files.write(new java.io.File("BENCH_DELTAS.json").toPath,
-        s"""{"cal_sec":${num(cal, 3)},"machine_speed_vs_prev":${num(speedRatio, 3)},"prev_ratio":$deltas,"regressions":$regJson}"""
+        s"""{"cal_sec":${num(cal, 3)},"machine_speed_vs_prev":${num(speedRatio, 3)},"noise":${num(noise, 2)},"probes_sec":$probeJson,"prev_ratio":$deltas,"regressions":$regJson}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       regressions.foreach { case (k, v, p, r) =>
         System.err.println(f"[bench] REGRESSION $k: $v%.3fs vs $p%.3fs (${r}%.2fx)") }
@@ -129,7 +168,10 @@ object Bench {
       val omitted = if (kept.size >= healthy.size) ""
         else s""","omitted":${healthy.size - kept.size}"""
       val failed = if (nFailed == 0) "" else s""","failed":$nFailed"""
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$omitted$failed,"sf":"$sfTag"}"""
+      // noise rides the contract line only when it matters (>1.2×) — it is
+      // the reader's signal that the machine was contended during this run
+      val noiseF = if (noise <= 1.2) "" else s""","noise":${num(noise, 2)}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$omitted$failed$noiseF,"sf":"$sfTag"}"""
     }
     // self-bounding against the driver's 2000-char stdout tail capture: a
     // line longer than the capture window gets truncated MID-LINE and the

@@ -21,6 +21,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Fold [[Tables.sessionConf]] into a builder — the one place session-level
+    * settings the catalog needs (nanos-as-long parquet reads) are applied. */
+  def sessionBuilder(b: SparkSession.Builder): SparkSession.Builder =
+    Tables.sessionConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Planted-contamination seeding SHARED by `text_decontaminate` and
     * `pipe_training_corpus` (their DuckDB oracles mirror it verbatim —
     * keep all three sites in lockstep): the eval split is the fixed id
@@ -40,11 +45,47 @@ object SparkEntry {
     * results are cast back to double for a stable schema. */
   private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Differential invariants of an approximate-NN probe result (round-7
+    * verdict #2): per query, the row count, the number of rows whose
+    * `rank` matches an independently-recomputed (score desc, id asc)
+    * row_number, and the number of scores EXACTLY equal to the cosine
+    * recomputed from the raw embeddings table. For a correct probe the
+    * scores are bit-equal (identical expression shape on identical
+    * inputs), so the oracle is a constant row per query — any drift in
+    * candidate generation, scoring, or TopK ordering breaks the hash. */
+  private def annInvariants(probe: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    probe
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("exact", try_divide(Similarity.dot(col("qv"), col("cv")),
+        Similarity.l2norm(col("qv")) * Similarity.l2norm(col("cv"))))
+      .withColumn("expected_rank", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_results"),
+        sum(when(col("rank") === col("expected_rank"), 1).otherwise(0))
+          .cast("int").as("n_rank_ok"),
+        sum(when(col("score") === col("exact"), 1).otherwise(0))
+          .cast("int").as("n_score_exact"),
+        max(abs(col("score") - col("exact"))).as("max_score_err"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The M2 end-to-end slice: DSL-filtered outer ⋈ fact with mapper
     * projection (reference J1, join/package.scala:52-63). */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // the driver invokes entry on a session it built itself — apply the
+    // session-level settings Tables needs here, at the contract boundary
+    // (everywhere else they're set at SparkSession build; Tables.load
+    // itself is side-effect-free)
+    Tables.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
     queries("j1_join_inner")(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1209,37 +1250,89 @@ object SparkEntry {
     }),
 
     // LSH-bucketed approximate top-k (recall/plan tradeoff: equi-join on
-    // sign buckets instead of a full scan per query). Approximation is not
-    // SQL-expressible: rows-only + spec.
+    // sign buckets instead of a full scan per query). FULLY oracled
+    // (round-7 verdict #2): the seeded hyperplanes are deterministic
+    // literals, so the DuckDB oracle interpolates the exact plane values
+    // and replicates bucket = Σ 2^j·[dot(v,plane_j)>0] — the sign of a
+    // bit-identical double dot product is itself bit-identical (the brute
+    // gate already proves dot bit-equality between the engines).
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nPlanes = 6)
     }),
 
-    // IVF ANN (the KMeans-quantizer scale path; training is seeded but
-    // iterative — not SQL-expressible: rows-only + SimilaritySpec).
-    // Build/probe are split: the quantizer is built ONCE per (dir, nlist)
-    // and registered — query executions probe the persisted inverted file,
-    // they never retrain (an index build is an amortized step, not query
-    // work).
+    // IVF ANN (the KMeans-quantizer scale path). Build/probe are split:
+    // the quantizer is built ONCE per (dir, nlist) and registered — query
+    // executions probe the persisted inverted file, they never retrain.
+    // Differential gate (round-7 verdict #2): the trained centroids are
+    // not SQL-expressible, but per-query INVARIANTS of a correct probe
+    // are — the result must carry exactly k rows, ranks must be the
+    // (score desc, neighbor_id asc) row sequence (independently recomputed
+    // with a window, checking the TopK aggregator's ordering), and every
+    // returned score must EXACTLY equal the cosine recomputed from the raw
+    // embeddings table (same expression shape ⇒ bit-equal when correct).
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      val probe = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3,
+          indexKey = Some(s"$dir#nlist=8"))
+      annInvariants(probe, emb)
+    }),
+
+    // IVF probed EXHAUSTIVELY (nprobe = nlist): every cell is a candidate
+    // cell, so the probe must EQUAL brute force row-for-row — assignment,
+    // inverted-file layout, candidate join, scoring and ranking are all on
+    // the hook. Oracle = the same brute-force SQL sim_brute_topk passes.
+    "sim_ivf_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
           indexKey = Some(s"$dir#nlist=8"))
     }),
 
     // Product-quantization ANN (FAISS-style PQ8x16 + ADC): the corpus is
     // encoded once as 8 subspace code ids (~32× smaller than the raw
     // floats — the memory form a 100 TB index actually ships), queries
-    // score codes via per-query lookup tables. Approximation ⇒ rows-only;
-    // SimilaritySpec checks planted-twin recall and code bounds.
+    // score codes via per-query lookup tables. Differential gate: trained
+    // codebooks are not SQL-expressible, but a correct ADC probe must emit
+    // exactly k distinct ranked rows per query AND its LUT-summed score
+    // must match an independent reconstruction — dot(q̂, decode(codes)),
+    // the codes fetched back from the registered index — within float
+    // re-association tolerance (the two formulations sum the same terms
+    // in different order). SimilaritySpec keeps planted-twin recall.
     "sim_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
+      val queries = emb.where(col("vec_id") < 10)
+      val probe = Similarity.pqTopK(emb, queries,
           "vec_id", "embedding", k = 5, m = 8, ksub = 16,
           indexKey = Some(s"$dir#pq8x16"))
+      val index = Similarity.pqBuildOrGet(s"$dir#pq8x16", emb, "vec_id", "embedding")
+      // decode(codes): concat of the selected per-subspace centroids —
+      // reconstructed corpus vector in the quantized space
+      val decoded = index.encoded.select(col("neighbor_id"),
+        flatten(zip_with(col("codes"),
+          typedLit((0 until index.m).map(j => index.codebooks(j).map(_.toSeq).toSeq)),
+          (c, book) => element_at(book, c + lit(1)))).as("rv"))
+      val qn = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x / Similarity.l2norm(col("embedding"))).as("qvn"))
+      val checked = probe
+        .join(decoded, Seq("neighbor_id"))
+        .join(broadcast(qn), Seq("query_id"))
+        .withColumn("recon", Similarity.dot(col("qvn"), col("rv")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      checked
+        .withColumn("expected_rank", row_number().over(w))
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_results"),
+          countDistinct(col("neighbor_id")).cast("int").as("n_distinct"),
+          sum(when(col("rank") === col("expected_rank"), 1).otherwise(0))
+            .cast("int").as("n_rank_ok"),
+          (max(abs(col("score") - col("recon"))) < 1e-9).as("scores_match_recon"))
     }),
 
     // Language ID: stopword-hit argmax (cheap function-word heuristic).
@@ -1560,6 +1653,57 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Brute-force cosine top-k oracle — shared by `sim_brute_topk` and
+    * `sim_ivf_exhaustive` (IVF probing every cell IS exhaustive search). */
+  private val bruteTopkSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN list_dot_product(q.v, q.v) = 0
+                            OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                          ELSE list_dot_product(q.v, c.v) /
+                               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     END AS s
+              FROM q JOIN e c ON q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+              FROM scored WHERE s IS NOT NULL)
+       SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5"""
+
+  /** Full SQL replication of `Similarity.lshTopK(k=5, nPlanes=6)`: the
+    * seeded hyperplanes are deterministic, so their exact values are
+    * interpolated as DOUBLE[] literals (java.lang.Double.toString
+    * round-trips every double) and the sign bucket is recomputed in
+    * DuckDB — bucket bits agree because both engines produce bit-identical
+    * left-to-right double dot products (proven by sim_brute_topk's hash). */
+  private val lshTopkSql: String = {
+    val planes = Similarity.hyperplanes(nPlanes = 6, dim = 64, seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+            q AS (SELECT * FROM b WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN list_dot_product(q.v, q.v) = 0
+                            OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                          ELSE list_dot_product(q.v, c.v) /
+                               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     END AS s
+              FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+              FROM scored WHERE s IS NOT NULL)
+       SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
@@ -1982,23 +2126,20 @@ object SparkEntry {
          FROM s""",
     // zero-norm vectors score NULL (engine drops them before ranking) —
     // same explicit convention as the cosine-pair oracles (r4 advice #4)
-    "sim_brute_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              q AS (SELECT * FROM e WHERE vec_id < 10),
-              scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       CASE WHEN list_dot_product(q.v, q.v) = 0
-                              OR list_dot_product(c.v, c.v) = 0 THEN NULL
-                            ELSE list_dot_product(q.v, c.v) /
-                                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-                       END AS s
-                FROM q JOIN e c ON q.vec_id <> c.vec_id),
-              ranked AS (
-                SELECT query_id, neighbor_id, s,
-                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
-                FROM scored WHERE s IS NOT NULL)
-         SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
-         FROM ranked WHERE rank <= 5""",
+    "sim_brute_topk" -> bruteTopkSql,
+    // exhaustive IVF (nprobe = nlist) must equal brute force exactly
+    "sim_ivf_exhaustive" -> bruteTopkSql,
+    // full LSH replication: seeded hyperplanes interpolated as literals
+    "sim_lsh_topk" -> lshTopkSql,
+    // differential invariants (see the queries entries): constants per query
+    "sim_ivf_topk" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
+                5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
+         FROM embeddings WHERE vec_id < 10""",
+    "sim_pq_topk" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_distinct,
+                5 AS n_rank_ok, true AS scores_match_recon
+         FROM embeddings WHERE vec_id < 10""",
     "text_langid" ->
       """WITH h AS (SELECT doc_id, text,
                 len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,

@@ -89,8 +89,12 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Deterministic random hyperplanes (seeded) as a nested literal. */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (seeded) as a nested literal.
+    * Public: the driver-facing oracle replicates the sign-bucket
+    * computation in SQL by interpolating these exact plane values as
+    * literals — the whole LSH path is then checkable end-to-end (sign of
+    * a bit-identical double dot product is itself bit-identical). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }

@@ -24,12 +24,18 @@ object Tables {
   /** Small dimension tables a planner should broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
+  /** Session settings every graft session needs. `events.parquet` carries
+    * TIMESTAMP(NANOS) which Spark's vectorized reader rejects; reading nanos
+    * as Long (converted explicitly via [[tsFromNanos]]) requires this conf.
+    * It belongs at session construction — a loader mutating session conf is
+    * a global side effect that surprises concurrent sessions — so every
+    * entrypoint (Bench/Verify/RunOne/PlanAudit/tests) applies it at build
+    * time via this map. */
+  val sessionConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table '$name' (expected one of ${all.mkString(",")})")
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; read nanos as Long and convert explicitly where needed
-    // (see tsFromNanos).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
