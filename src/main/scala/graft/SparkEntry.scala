@@ -1139,6 +1139,17 @@ object SparkEntry {
         windowTokens = 20)
     }),
 
+    // The same operator with the boilerplate/heavy-hitter dial ENGAGED
+    // (round-7 verdict #4): spans appearing in more than maxDocFreq
+    // documents are dropped before pairing, which is what keeps the pair
+    // space from going quadratic on template text at large scale factors.
+    // The oracle applies the identical HAVING df <= cap filter, so the
+    // dial itself is hash-verified, not just the uncapped exact form.
+    "dedup_substring_capped" -> ((s, dir) => {
+      Dedup.sharedSubstringPairs(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 20, maxDocFreq = Some(3))
+    }),
+
     // Incremental ingest dedup: a synthesized "today's crawl" batch (every
     // 11th doc re-ingested under a new id, half byte-identical to the
     // corpus copy, half genuinely extended) anti-joined against the
@@ -1155,10 +1166,12 @@ object SparkEntry {
       Dedup.incremental(batch, corpus, "doc_id", "text")
     }),
 
-    // Per-label embedding centroids — deterministic sorted-fold audit form
-    // (see Similarity.labelCentroids for the sum/count scale path).
+    // Per-label embedding centroids — the deterministic sorted-fold AUDIT
+    // form (bit-stable cross-engine, hence hashable); the production
+    // sum/count scale path is Similarity.labelCentroids, spec-proven to
+    // agree within 1e-9 relative error.
     "sim_label_centroids" -> ((s, dir) => {
-      Similarity.labelCentroids(t(s, dir, "embeddings"),
+      Similarity.labelCentroidsAudit(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label")
     }),
 
@@ -1430,9 +1443,10 @@ object SparkEntry {
     // Unigram-LM cross-entropy quality signal (the KenLM-style fluency
     // proxy): vocabulary built from the corpus itself, per-doc mean of
     // -ln p(token) folded in position order for cross-engine bit
-    // stability.
+    // stability (AUDIT form — the production sum/count scale path is
+    // TextAnalysis.unigramCrossEntropy, spec-proven to agree within 1e-9).
     "text_perplexity" -> ((s, dir) => {
-      TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.unigramCrossEntropyAudit(t(s, dir, "documents"), "doc_id", "text")
     }),
 
     // Point-in-interval RANGE join, binned to an equi-join: clicks landing
@@ -2256,6 +2270,20 @@ object SparkEntry {
               e AS (SELECT doc_id, unnest(sh) AS g FROM t)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+    // identical shingling, plus the HAVING df <= 3 heavy-hitter filter the
+    // Spark side applies via its maxDocFreq anti-join
+    "dedup_substring_capped" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT doc_id,
+                           list_distinct([ array_to_string(w[i:i+19], ' ')
+                                           for i in range(1, len(w) - 18) ]) AS sh
+                    FROM s WHERE len(w) >= 20),
+              e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+              kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 3),
+              ek AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
     // the streaming form must converge to exactly the batch answer
     "s9_stream_range_join" ->

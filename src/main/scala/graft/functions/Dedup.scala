@@ -187,11 +187,25 @@ object Dedup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 
+  /** `checkpointDir`: when set, per-round materialization uses RELIABLE
+    * checkpoints (`df.checkpoint()` into this directory — typically on the
+    * cluster's DFS) instead of `localCheckpoint()`. localCheckpoint stores
+    * partitions in executor block storage and does NOT survive executor
+    * loss — acceptable for short jobs, not for a multi-hour 100 TB CC run
+    * where losing one executor at round 18 restarts everything (round-7
+    * verdict #6). Reliable mode trades per-round write bandwidth for
+    * fault tolerance; checkpoint files are cleaned by Spark only with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, otherwise
+    * the caller owns the directory's lifecycle. */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     // localCheckpoint (eager), NOT persist: `labels` appears THREE times in
     // each round's plan (neighbor-min, hop, jump), so with lineage intact
@@ -210,9 +224,8 @@ object Dedup {
     // some future GC runs the ContextCleaner. Only the final round's
     // blocks stay alive: the returned DataFrame reads them.
     val tSym0 = System.nanoTime()
-    val sym = fwd.unionByName(
-        edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
+    val sym = ckpt(fwd.unionByName(
+        edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
     if (sys.env.contains("GRAFT_CC_TRACE"))
       System.err.println(f"[cc] sym checkpoint: ${(System.nanoTime() - tSym0) / 1e9}%.2f s")
     // init fuses what would be round 0: label₀ = min(node, min neighbor).
@@ -220,11 +233,10 @@ object Dedup {
     // the node set (replacing a distinct) and gives every node its 1-hop
     // minimum before the first join round runs.
     val tInit0 = System.nanoTime()
-    var labels = sym.groupBy(col("src"))
+    var labels = ckpt(sym.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"),
-        least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+        least(col("src"), col("mn")).as("label")))
     if (sys.env.contains("GRAFT_CC_TRACE"))
       System.err.println(f"[cc] init labels: ${(System.nanoTime() - tInit0) / 1e9}%.2f s")
     var iter = 0
@@ -248,10 +260,9 @@ object Dedup {
       // eager checkpoint materializes the round; the convergence flag is
       // computed IN the row, so testing the fixpoint reads checkpointed
       // partitions — no extra join, no lineage growth
-      val next = hop.join(jump, "l1")
+      val next = ckpt(hop.join(jump, "l1")
         .select(col("node"), least(col("l1"), col("l2")).as("label"),
-          (least(col("l1"), col("l2")) < col("old")).as("improved"))
-        .localCheckpoint()
+          (least(col("l1"), col("l2")) < col("old")).as("improved")))
       val changed = next.where(col("improved")).limit(1).count()
       if (sys.env.contains("GRAFT_CC_TRACE"))
         System.err.println(f"[cc] round $iter: changed=$changed in ${(System.nanoTime() - t0) / 1e9}%.2f s")

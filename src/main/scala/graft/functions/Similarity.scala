@@ -612,20 +612,36 @@ object Similarity {
   /** Per-label embedding centroids (class prototypes for nearest-centroid
     * classification / cluster summaries), one row per (label, dimension).
     *
-    * The mean is computed as a LEFT FOLD seeded with 0.0 over the group's
-    * values sorted by vec_id, then one division — a fully deterministic
-    * float pipeline that the DuckDB oracle reproduces bit-for-bit via
-    * `list(val ORDER BY vec_id)` + `list_reduce(list_prepend(0.0, vs))`
-    * (the prepended seed matters: an unseeded fold starts from the first
-    * ELEMENT, which diverges on an all-negative-zero group — +0.0 vs
-    * -0.0). A plain SUM would be partition-order-dependent in the last
-    * ulps and unhashable cross-engine. This is the AUDIT form: it
-    * materializes each (label, dim) group as an array, so per-group memory
-    * is the label's corpus share. The scale path is the same query with
-    * sum/count partial aggregation (order-free, exact to ~1 ulp) — swap
-    * when the corpus outgrows collect_list, keep this as the small-slice
-    * verifier. */
+    * THE SCALE FORM (default API, round-7 verdict #3): sum/count partial
+    * aggregation — map-side combine ships one (sum, count) pair per
+    * (label, dim) per partition, so a heavy label costs O(partitions),
+    * never its corpus share. Summation order across partitions is not
+    * deterministic, so the result is exact only to ~1 ulp per element —
+    * SimilaritySpec proves agreement with [[labelCentroidsAudit]] within
+    * 1e-9 relative error on the test corpus. Use [[labelCentroidsAudit]]
+    * when a bit-stable cross-engine answer is required (oracle gates). */
   def labelCentroids(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).as("centroid"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+
+  /** AUDIT form of [[labelCentroids]]: the mean is a LEFT FOLD seeded with
+    * 0.0 over the group's values sorted by vec_id, then one division — a
+    * fully deterministic float pipeline that the DuckDB oracle reproduces
+    * bit-for-bit via `list(val ORDER BY vec_id)` +
+    * `list_reduce(list_prepend(0.0, vs))` (the prepended seed matters: an
+    * unseeded fold starts from the first ELEMENT, which diverges on an
+    * all-negative-zero group — +0.0 vs -0.0). A plain SUM would be
+    * partition-order-dependent in the last ulps and unhashable
+    * cross-engine. Cost: materializes each (label, dim) group as an array,
+    * so per-group memory is the label's corpus share — small-slice
+    * verification only; [[labelCentroids]] is the production path. */
+  def labelCentroidsAudit(
       df: DataFrame,
       idCol: String,
       vecCol: String,

@@ -88,17 +88,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(e7a.join(e8, Seq("doc_id", "epoch_ord")).count() < n / 2)
   }
 
-  test("unigram cross-entropy: hand-computed tiny corpus") {
+  test("unigram cross-entropy: hand-computed tiny corpus (both forms)") {
     import spark.implicits._
     // corpus: "a a b" and "b c" -> total 5 tokens, counts a=2 b=2 c=1
     val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
-    val got = TextAnalysis.unigramCrossEntropy(tiny, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     def lp(c: Double) = -math.log(c / 5.0)
     val x1 = (lp(2) + lp(2) + lp(2)) / 3.0 // a a b
     val x2 = (lp(2) + lp(1)) / 2.0         // b c
-    assert(got(1L)._1 === 3L && got(2L)._1 === 2L)
-    assert(math.abs(got(1L)._2 - x1) < 1e-12, s"${got(1L)._2} vs $x1")
-    assert(math.abs(got(2L)._2 - x2) < 1e-12, s"${got(2L)._2} vs $x2")
+    for (form <- Seq(
+        TextAnalysis.unigramCrossEntropy(tiny, "doc_id", "text"),
+        TextAnalysis.unigramCrossEntropyAudit(tiny, "doc_id", "text"))) {
+      val got = form
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got(1L)._1 === 3L && got(2L)._1 === 2L)
+      assert(math.abs(got(1L)._2 - x1) < 1e-12, s"${got(1L)._2} vs $x1")
+      assert(math.abs(got(2L)._2 - x2) < 1e-12, s"${got(2L)._2} vs $x2")
+    }
+  }
+
+  test("unigram cross-entropy scale form agrees with audit fold within 1e-9 rel") {
+    val scale = TextAnalysis.unigramCrossEntropy(docs.repartition(7), "doc_id", "text")
+      .withColumnRenamed("xent", "x_scale").withColumnRenamed("n_tokens", "n_scale")
+    val audit = TextAnalysis.unigramCrossEntropyAudit(docs, "doc_id", "text")
+      .withColumnRenamed("xent", "x_audit").withColumnRenamed("n_tokens", "n_audit")
+    val joined = scale.join(audit, Seq("doc_id"))
+    assert(joined.count() === audit.count(), "scale form lost documents")
+    assert(joined.where(col("n_scale") =!= col("n_audit")).count() === 0)
+    val worst = joined.select(
+        (abs(col("x_scale") - col("x_audit")) /
+          greatest(abs(col("x_audit")), lit(1e-300))).as("rel"))
+      .agg(max(col("rel"))).head().getDouble(0)
+    assert(worst < 1e-9, s"scale vs audit relative error $worst")
   }
 }

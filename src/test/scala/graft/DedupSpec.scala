@@ -110,6 +110,30 @@ class DedupSpec extends AnyFunSuite {
     assert(ok === 5L)
   }
 
+  test("connected components: reliable-checkpoint path matches localCheckpoint") {
+    import spark.implicits._
+    // same multi-round topology as the chains test; the reliable path
+    // (df.checkpoint into a dir — what a multi-hour 100 TB CC run needs to
+    // survive executor loss) must produce the identical label map
+    val edges = Seq((6L, 5L), (6L, 7L), (7L, 8L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (30L, 32L)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val reliable = Dedup.connectedComponents(edges, "doc_a", "doc_b",
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L,
+        20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+      // the rounds really went through the reliable path: checkpoint files
+      // were written under the directory
+      def fileCount(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(fileCount).sum else 1
+      assert(fileCount(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("connected components: intermediate checkpoint storage is freed") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.size

@@ -223,22 +223,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err < 1e-2, s"max cosine distortion $err")
   }
 
-  test("labelCentroids: exact means, bit-stable under repartitioning") {
+  test("labelCentroidsAudit: exact means, bit-stable under repartitioning") {
     import spark.implicits._
     val tiny = Seq(
       (1L, Seq(1.0f, 2.0f), 0),
       (2L, Seq(3.0f, 4.0f), 0),
       (3L, Seq(10.0f, 20.0f), 1)).toDF("vec_id", "embedding", "label")
-    val got = Similarity.labelCentroids(tiny, "vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidsAudit(tiny, "vec_id", "embedding", "label")
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got === Map((0, 0L) -> 2.0, (0, 1L) -> 3.0, (1, 0L) -> 10.0, (1, 1L) -> 20.0))
     // the sorted fold makes the float mean independent of physical layout
-    val a = Similarity.labelCentroids(emb, "vec_id", "embedding", "label")
+    val a = Similarity.labelCentroidsAudit(emb, "vec_id", "embedding", "label")
       .orderBy("label", "pos").collect().toSeq
-    val b = Similarity.labelCentroids(emb.repartition(7, col("vec_id")),
+    val b = Similarity.labelCentroidsAudit(emb.repartition(7, col("vec_id")),
         "vec_id", "embedding", "label")
       .orderBy("label", "pos").collect().toSeq
     assert(a === b)
+  }
+
+  test("labelCentroids scale form agrees with the audit fold within 1e-9 rel") {
+    // sum/count partial aggregation reassociates double addition, so the
+    // scale form may differ from the deterministic fold by ~1 ulp per
+    // element — never more (round-7 verdict #3's acceptance bar)
+    val scale = Similarity.labelCentroids(emb.repartition(7), "embedding", "label")
+      .withColumnRenamed("centroid", "c_scale")
+    val audit = Similarity.labelCentroidsAudit(emb, "vec_id", "embedding", "label")
+      .withColumnRenamed("centroid", "c_audit")
+    val joined = scale.join(audit, Seq("label", "pos"))
+    assert(joined.count() === audit.count(), "scale form lost (label, pos) groups")
+    val worst = joined.select(
+        (abs(col("c_scale") - col("c_audit")) /
+          greatest(abs(col("c_audit")), lit(1e-300))).as("rel"))
+      .agg(max(col("rel"))).head().getDouble(0)
+    assert(worst < 1e-9, s"scale vs audit relative error $worst")
   }
 
   test("dot_product registered for SQL text queries") {
