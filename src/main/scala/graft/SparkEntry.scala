@@ -424,6 +424,72 @@ object SparkEntry {
       ss.table(sink)
     }),
 
+    // §2.8 — LATE-DATA DROP, actually exercised (round-7 verdict #8): every
+    // other watermarked gate feeds AvailableNow over one file, where the
+    // watermark can never retire state before data arrives — the drop path
+    // was spec-claimed, not driver-verified. This gate stages THREE files
+    // with controlled modification times and maxFilesPerTrigger=1.
+    // Spark's late-record filter uses the PREVIOUS batch's committed
+    // watermark (the SPARK-40925 two-watermark split: lateEvents = prior
+    // batch, eviction = current), so a two-batch feed can never drop —
+    // the middle batch exists to commit the advanced watermark:
+    //   batch 0 = the full feed → watermark commits to max(ts) − 10 min;
+    //   batch 1 = replays of rows STRICTLY inside the watermark allowance
+    //             (ts > max − 10 min; their windows are still open and
+    //             withheld by append mode, so they cannot touch emitted
+    //             output) — after it, the late-filter watermark is armed;
+    //   batch 2 = replays of the EARLIEST hour — every row is older than
+    //             the armed watermark and MUST be dropped before state.
+    // If dropping failed, the replayed hour's finalized window would
+    // re-emit (duplicate row) and break the row count + hash. Oracle =
+    // the batch aggregation WITH THE SAME CUTOFF predicate (append mode
+    // emits exactly the windows with window_end ≤ max(ts) − 10 min), and
+    // correct late-drop means replays contribute nothing to it.
+    "s10_stream_late_drop" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = t(ss, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        Tables.tsFromNanos(col("ts")).as("event_ts"))
+      val stage = java.nio.file.Files.createTempDirectory("graft-late").toString
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmpDir = s"$stage/_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val part = new java.io.File(tmpDir).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmpDir"))
+        val dest = new java.io.File(s"$stage/$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+      }
+      // span endpoints: two column-pruned min/max scans (gate staging, not
+      // query work)
+      val Array(minTs, maxTs) = ev.agg(min(col("event_ts")), max(col("event_ts")))
+        .head().toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+      val lateReplay = ev.where(col("event_ts") < lit(minTs) + expr("INTERVAL 1 HOUR"))
+      val freshReplay = ev.where(col("event_ts") > lit(maxTs) - expr("INTERVAL 10 MINUTES"))
+      val now = System.currentTimeMillis()
+      writeOne(ev, "a_feed", now - 180000)
+      writeOne(freshReplay, "b_fresh", now - 120000)
+      writeOne(lateReplay, "c_late", now - 60000)
+      val src = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch, in
+        // mtime order: A commits the watermark, B arms the late filter,
+        // C is provably late
+        .parquet(stage)
+      val agg = src
+        .withWatermark("event_ts", "10 minutes")
+        .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      val sink = "s10_stream_late_drop_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     // Streaming dedup — dropDuplicates across micro-batches (the streaming
     // form of exact dedup; state = seen keys, scales with watermark +
     // key-partitioned state stores). AvailableNow feeds all data, so the
@@ -966,10 +1032,22 @@ object SparkEntry {
 
     // §2.7 — approximate distinct (HLL++). Deterministic in Spark but not
     // DuckDB-comparable → rows-only check by design.
+    // Differential gate (r8): HLL++ estimates are not SQL-reproducible,
+    // but the EXACT distinct counts are, and the estimator's contract
+    // (relative error within 3×rsd of the default rsd=0.05) is a checkable
+    // boolean. A broken sketch (or a broken merge of partial sketches)
+    // breaks the booleans; the exact counts hash-verify the rest.
     "q_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      val li = t(s, dir, "lineitem")
+      def within(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        (abs(approx - exact).cast("double") / exact.cast("double")) <= 0.15
+      li.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        within(approx_count_distinct(col("l_partkey")),
+          countDistinct(col("l_partkey"))).as("parts_within_tol"),
+        within(approx_count_distinct(col("l_orderkey")),
+          countDistinct(col("l_orderkey"))).as("orders_within_tol"))
     }),
 
     // §2.4/§2.7 extension — 3-way join + aggregation + top-k (TPC-H Q3
@@ -1090,9 +1168,20 @@ object SparkEntry {
 
     // SimHash fingerprints (hash family not DuckDB-expressible: rows-only;
     // hamming behavior spec-verified in DedupSpec).
+    // Differential gate (r8): the fingerprint values are xxhash64-based
+    // (not DuckDB-expressible), but two REAL invariants of the
+    // implementation are checkable booleans: simhash is a pure function of
+    // the distinct-token SET (the majority vote sums sign bits — order
+    // free), so the fingerprint of the token-REVERSED document must be
+    // identical (catches any position-dependent or non-commutative drift);
+    // and every fingerprint must fit the documented 52-bit range.
     "dedup_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      val fp = Dedup.simhash(col("text"))
+      val reversedText = concat_ws(" ", reverse(split(col("text"), " ")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (fp === Dedup.simhash(reversedText)).as("order_invariant"),
+        (fp >= 0L && fp < lit(1L << 52)).as("in_range"))
     }),
 
     // Duplicate-CLUSTER resolution on top of pairwise dedup: connected
@@ -1572,10 +1661,36 @@ object SparkEntry {
     }),
 
     // Winnowing fingerprints (xxhash64-based: rows-only + spec).
+    // Differential gate (r8): xxhash64 keeps the VALUES out of DuckDB's
+    // reach, but winnowing has two independent Spark formulations — the
+    // production codegen'd array form (slice + array_min per window) and a
+    // window-function form (posexplode + min over rowsBetween, with the
+    // same short-document fallback). Set equality between them is the
+    // checkable invariant (the raw fingerprint counts stay spec-covered).
     "text_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(TextAnalysis.fingerprints(col("text"))).as("n_fingerprints"))
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val prod = docs.select(col("doc_id"),
+        sort_array(TextAnalysis.fingerprints(col("text"))).as("fps"))
+      val windowLen = 4
+      val hashes = transform(graft.functions.TextOps.shingles(col("text"), 5),
+        sh => xxhash64(sh))
+      val ex = docs.select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
+      val slide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, windowLen - 1)
+      val whole = Window.partitionBy(col("doc_id"))
+      val alt = ex
+        .withColumn("n", count(lit(1)).over(whole))
+        .withColumn("m", min(col("h")).over(slide))
+        // full windows only — except the short-doc fallback (n < window):
+        // keep pos 0, whose rowsBetween min spans the whole doc
+        .where(col("pos") <= greatest(col("n") - windowLen, lit(0)))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("m"))).as("fps_alt"))
+      prod.join(alt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("fps") === col("fps_alt"),
+            size(col("fps")) === 0).as("forms_agree"))
     }),
 
     // Multimodal plumbing: binary payload -> typed mapPartitions decode
@@ -1618,6 +1733,45 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes"))
+    }),
+
+    // Multimodal REAL PNG round-trip (round-7 verdict #5): deterministic
+    // gray images (geometry and color closed-form in doc_id) are encoded
+    // through the JDK's real PNG codec, then decoded back to a raster by
+    // the typed mapPartitions stage. mean_red is a CONTENT statistic: PNG
+    // is lossless, so the uniform fill must survive zlib round-trip
+    // exactly — the oracle is pure closed-form geometry.
+    "mm_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 13).toInt
+          val h = (8 + id % 7).toInt
+          val c = (id % 256).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeImage("png", w, h, (c << 16) | (c << 8) | c), "png")
+        })
+      Multimodal.decodeImageMeta(imgs).toDF()
+        .select("doc_id", "width", "height", "n_pixels", "mean_red")
+    }),
+
+    // Same round-trip through the REAL JPEG codec (DCT, lossy): geometry
+    // is exact; the uniform gray fill must come back within a small DC
+    // quantization tolerance — emitted as a boolean so the oracle stays
+    // deterministic.
+    "mm_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 13).toInt
+          val h = (8 + id % 7).toInt
+          val c = (id % 256).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeImage("jpg", w, h, (c << 16) | (c << 8) | c), "jpg")
+        })
+      Multimodal.decodeImageMeta(imgs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          (abs(col("mean_red") - (col("doc_id") % 256)) <= 3.0).as("red_close"))
     }),
 
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
@@ -2145,6 +2299,19 @@ object SparkEntry {
     "sim_ivf_exhaustive" -> bruteTopkSql,
     // full LSH replication: seeded hyperplanes interpolated as literals
     "sim_lsh_topk" -> lshTopkSql,
+    // differential invariant oracles (see the queries entries): the exact
+    // parts hash-verify; the estimator/implementation contracts are
+    // constant booleans that flip on drift
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                true AS parts_within_tol, true AS orders_within_tol
+         FROM lineitem""",
+    "dedup_simhash" ->
+      """SELECT doc_id, true AS order_invariant, true AS in_range
+         FROM documents""",
+    "text_fingerprint" ->
+      """SELECT doc_id, true AS forms_agree FROM documents""",
     // differential invariants (see the queries entries): constants per query
     "sim_ivf_topk" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
@@ -2284,6 +2451,17 @@ object SparkEntry {
               ek AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g))
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
          FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+    // append-mode emits exactly the finalized windows (window_end ≤ final
+    // watermark = max(ts) − 10 min, micro-truncated like the Spark side);
+    // the replayed late rows must contribute NOTHING — the count is over
+    // the original feed only
+    "s10_stream_late_drop" ->
+      """WITH wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM events)
+         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                COUNT(*) AS n
+         FROM events, wm
+         WHERE epoch_us(time_bucket(INTERVAL '1 hour', ts)) + 3600000000 <= w
          GROUP BY 1, 2""",
     // the streaming form must converge to exactly the batch answer
     "s9_stream_range_join" ->
@@ -2433,6 +2611,21 @@ object SparkEntry {
                 CAST(1 AS INT) AS channels,
                 CAST(16 AS INT) AS bits_per_sample,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+         FROM documents""",
+    // closed-form geometry + lossless content round-trip (see the gate)
+    "mm_png_decode" ->
+      """SELECT doc_id,
+                CAST(8 + doc_id % 13 AS INT) AS width,
+                CAST(8 + doc_id % 7 AS INT) AS height,
+                CAST((8 + doc_id % 13) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_red
+         FROM documents""",
+    "mm_jpeg_decode" ->
+      """SELECT doc_id,
+                CAST(8 + doc_id % 13 AS INT) AS width,
+                CAST(8 + doc_id % 7 AS INT) AS height,
+                CAST((8 + doc_id % 13) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+                true AS red_close
          FROM documents""",
     "q_time_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * (de)serialization at the codegen boundary).
   *
   * Codec support is tiered: WAV (RIFF/WAVE PCM) and BMP
-  * (BITMAPINFOHEADER) have REAL pure-JVM decoders — full header parse +
-  * payload framing, no native libraries needed. Formats that genuinely
-  * need a native codec (JPEG/H.264/...) keep the deterministic
-  * `decodeStub` fallback so the Spark-side contract (schema, partitioning,
-  * batch iteration, binary payload flow) stays testable; swap the stub for
-  * a JNI/library call in production, nothing else changes.
+  * (BITMAPINFOHEADER) have REAL hand-rolled pure-JVM decoders — full
+  * header parse + payload framing; PNG and JPEG decode through the JDK's
+  * own `javax.imageio` codecs (java.desktop module — still pure JVM, real
+  * zlib/DCT decompression to a pixel raster). Formats that genuinely need
+  * a native codec (H.264/...) keep the deterministic `decodeStub`
+  * fallback so the Spark-side contract (schema, partitioning, batch
+  * iteration, binary payload flow) stays testable; swap the stub for a
+  * JNI/library call in production, nothing else changes.
   */
 object Multimodal {
 
@@ -138,6 +140,61 @@ object Multimodal {
       .putInt(2835).putInt(2835).putInt(0).putInt(0)
     (0 until dataLen).foreach(i => buf.put(pixel(i)))
     buf.array()
+  }
+
+  /** Decoded raster-image metadata + first-order content statistic. */
+  final case class ImageMeta(
+      doc_id: Long, width: Int, height: Int, n_pixels: Long, mean_red: Double)
+
+  /** REAL raster encode via `javax.imageio` (pure JVM — the JDK's
+    * java.desktop module ships PNG and JPEG codecs, no native libraries):
+    * a width×height TYPE_INT_RGB image filled with one color, compressed
+    * through the real codec (zlib for PNG, DCT for JPEG). `format` is an
+    * ImageIO informal name: "png", "jpg", "bmp", ... */
+  def encodeImage(format: String, width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** REAL raster decode via `javax.imageio`: full container walk + payload
+    * decompression to a pixel raster. Emits geometry AND the mean red
+    * channel — a content statistic, so a gate proves the pixels actually
+    * round-tripped through the codec, not just that a header parsed.
+    * Throws on undecodable bytes (fail fast, like [[decodeWav]]). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+      y += 1
+    }
+    (w, h, sum.toDouble / (w.toLong * h))
+  }
+
+  /** Image decode stage: one iterator pass per partition (per-partition
+    * reuse is where a native codec would amortize its handles; ImageIO
+    * needs none). */
+  def decodeImageMeta(ds: Dataset[MediaRecord]): Dataset[ImageMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val (w, h, meanRed) = decodeImage(r.media)
+      ImageMeta(r.doc_id, w, h, w.toLong * h, meanRed)
+    })
   }
 
   /** Feature-extraction stage: one iterator pass per partition. Real

@@ -68,6 +68,53 @@ class DslPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: Not compiles to the direct Column negation for every base op") {
+    // round-7 verdict #9: the Not constructor compared against the raw
+    // Column form (not just against its own complement)
+    check("not-direct", Prop.forAll { (v0: Byte, pick: Byte) =>
+      val v = v0.toDouble
+      val (p, direct) = (math.floorMod(pick.toInt, 4): @unchecked) match {
+        case 0 => (Not(Gt("l_quantity", lit(v))), !(col("l_quantity") > v))
+        case 1 => (Not(Eq("l_returnflag", lit("A"))), !(col("l_returnflag") === "A"))
+        case 2 => (Not(Lte("l_quantity", lit(v))), !(col("l_quantity") <= v))
+        case 3 => (Not(In("l_returnflag", Seq(lit("A"), lit("N")))),
+          !col("l_returnflag").isin("A", "N"))
+      }
+      li.where(p.column).count() === li.where(direct).count()
+    })
+  }
+
+  test("property: RawSql fragment == the equivalent Column predicate") {
+    check("rawsql", Prop.forAll { (v0: Byte, conj: Boolean) =>
+      val v = v0.toDouble
+      val raw: Pred =
+        if (conj) RawSql(s"l_quantity > $v AND l_returnflag = 'A'")
+        else RawSql(s"l_quantity <= $v")
+      val direct =
+        if (conj) col("l_quantity") > v && col("l_returnflag") === "A"
+        else col("l_quantity") <= v
+      li.where(raw.column).count() === li.where(direct).count()
+    })
+  }
+
+  test("property: $all == subset test via array_except on arbitrary arrays") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val elem = Gen.chooseNum(0, 5)
+    val arr = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, elem))
+    check("all-subset", Prop.forAll(Gen.listOfN(12, arr), Gen.nonEmptyListOf(elem)) {
+      (rows, queryRaw) =>
+        val query = queryRaw.distinct.take(3)
+        val df = rows.toDF("tags")
+        // independent formulation: tags ⊇ query ⟺ query \ tags = ∅
+        val direct = size(array_except(
+          array(query.map(lit(_)): _*), col("tags"))) === 0
+        df.where(All("tags", query.map(lit(_))).column).count() ===
+          df.where(direct).count()
+    })
+  }
+
   test("property: $in == disjunction of $eq") {
     check("in-or", Prop.forAll { (s: Set[Boolean]) =>
       val flags = s.map(b => if (b) "A" else "R").toSeq

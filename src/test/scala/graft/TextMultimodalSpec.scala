@@ -103,6 +103,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.decodeBmp(Array[Byte](1, 2, 3)))
   }
 
+  test("PNG/JPEG codecs: real ImageIO round-trip recovers geometry and content") {
+    // PNG is lossless: the uniform fill must survive exactly
+    val png = Multimodal.encodeImage("png", 17, 9, (200 << 16) | (200 << 8) | 200)
+    // real PNG container: 8-byte signature
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (pw, ph, pRed) = Multimodal.decodeImage(png)
+    assert(pw === 17 && ph === 9 && pRed === 200.0)
+    // JPEG is lossy DCT: geometry exact, content within DC-quant tolerance
+    val jpg = Multimodal.encodeImage("jpg", 12, 10, (77 << 16) | (77 << 8) | 77)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // SOI marker
+    val (jw, jh, jRed) = Multimodal.decodeImage(jpg)
+    assert(jw === 12 && jh === 10)
+    assert(math.abs(jRed - 77.0) <= 3.0, s"jpeg mean red $jRed vs 77")
+    assertThrows[IllegalArgumentException](Multimodal.decodeImage(Array[Byte](1, 2, 3)))
+  }
+
   test("WAV frame extraction: sample-accurate frames from the data chunk") {
     import spark.implicits._
     val media = Multimodal.encodeAsBinary(docs.limit(10), "doc_id", "text")
