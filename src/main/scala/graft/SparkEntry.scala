@@ -189,6 +189,23 @@ object SparkEntry {
       }.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    // P11+ — MQL `$not`/`$exists`, BEYOND the reference parser's own TODO
+    // (mqlparser/package.scala:98). No table carries nulls, so the gate
+    // derives a null-bearing column (NULL lang for doc_id % 7 == 0 — the
+    // oracle mirrors the same CASE) and runs one query exercising
+    // $exists:false, $exists:true, and $not over a range op, composed
+    // under $or. SQL three-valued semantics throughout (Exists scaladoc).
+    "p17_mql_not_exists" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("lang_opt",
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+      val p = graft.mql.MqlParser.parse(
+        """{ "$or": [ { "lang_opt": { "$exists": false } },
+                      { "lang_opt": { "$exists": true },
+                        "n_chars": { "$not": { "$lt": 600 } } } ] }""")
+      docs.where(p.column).select("doc_id", "lang_opt", "n_chars")
+    }),
+
     // S5-preferred — full SQL text through Catalyst's parser (SURVEY.md
     // §2.2 P11 verdict: "prefer spark.sql"): the reference's string-query
     // channel upgraded to ANSI SQL.
@@ -887,6 +904,20 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
     }),
 
+    // Bloom-pre-filtered semi join — the explicit form of runtime row-level
+    // filtering: a bounded sketch of the selective dim side's keys prunes
+    // the fact side at the scan, BEFORE the join exchange; the exact semi
+    // join downstream removes Bloom false positives. The sketch is
+    // result-invariant, so the oracle is the plain IN-subquery SQL — same
+    // invariant style as j_salted_skew (salting vs plain join).
+    "j_bloom_semi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      Joins.bloomSemiJoin(li, "l_orderkey", o, "o_orderkey",
+          expectedKeys = 100000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // §2.4 extension — left outer join with an ON-clause filter so unmatched
     // rows survive as nulls (absent in the reference; free in Spark).
     "q_join_left" -> ((s, dir) => {
@@ -1293,6 +1324,25 @@ object SparkEntry {
           col("m.quality").as("keep_quality"))
     }),
 
+    // SemDeDup-style SEMANTIC dedup (the public SemDeDup recipe: embedding
+    // near-dup pairs → transitive clusters → one kept representative per
+    // cluster) — end-to-end composition of three oracle-proven stages:
+    // cosine pairs at θ=0.45 (where the synthetic corpus has natural
+    // pairs), the same pointer-jumping CC as dedup_cluster_cc, and a
+    // deterministic min-id representative. Output: every vector, its
+    // cluster canon, and whether semantic dedup keeps it.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      emb.select(col("vec_id"))
+        .join(cc, col("vec_id") === col("doc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("canon_id"), col("vec_id")).as("canon_id"),
+          (coalesce(col("canon_id"), col("vec_id")) === col("vec_id")).as("kept"))
+    }),
+
     // Embedding near-dup pairs at a LOOSE audit threshold (0.45). The
     // auto plan here is the exact-verify cross join: at θ < 0.6 no
     // hyperplane-LSH geometry prunes (the 64×4 banding that holds recall
@@ -1593,6 +1643,45 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.signals(col("text")).getField("n_words").as("toks"))
       Corpus.packTokenBudget(docs, "doc_id", "toks", budget = 512L, nShards = 8)
+    }),
+
+    // Token-window chunking with overlap (RAG / long-document context-prep):
+    // 64-token windows advancing by 48 (16-token overlap) — map-only
+    // sequence+slice arithmetic, one output row per chunk. The oracle
+    // replays the identical windowing with generate_series + list slicing.
+    "corpus_chunk" -> ((s, dir) => {
+      Corpus.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+    }),
+
+    // Per-(doc, term) TF-IDF (keyword extraction / lexical retrieval
+    // weight): integer tf & df aggregation, one equi-join against the
+    // Zipf-bounded term table, broadcast scalar N — the only floating
+    // step is the final tf·ln(N/df). minTf=2 drops the hapax tail before
+    // the join (the scale dial, engaged here and mirrored by HAVING).
+    "text_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text", minTf = 2L)
+    }),
+
+    // Misra–Gries heavy hitters — differential gate: MG counter values are
+    // arrival-order-dependent (any run under-counts by ≤ n/(k+1)), but
+    // MEMBERSHIP of every true heavy hitter (freq > n/(k+1)) is
+    // GUARANTEED under any partitioning (mergeable-summaries bound). The
+    // gate computes exact counts for the true heavy hitters (integer SQL,
+    // hashable) and probes each against the k=63-counter sketch — a
+    // broken reduce/merge drops a guaranteed member and flips a boolean.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val mg = udaf(graft.functions.HeavyHitters.misraGries(63))
+      val sketch = toks.agg(mg(col("term")).as("sketch"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      exact.crossJoin(broadcast(total))
+        .where(col("cnt") * 64 > col("n")) // integer-exact threshold
+        .crossJoin(broadcast(sketch))
+        .select(col("term"), col("cnt"),
+          array_contains(col("sketch"), col("term")).as("in_sketch"))
     }),
 
     // Benchmark decontamination: distinct 8-gram overlap between every
@@ -1900,6 +1989,15 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_quantity >= 45 OR (l_returnflag IN ('A') AND l_quantity < 5)
          ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 3""",
+    // $exists ⇒ IS [NOT] NULL, $not ⇒ three-valued NOT (see the gate)
+    "p17_mql_not_exists" ->
+      """WITH d AS (SELECT doc_id,
+                           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_opt,
+                           n_chars
+                    FROM documents)
+         SELECT doc_id, lang_opt, n_chars FROM d
+         WHERE lang_opt IS NULL
+            OR (lang_opt IS NOT NULL AND NOT (n_chars < 600))""",
     "q_sql_direct" ->
       """SELECT n_name, COUNT(*) AS n_suppliers,
                 CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
@@ -2262,6 +2360,31 @@ object SparkEntry {
                        END AS cos
                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45""",
+    // exact all-pairs cosine edges (the SQL proven by
+    // dedup_embedding_cosine) + the recursive-CTE closure proven by
+    // dedup_cluster_cc + min-id representative
+    "dedup_semantic" ->
+      """WITH RECURSIVE
+           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        CASE WHEN list_dot_product(a.v, a.v) = 0
+                               OR list_dot_product(b.v, b.v) = 0 THEN NULL
+                             ELSE list_dot_product(a.v, b.v) /
+                                  (sqrt(list_dot_product(a.v, a.v)) *
+                                   sqrt(list_dot_product(b.v, b.v)))
+                        END AS cos
+                 FROM e a JOIN e b ON a.vec_id < b.vec_id),
+           pe AS (SELECT id_a, id_b FROM p WHERE cos >= 0.45),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pe
+                     UNION ALL SELECT id_b, id_a FROM pe),
+           reach AS (SELECT a AS node, a AS lab FROM edges
+                     UNION
+                     SELECT e2.a, r.lab FROM edges e2 JOIN reach r ON e2.b = r.node),
+           cc AS (SELECT node, min(lab) AS canon FROM reach GROUP BY node)
+         SELECT em.vec_id,
+                coalesce(cc.canon, em.vec_id) AS canon_id,
+                coalesce(cc.canon, em.vec_id) = em.vec_id AS kept
+         FROM e em LEFT JOIN cc ON cc.node = em.vec_id""",
     "dedup_embedding_cosine_t90" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               e AS (SELECT vec_id, v FROM base
@@ -2509,6 +2632,27 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_tokens,
                 CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
          FROM j GROUP BY doc_id""",
+    // integer tf/df aggregation; the one floating step (tf·ln(N/df)) is
+    // the same IEEE divide→ln→multiply sequence in both engines
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                CAST(tf.tf AS DOUBLE) *
+                  ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+         FROM tf JOIN df USING (term), n""",
+    // exact integer counts of the true heavy hitters; MG membership is
+    // guaranteed for them, so in_sketch is the constant the sketch must hit
+    "text_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+              e AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n FROM tok)
+         SELECT term, cnt, true AS in_sketch FROM e, n WHERE cnt * 64 > n""",
     "text_lang_mismatch" ->
       """WITH h AS (SELECT doc_id, lang, text,
                 len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
@@ -2587,6 +2731,21 @@ object SparkEntry {
                 CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
                 tok_before % 512 AS bin_offset
          FROM r""",
+    // identical 64/48 windowing replayed with generate_series + 1-based
+    // inclusive list slicing (both engines clamp the final window)
+    "corpus_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              c AS (SELECT doc_id, toks,
+                           CASE WHEN len(toks) <= 64 THEN 1
+                                ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
+                           END AS nc
+                    FROM t),
+              x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                CAST(i * 48 AS BIGINT) AS start_token,
+                CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+         FROM x""",
     "text_tokens" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS ws_tokens,
@@ -2713,6 +2872,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, o_totalprice
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 400000.0""",
+    // the Bloom sketch is result-invariant: plain EXISTS semantics
+    "j_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 400000.0)""",
     "q_join_left" ->
       """SELECT p_partkey, l_orderkey, l_quantity FROM part
          LEFT JOIN lineitem ON p_partkey = l_partkey AND l_quantity >= 49.0""",

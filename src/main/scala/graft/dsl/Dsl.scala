@@ -66,6 +66,16 @@ final case class Or(left: Pred, right: Pred) extends Pred {
 final case class Not(p: Pred) extends Pred {
   def column: Column = !p.column
 }
+/** Mongo `$exists`: field presence. The reference parser lists `$not`/
+  * `$exists` as its own TODO (mqlparser/package.scala:98) — this goes
+  * beyond parity. Columnar mapping: a schema column always "exists", so
+  * presence means NOT NULL (Mongo's missing-field ≈ SQL NULL); SQL
+  * three-valued logic applies throughout the algebra (a `Not` over a
+  * NULL comparison filters the row, it does not resurrect it). */
+final case class Exists(field: String, expected: Boolean) extends Pred {
+  def column: Column =
+    if (expected) col(field).isNotNull else col(field).isNull
+}
 /** Raw SQL predicate fragment (reference's raw-CQL `select()`,
   * src/main/scala/dsl/package.scala:83-86) — parsed by Catalyst. */
 final case class RawSql(sql: String) extends Pred {
@@ -116,6 +126,7 @@ final class QField(val name: String) extends AnyVal {
   def $in[T](vs: Seq[T])(implicit t: DslType[T]): FieldPred = fp(In(name, vs.map(t.toLit)))
   def $nin[T](vs: Seq[T])(implicit t: DslType[T]): FieldPred = fp(Nin(name, vs.map(t.toLit)))
   def $all[T](vs: Seq[T])(implicit t: DslType[T]): FieldPred = fp(All(name, vs.map(t.toLit)))
+  def $exists(v: Boolean): FieldPred = fp(Exists(name, v))
 }
 
 object Order extends Enumeration {

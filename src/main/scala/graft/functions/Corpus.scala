@@ -100,6 +100,48 @@ object Corpus {
     graft.operators.Joins.zipWithOrdinal(sorted, "epoch_ord").drop("sk")
   }
 
+  /** Fixed-size token-window document chunking with overlap — the
+    * context-window prep step of every RAG indexing and long-document
+    * pretokenization pipeline: each document's token stream is cut into
+    * windows of `chunkSize` tokens advancing by `chunkSize - overlap`
+    * (so consecutive chunks share `overlap` tokens), the final window
+    * keeping whatever remains.
+    *
+    * Pure per-row array arithmetic (`sequence` + `transform` + `slice`,
+    * all codegen'd) — map-only, no shuffle, no state: chunking
+    * parallelizes perfectly at any scale, and output order inside a
+    * document is the deterministic chunk index. Tokenization is the
+    * corpus convention: bare single-space split, empty tokens kept, so
+    * the DuckDB `string_split` oracle is bit-identical.
+    *
+    * Output: one row per chunk — (doc_id, chunk_id, start token offset,
+    * n_chunk_tokens, chunk_text re-joined by single space). */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val n = size(split(col(textCol), " "))
+    // ceil((n - overlap) / stride) windows; n <= chunkSize -> exactly 1
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise((n - lit(overlap) + lit(stride) - 1).cast("int") / lit(stride))
+      .cast("int")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"),
+        nChunks.as("nc"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nc") - 1),
+        i => array_join(
+          slice(col("toks"), i * stride + 1, lit(chunkSize)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("pos") * stride).cast("long").as("start_token"),
+        size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+  }
+
   /** Per-source document cap: keep at most `n` documents per source
     * (domain / crawl host / feed), preferring the highest `score` — the
     * domain-diversity guard every web-scale corpus applies so one prolific

@@ -202,6 +202,40 @@ object TextAnalysis {
           lit(0.0), (a, x) => a + x) / size(col("lps"))).as("xent"))
   }
 
+  /** Per-(document, term) TF-IDF — the classic sparse relevance weight
+    * (keyword extraction, lexical retrieval scoring, quality signals):
+    * `tfidf = tf * ln(N / df)` with raw counts, natural log, no
+    * smoothing — every quantity but the one final multiply/log is exact
+    * integer aggregation.
+    *
+    * Scale shape: explode + two hash-partitioned partial aggregations
+    * (per-(doc,term) tf, then per-term df with a map-side combine) and
+    * one equi-join of tf against the Zipf-bounded term table — the same
+    * shuffle skeleton as [[unigramCrossEntropy]]'s vocabulary build.
+    * The corpus size N joins in as a broadcast 1-row aggregate, never a
+    * driver-side collect. `minTf` drops hapax noise before the df join
+    * (most (doc,term) pairs have tf=1; at 100 TB that filter is the
+    * difference between joining the long tail or not). */
+  def tfIdf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTf: Long = 1L): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= minTf)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+  }
+
   /** Winnowing-style rolling fingerprints: hash token shingles, take the
     * minimum in each sliding window, dedupe. Near-identical documents share
     * most fingerprints (spec-verified; xxhash64 is not DuckDB-expressible

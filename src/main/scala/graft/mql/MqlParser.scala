@@ -78,20 +78,33 @@ object MqlParser extends JavaTokenParsers {
     scalar ^^ (Scalar(_)) |
       ("[" ~> repsep(scalar, ",") <~ "]") ^^ (Arr(_))
 
-  private def opEntry(field: String): Parser[Pred] =
-    key ~ (":" ~> value) ^^ {
-      case "$eq" ~ Scalar(v) => Eq(field, v)
-      case "$ne" ~ Scalar(v) => Ne(field, v)
-      case "$gt" ~ Scalar(v) => Gt(field, v)
-      case "$gte" ~ Scalar(v) => Gte(field, v)
-      case "$lt" ~ Scalar(v) => Lt(field, v)
-      case "$lte" ~ Scalar(v) => Lte(field, v)
-      case "$in" ~ Arr(vs) => In(field, vs)
-      case "$nin" ~ Arr(vs) => Nin(field, vs)
-      case "$all" ~ Arr(vs) => All(field, vs)
-      case op ~ _ =>
-        throw new MqlParseException(s"unsupported operator '$op' on field '$field'")
+  private def opEntry(field: String): Parser[Pred] = key into {
+    // $not takes an operator document ({f: {$not: {$gt: 5}}}) and $exists a
+    // bare boolean — both beyond the reference parser's own TODO list
+    // (mqlparser/package.scala:98). $not composes over any condition
+    // (including nested $not) with SQL three-valued semantics (see
+    // [[graft.dsl.Exists]] scaladoc). `key` unquotes, so both spellings
+    // ({"$not": ...} and {$not: ...}) land here.
+    case "$not" => ":" ~> condition(field) ^^ (p => Not(p): Pred)
+    case "$exists" =>
+      ":" ~> ("true" ^^^ true | "false" ^^^ false) ^^
+        (b => Exists(field, b): Pred)
+    case op => ":" ~> value ^^ { v =>
+      (op, v) match {
+        case ("$eq", Scalar(x)) => Eq(field, x)
+        case ("$ne", Scalar(x)) => Ne(field, x)
+        case ("$gt", Scalar(x)) => Gt(field, x)
+        case ("$gte", Scalar(x)) => Gte(field, x)
+        case ("$lt", Scalar(x)) => Lt(field, x)
+        case ("$lte", Scalar(x)) => Lte(field, x)
+        case ("$in", Arr(xs)) => In(field, xs)
+        case ("$nin", Arr(xs)) => Nin(field, xs)
+        case ("$all", Arr(xs)) => All(field, xs)
+        case _ =>
+          throw new MqlParseException(s"unsupported operator '$op' on field '$field'")
+      }
     }
+  }
 
   private def condition(field: String): Parser[Pred] =
     ("{" ~> rep1sep(opEntry(field), ",") <~ "}") ^^ (_.reduceLeft(And(_, _): Pred)) |

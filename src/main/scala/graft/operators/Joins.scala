@@ -247,4 +247,34 @@ object Joins {
     * inputs is carried by data (e.g. sequence_nr), not physical position. */
   def concat(first: DataFrame, second: DataFrame): DataFrame =
     first.unionByName(second)
+
+  /** Bloom-pre-filtered SEMI join: keep the fact rows whose key appears in
+    * the (typically filtered) dimension side, pruning the fact side with a
+    * Bloom probe BEFORE the join's exchange.
+    *
+    * Why this exists at 100 TB: when the dim side is selective but too big
+    * (or too late-derived) to broadcast, a plain semi join shuffles the
+    * ENTIRE fact table on the key. The Bloom filter is a bounded sketch of
+    * the dim keys (built with one treeAggregate pass — `expectedKeys` and
+    * `fpp` size it; 1M keys at 1% fpp ≈ 1.2 MB) probed row-by-row inside
+    * whole-stage codegen at the scan, so only the ~matching fraction of
+    * the fact table reaches the exchange. The exact semi join downstream
+    * removes the Bloom's false positives — the OPERATOR is exact, the
+    * sketch only prunes (same contract as Spark's own runtime-filter
+    * rewrite, which this makes explicit, composable, and guaranteed).
+    *
+    * Result == `fact SEMI JOIN dim ON factKey = dimKey`, exactly. */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(col(dimKey).cast("long"), expectedKeys, fpp)
+    fact
+      .where(graft.expressions.BloomFunctions.bloom_might_contain(
+        col(factKey).cast("long"), bf))
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
 }

@@ -120,4 +120,70 @@ class CorpusSpec extends AnyFunSuite {
       .agg(max(col("rel"))).head().getDouble(0)
     assert(worst < 1e-9, s"scale vs audit relative error $worst")
   }
+
+  test("chunkTokens: window geometry, overlap stitching, short docs, rebuild") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val mini = Seq(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 toks: 2 chunks
+      2L -> (1 to 4).map(i => s"t$i").mkString(" "),  // 4 toks:  1 chunk
+      3L -> (1 to 13).map(i => s"t$i").mkString(" "), // 13 toks: 3 chunks
+      4L -> (1 to 8).map(i => s"t$i").mkString(" "),  // 8 toks: 2 chunks, short tail
+      5L -> ""                                        // empty: 1 chunk [""]
+    ).toDF("doc_id", "text")
+    // chunkSize=6, overlap=2, stride=4
+    val got = Corpus.chunkTokens(mini, "doc_id", "text", 6, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDoc === Map(1L -> 2, 2L -> 1, 3L -> 3, 4L -> 2, 5L -> 1))
+    // doc 1: [t1..t6], [t5..t10] — consecutive chunks share overlap=2
+    assert(got.filter(_._1 == 1L).map(_._5).toSeq ===
+      Seq("t1 t2 t3 t4 t5 t6", "t5 t6 t7 t8 t9 t10"))
+    // doc 3 final chunk is the clamped remainder
+    assert(got.filter(_._1 == 3L).map(_._5).last === "t9 t10 t11 t12 t13")
+    assert(got.filter(_._1 == 3L).map(t => (t._3, t._4)).toSeq ===
+      Seq((0L, 6L), (4L, 6L), (8L, 5L)))
+    // dropping each chunk's trailing overlap and concatenating rebuilds
+    // every document exactly (the property RAG chunking exists to keep)
+    val docsBack = got.groupBy(_._1).view.mapValues { rows =>
+      val toks = rows.sortBy(_._2).flatMap { case (_, cid, _, _, txt) =>
+        val ts = txt.split(" ", -1).toSeq
+        if (cid == 0) ts else ts.drop(2)
+      }
+      toks.mkString(" ")
+    }.toMap
+    val orig = mini.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docsBack === orig)
+    // guard rails
+    assertThrows[IllegalArgumentException](
+      Corpus.chunkTokens(mini, "doc_id", "text", 6, 6))
+  }
+
+  test("tfIdf: hand-computed tiny corpus; minTf gates df like the oracle") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val mini = Seq(
+      1L -> "a a b c",
+      2L -> "a b b b",
+      3L -> "c c c c").toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(mini, "doc_id", "text", minTf = 2L)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // tf>=2 pairs: (1,a)=2, (2,b)=3, (3,c)=4; df AFTER the gate: each 1
+    val n = 3.0
+    assert(got.keySet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(math.abs(got((1L, "a"))._3 - 2 * math.log(n / 1)) < 1e-12)
+    assert(math.abs(got((2L, "b"))._3 - 3 * math.log(n / 1)) < 1e-12)
+    assert(math.abs(got((3L, "c"))._3 - 4 * math.log(n / 1)) < 1e-12)
+    assert(got((1L, "a"))._1 === 2L && got((1L, "a"))._2 === 1L)
+    // minTf=1: "a" now appears in docs 1,2 -> df=2, idf=ln(3/2); and b/c
+    // hapax rows surface
+    val loose = TextAnalysis.tfIdf(mini, "doc_id", "text", minTf = 1L)
+      .where(col("term") === "a").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(loose.map(_._2).toSeq === Seq(2L, 2L))
+    assert(math.abs(loose.head._3 - 2 * math.log(n / 2)) < 1e-12)
+  }
 }

@@ -116,4 +116,39 @@ class JoinsSpec extends AnyFunSuite {
       Joins.rangeJoin(df, df.toDF("c", "d"), "a", "c", "d", 0L)
     }
   }
+
+  test("bloomSemiJoin == plain semi join; the probe prunes before the join") {
+    import SparkTestSession.table
+    import spark.implicits._
+    val li = table("lineitem")
+    val o = table("orders").where(col("o_totalprice") > 400000.0)
+    val got = Joins.bloomSemiJoin(li, "l_orderkey", o, "o_orderkey",
+      expectedKeys = 10000L, fpp = 0.01)
+    val plain = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    // exactness: identical multiset despite Bloom false positives
+    assert(got.exceptAll(plain).count() === 0 && plain.exceptAll(got).count() === 0)
+    assert(got.count() === plain.count() && plain.count() > 0)
+    // the probe really is in the plan (a codegen'd filter, not a UDF)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"no Bloom probe in plan:\n$plan")
+    // the sketch prunes hard on a selective dim side: the probe alone
+    // admits at most matches + fpp-slack of the fact table
+    val matchKeys = o.select("o_orderkey").as[Long].collect().toSet
+    val bf = o.stat.bloomFilter(col("o_orderkey"), 10000L, 0.01)
+    val admitted = li.where(
+      graft.expressions.BloomFunctions.bloom_might_contain(col("l_orderkey"), bf))
+      .count()
+    val trueMatches = li.where(
+      col("l_orderkey").isInCollection(matchKeys)).count()
+    assert(admitted >= trueMatches)
+    assert(admitted <= trueMatches + (li.count() * 0.05).toLong,
+      s"bloom admitted $admitted vs $trueMatches true matches")
+    // non-integral keys are rejected loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      li.where(graft.expressions.BloomFunctions.bloom_might_contain(
+        col("l_returnflag"), bf)).collect()
+    }
+  }
 }

@@ -79,8 +79,33 @@ class MqlChannelSpec extends AnyFunSuite {
     assertThrows[MqlParseException](MqlParser.parse("""{ "l_quantity": { "$gte": } }"""))
   }
 
-  test("MQL unsupported operator fails fast (reference rejects $exists/$not)") {
-    assertThrows[MqlParseException](MqlParser.parse("""{ "l_quantity": { "$exists": true } }"""))
+  test("MQL unsupported operator fails fast (e.g. $regex)") {
+    assertThrows[MqlParseException](MqlParser.parse("""{ "l_quantity": { "$regex": "a.*" } }"""))
+  }
+
+  test("MQL $not composes over conditions with three-valued semantics") {
+    // beyond the reference parser's own TODO (mqlparser/package.scala:98)
+    val p = MqlParser.parse("""{ "l_quantity": { "$not": { "$gte": 10, "$lte": 15 } } }""")
+    val expected = li.where(!col("l_quantity").between(10, 15)).count()
+    assert(li.where(p.column).count() === expected && expected > 0)
+    // nested $not cancels
+    val p2 = MqlParser.parse(
+      """{ "l_quantity": { "$not": { "$not": { "$gt": 40 } } } }""")
+    assert(li.where(p2.column).count() === li.where(col("l_quantity") > 40).count())
+  }
+
+  test("MQL $exists maps presence to IS [NOT] NULL on a null-bearing column") {
+    import spark.implicits._
+    val df = Seq((1L, Some("en")), (2L, None), (3L, Some("de")))
+      .toDF("id", "lang_opt")
+    val yes = MqlParser.parse("""{ "lang_opt": { "$exists": true } }""")
+    val no = MqlParser.parse("""{ "lang_opt": { "$exists": false } }""")
+    assert(df.where(yes.column).select("id").as[Long].collect().sorted
+      === Array(1L, 3L))
+    assert(df.where(no.column).select("id").as[Long].collect() === Array(2L))
+    // non-boolean $exists operand is a parse error
+    assertThrows[MqlParseException](
+      MqlParser.parse("""{ "lang_opt": { "$exists": 1 } }"""))
   }
 
   test("channel builder: missing collection / missing query fail like reference build()") {

@@ -49,4 +49,35 @@ class TopKSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TopK.topK(0))
     intercept[IllegalArgumentException](TopK.topK(-3))
   }
+
+  test("Misra-Gries: every true heavy hitter survives, under any partitioning") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    // adversarial stream: 3 heavy items (>n/(k+1) with k=4 -> >n/5) buried
+    // in a long distinct-item tail, shuffled deterministically
+    val heavy = Seq.fill(400)("hh1") ++ Seq.fill(350)("hh2") ++ Seq.fill(300)("hh3")
+    val tail = (0 until 450).map(i => s"t$i")
+    val stream = new scala.util.Random(7).shuffle(heavy ++ tail)
+    val n = stream.size // 1500; threshold n/5 = 300
+    val mg = udaf(HeavyHitters.misraGries(4))
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = stream.toDF("term").repartition(parts)
+        .agg(mg(col("term")).as("s")).as[Seq[String]].head()
+      assert(sketch.size <= 4, s"buffer bound broken: $sketch")
+      assert(Set("hh1", "hh2").subsetOf(sketch.toSet),
+        s"guaranteed heavy hitters missing at parts=$parts: $sketch")
+      // hh3 sits exactly at the n/5 boundary (not strictly above), so no
+      // guarantee claim — but the documented bound says anything
+      // > n/(k+1) MUST be there; assert the 400/350 ones always are
+    }
+    // plain-Scala fold == the same guarantee on a single partition,
+    // and merging two half-streams keeps it (mergeable-summaries law)
+    val agg = HeavyHitters.misraGries(4)
+    val (a, b) = stream.splitAt(n / 2)
+    val merged = agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    assert(Set("hh1", "hh2").subsetOf(agg.finish(merged).toSet))
+    intercept[IllegalArgumentException](HeavyHitters.misraGries(0))
+  }
 }
