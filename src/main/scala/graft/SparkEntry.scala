@@ -511,6 +511,26 @@ object SparkEntry {
     // form of exact dedup; state = seen keys, scales with watermark +
     // key-partitioned state stores). AvailableNow feeds all data, so the
     // result equals batch DISTINCT (the DuckDB oracle).
+    // Streaming twin of corpus_chunk: chunkTokens is stateless map-only
+    // (sequence+slice arithmetic), so the SAME operator code runs
+    // unchanged over readStream micro-batches — no state store, no
+    // watermark, per-batch parallelism. Oracle = the batch chunking SQL.
+    "s11_stream_chunk" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "documents").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val chunks = Corpus.chunkTokens(src, "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+      val sink = "s11_stream_chunk_sink"
+      val q = chunks.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     "s7_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
@@ -1134,6 +1154,28 @@ object SparkEntry {
     // the single fused traversal; the decontamination stage adds one
     // broadcast probe + one anti-join — the whole pipeline stays one
     // corpus scan plus hash-partitioned metadata joins.
+    // RAG indexing prep, end-to-end: token-window chunking → per-chunk
+    // quality scoring (the IEEE-mirrored composed form, same discipline
+    // as text_quality) → best chunk per document (partial-aggregated
+    // min(struct), no corpus-wide window) → join the document's embedding
+    // payload. The shape every retrieval index build runs: chunk, score,
+    // select, attach vectors.
+    "pipe_rag_index" -> ((s, dir) => {
+      val chunks = Corpus.chunkTokens(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, overlap = 16)
+      val scored = chunks.select(col("doc_id"), col("chunk_id"),
+          TextAnalysis.qualityScore(col("chunk_text")).as("quality"))
+        .where(col("quality").isNotNull)
+      val best = scored.groupBy(col("doc_id"))
+        .agg(min(struct((-col("quality")).as("negq"),
+          col("chunk_id").as("chunk_id"))).as("m"))
+        .select(col("doc_id"), col("m.chunk_id").as("best_chunk"),
+          (-col("m.negq")).as("quality"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label"))
+      best.join(emb, Seq("doc_id"))
+    }),
+
     "pipe_training_corpus" -> ((s, dir) => {
       // seeded feeds FOUR consumers (dedup keeper set, both contamination
       // sides, the main signal scan) — persist once so the corpus is read
@@ -1830,6 +1872,36 @@ object SparkEntry {
     // the typed mapPartitions stage. mean_red is a CONTENT statistic: PNG
     // is lossless, so the uniform fill must survive zlib round-trip
     // exactly — the oracle is pure closed-form geometry.
+    // Multimodal INGESTION from a file store — Spark's built-in
+    // `binaryFile` source, the actual path a 100 TB image corpus arrives
+    // through (each object = one row with path/length/content; the source
+    // parallelizes across files and pushes a pathGlobFilter). The gate
+    // stages deterministic PNGs (gate staging, like s10's files), reads
+    // them back through binaryFile, recovers the id from the PATH, and
+    // runs the real decode stage — oracle is the same closed-form
+    // geometry as mm_png_decode over the staged id range.
+    "src_binaryfile_media" -> ((s, dir) => {
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-binfile")
+      (0L until 100L).foreach { id =>
+        val w = (8 + id % 13).toInt
+        val h = (8 + id % 7).toInt
+        val c = (id % 256).toInt
+        java.nio.file.Files.write(stage.resolve(s"img_$id.png"),
+          Multimodal.encodeImage("png", w, h, (c << 16) | (c << 8) | c))
+      }
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(stage.toString)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) => Multimodal.MediaRecord(id, bytes, "png") }
+      Multimodal.decodeImageMeta(media).toDF()
+        .select("doc_id", "width", "height", "n_pixels", "mean_red")
+    }),
+
     "mm_png_decode" -> ((s, dir) => {
       import s.implicits._
       val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -2746,6 +2818,51 @@ object SparkEntry {
                 CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
                 array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
          FROM x""",
+    // chunking + the text_quality scoring (IEEE-identical doubles) +
+    // row_number arg-max + embedding payload join
+    "pipe_rag_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              c AS (SELECT doc_id, toks,
+                           CASE WHEN len(toks) <= 64 THEN 1
+                                ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
+                           END AS nc
+                    FROM t),
+              x AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks FROM c),
+              ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                            array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+                     FROM x),
+              b AS (SELECT doc_id, chunk_id,
+                           length(chunk_text) AS n_chars,
+                           len(string_split(chunk_text, ' ')) AS n_words,
+                           len(regexp_extract_all(chunk_text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                           len(regexp_extract_all(chunk_text, '[A-Za-z]')) AS n_alpha
+                    FROM ch),
+              q AS (SELECT doc_id, chunk_id,
+                           least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                           least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                           CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality
+                    FROM b),
+              r AS (SELECT doc_id, chunk_id, quality,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY quality DESC, chunk_id) AS rk
+                    FROM q WHERE quality IS NOT NULL)
+         SELECT r.doc_id, r.chunk_id AS best_chunk, r.quality, e.label
+         FROM r JOIN embeddings e ON e.vec_id = r.doc_id
+         WHERE rk = 1""",
+    // the streaming form must converge to exactly the batch chunking
+    "s11_stream_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              c AS (SELECT doc_id, toks,
+                           CASE WHEN len(toks) <= 64 THEN 1
+                                ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
+                           END AS nc
+                    FROM t),
+              x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                CAST(i * 48 AS BIGINT) AS start_token,
+                CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+         FROM x""",
     "text_tokens" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS ws_tokens,
@@ -2771,6 +2888,14 @@ object SparkEntry {
                 CAST(16 AS INT) AS bits_per_sample,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
          FROM documents""",
+    // binaryFile ingestion of the staged id range — same closed form
+    "src_binaryfile_media" ->
+      """SELECT doc_id,
+                CAST(8 + doc_id % 13 AS INT) AS width,
+                CAST(8 + doc_id % 7 AS INT) AS height,
+                CAST((8 + doc_id % 13) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_red
+         FROM documents WHERE doc_id < 100""",
     // closed-form geometry + lossless content round-trip (see the gate)
     "mm_png_decode" ->
       """SELECT doc_id,
