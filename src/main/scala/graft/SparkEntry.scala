@@ -938,6 +938,18 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // The ANTI direction — a negative Bloom probe GUARANTEES
+    // non-membership, so ~all fact rows of a selective dim side bypass
+    // the join exchange entirely; only the fpp-bounded candidate sliver
+    // pays the exact anti join. Result-invariant ⇒ plain NOT-EXISTS SQL.
+    "j_bloom_anti" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      Joins.bloomAntiJoin(li, "l_orderkey", o, "o_orderkey",
+          expectedKeys = 100000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // §2.4 extension — left outer join with an ON-clause filter so unmatched
     // rows survive as nulls (absent in the reference; free in Spark).
     "q_join_left" -> ((s, dir) => {
@@ -1099,6 +1111,33 @@ object SparkEntry {
           countDistinct(col("l_partkey"))).as("parts_within_tol"),
         within(approx_count_distinct(col("l_orderkey")),
           countDistinct(col("l_orderkey"))).as("orders_within_tol"))
+    }),
+
+    // §2.7 — approximate percentile (KLL-style sketch): mergeable bounded
+    // state vs the exact form's full sort. Differential gate: the sketch
+    // value is not SQL-reproducible, but its CONTRACT is — the approx
+    // result's true rank interval [count(<v), count(<=v)] must intersect
+    // [q·n − n/acc, q·n + n/acc] (accuracy=1000). The exact percentile
+    // (interpolated, = DuckDB quantile_cont, proven by q_percentile)
+    // hash-verifies alongside the booleans.
+    "q_approx_percentile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("apx50"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("apx90"),
+        count(lit(1)).as("n"))
+      def rankOk(apx: org.apache.spark.sql.Column, q: Double) = {
+        val lo = sum(when(col("l_quantity") < apx, 1L).otherwise(0L))
+        val hi = sum(when(col("l_quantity") <= apx, 1L).otherwise(0L))
+        val tol = first(col("n")).cast("double") / 1000.0
+        val target = first(col("n")).cast("double") * q
+        (lo.cast("double") <= target + tol) && (hi.cast("double") >= target - tol)
+      }
+      li.crossJoin(broadcast(a)).agg(
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        expr("percentile(l_quantity, 0.9)").as("exact_p90"),
+        rankOk(col("apx50"), 0.5).as("p50_rank_ok"),
+        rankOk(col("apx90"), 0.9).as("p90_rank_ok"))
     }),
 
     // §2.4/§2.7 extension — 3-way join + aggregation + top-k (TPC-H Q3
@@ -3002,6 +3041,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_totalprice > 400000.0)""",
+    "j_bloom_anti" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey = l_orderkey
+                             AND o_totalprice > 400000.0)""",
     "q_join_left" ->
       """SELECT p_partkey, l_orderkey, l_quantity FROM part
          LEFT JOIN lineitem ON p_partkey = l_partkey AND l_quantity >= 49.0""",
@@ -3071,6 +3115,13 @@ object SparkEntry {
                 quantile_cont(l_quantity, 0.5) AS p50,
                 quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag""",
+    // sketch rank-contract booleans are constants; the exact interpolated
+    // percentiles hash-verify (same quantile_cont parity as q_percentile)
+    "q_approx_percentile" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS exact_p50,
+                quantile_cont(l_quantity, 0.9) AS exact_p90,
+                true AS p50_rank_ok, true AS p90_rank_ok
+         FROM lineitem""",
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders)""",

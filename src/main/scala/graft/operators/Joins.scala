@@ -277,4 +277,35 @@ object Joins {
         col(factKey).cast("long"), bf))
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
+
+  /** Bloom-accelerated ANTI join (NOT EXISTS): the Bloom direction flips —
+    * a NEGATIVE probe is a GUARANTEE of non-membership (Bloom has false
+    * positives, never false negatives), so every probe-negative fact row
+    * is emitted directly, skipping the join entirely; only the
+    * probe-positive sliver (true matches + fpp of the rest) pays the
+    * exact anti join that removes false positives.
+    *
+    * At 100 TB this inverts the anti join's cost profile: for a selective
+    * dim side, ~all fact rows are non-members, so ~all of them bypass the
+    * exchange and the state build — the shuffle carries only the
+    * fpp-bounded candidate fraction. NULL fact keys never match anything
+    * (SQL anti semantics keeps them); they take the direct-emit path.
+    *
+    * Result == `fact ANTI JOIN dim ON factKey = dimKey`, exactly. */
+  def bloomAntiJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(col(dimKey).cast("long"), expectedKeys, fpp)
+    val probe = graft.expressions.BloomFunctions.bloom_might_contain(
+      col(factKey).cast("long"), bf)
+    // coalesce keeps NULL-key rows on the direct path (probe is NULL there)
+    val definiteMiss = fact.where(!coalesce(probe, lit(false)))
+    val candidates = fact.where(coalesce(probe, lit(false)))
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti")
+    definiteMiss.unionByName(candidates)
+  }
 }

@@ -115,6 +115,20 @@ class DslPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: $exists partitions by nullity; complement under $exists flip") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    check("exists", Prop.forAll { (mod0: Byte) =>
+      val m = math.floorMod(mod0.toInt, 5) + 2
+      val df = (0L until 60L).map(i =>
+        (i, if (i % m == 0) None else Some(s"v$i"))).toDF("id", "opt")
+      val yes = df.where(Exists("opt", expected = true).column).count()
+      val no = df.where(Exists("opt", expected = false).column).count()
+      yes + no === 60L && no === (0L until 60L).count(_ % m == 0).toLong &&
+        yes === df.where(col("opt").isNotNull).count()
+    })
+  }
+
   test("property: $in == disjunction of $eq") {
     check("in-or", Prop.forAll { (s: Set[Boolean]) =>
       val flags = s.map(b => if (b) "A" else "R").toSeq

@@ -151,4 +151,24 @@ class JoinsSpec extends AnyFunSuite {
         col("l_returnflag"), bf)).collect()
     }
   }
+
+  test("bloomAntiJoin == plain anti join; NULL keys take the direct path") {
+    import SparkTestSession.table
+    import spark.implicits._
+    val li = table("lineitem")
+    val o = table("orders").where(col("o_totalprice") > 400000.0)
+    val got = Joins.bloomAntiJoin(li, "l_orderkey", o, "o_orderkey",
+      expectedKeys = 10000L, fpp = 0.01)
+    val plain = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_anti")
+    assert(got.exceptAll(plain).count() === 0 && plain.exceptAll(got).count() === 0)
+    assert(got.count() === plain.count() && plain.count() > 0)
+    // NULL fact keys never match: SQL anti semantics keeps them, and the
+    // coalesce routes them down the no-join path
+    val fact = Seq(Some(1L), Some(2L), None).toDF("k")
+    val dim = Seq(1L).toDF("d")
+    val anti = Joins.bloomAntiJoin(fact, "k", dim, "d", 100L, 0.01)
+      .select("k").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(anti.sorted.toSeq === Seq(-1L, 2L))
+  }
 }
