@@ -882,6 +882,35 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
     }),
 
+    // §2.7 — lag/lead/first_value event features (the per-user sequence
+    // deltas every behavioral training pipeline derives): one window pass
+    // per key, total order (event_id tie-break), delta as a single IEEE
+    // subtraction over raw doubles.
+    "q_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        first(col("event_type")).over(w).as("first_type"))
+    }),
+
+    // §2.7 — higher-order array functions (filter/transform/aggregate/
+    // sort), all codegen-free lambda evaluation over the token array in
+    // one projection — integer-exact, so the DuckDB list_* forms match.
+    "q_array_funcs" -> ((s, dir) => {
+      val arr = split(col("text"), " ")
+      t(s, dir, "documents").select(col("doc_id"),
+        size(filter(arr, x => length(x) > 4)).as("n_long_tokens"),
+        array_max(transform(arr, x => length(x))).as("max_token_len"),
+        aggregate(transform(arr, x => length(x)), lit(0L),
+          (acc, x) => acc + x).as("total_token_chars"),
+        size(array_distinct(arr)).as("n_distinct_tokens"),
+        element_at(array_sort(array_distinct(arr)), 1).as("first_token_sorted"))
+    }),
+
     // §2.7 — running (cumulative) aggregate per key over the event log.
     "q_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1757,7 +1786,9 @@ object SparkEntry {
       val mg = udaf(graft.functions.HeavyHitters.misraGries(63))
       val sketch = toks.agg(mg(col("term")).as("sketch"))
       val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("n"))
+      // total tokens = sum of the per-term counts — derived from `exact`
+      // instead of a third corpus scan + explode
+      val total = exact.agg(sum(col("cnt")).as("n"))
       exact.crossJoin(broadcast(total))
         .where(col("cnt") * 64 > col("n")) // integer-exact threshold
         .crossJoin(broadcast(sketch))
@@ -1923,11 +1954,8 @@ object SparkEntry {
       import s.implicits._
       val stage = java.nio.file.Files.createTempDirectory("graft-binfile")
       (0L until 100L).foreach { id =>
-        val w = (8 + id % 13).toInt
-        val h = (8 + id % 7).toInt
-        val c = (id % 256).toInt
         java.nio.file.Files.write(stage.resolve(s"img_$id.png"),
-          Multimodal.encodeImage("png", w, h, (c << 16) | (c << 8) | c))
+          Multimodal.grayTestImage(id, "png"))
       }
       val media = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.png").load(stage.toString)
@@ -1944,13 +1972,8 @@ object SparkEntry {
     "mm_png_decode" -> ((s, dir) => {
       import s.implicits._
       val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = (8 + id % 13).toInt
-          val h = (8 + id % 7).toInt
-          val c = (id % 256).toInt
-          Multimodal.MediaRecord(id,
-            Multimodal.encodeImage("png", w, h, (c << 16) | (c << 8) | c), "png")
-        })
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, Multimodal.grayTestImage(id, "png"), "png")))
       Multimodal.decodeImageMeta(imgs).toDF()
         .select("doc_id", "width", "height", "n_pixels", "mean_red")
     }),
@@ -1962,13 +1985,8 @@ object SparkEntry {
     "mm_jpeg_decode" -> ((s, dir) => {
       import s.implicits._
       val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = (8 + id % 13).toInt
-          val h = (8 + id % 7).toInt
-          val c = (id % 256).toInt
-          Multimodal.MediaRecord(id,
-            Multimodal.encodeImage("jpg", w, h, (c << 16) | (c << 8) | c), "jpg")
-        })
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, Multimodal.grayTestImage(id, "jpg"), "jpg")))
       Multimodal.decodeImageMeta(imgs).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
           (abs(col("mean_red") - (col("doc_id") % 256)) <= 3.0).as("red_close"))
@@ -2021,6 +2039,24 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Chunk-windowing oracle (64-token windows, stride 48) — shared by
+    * `corpus_chunk` and `s11_stream_chunk` (the streaming twin must
+    * converge to exactly the batch answer, so one SQL serves both; a
+    * geometry change edits ONE place). */
+  private val chunkOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                         CASE WHEN len(toks) <= 64 THEN 1
+                              ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
+                         END AS nc
+                  FROM t),
+            x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+       SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+              CAST(i * 48 AS BIGINT) AS start_token,
+              CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
+              array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+       FROM x"""
+
   /** Brute-force cosine top-k oracle — shared by `sim_brute_topk` and
     * `sim_ivf_exhaustive` (IVF probing every cell IS exhaustive search). */
   private val bruteTopkSql =
@@ -2691,7 +2727,12 @@ object SparkEntry {
     // the replayed late rows must contribute NOTHING — the count is over
     // the original feed only
     "s10_stream_late_drop" ->
-      """WITH wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM events)
+      // Spark's committed watermark truncates max event time to MILLIS
+      // (EventTimeStats) before subtracting the delay — mirror that
+      // (// 1000 * 1000) or a sub-ms remainder in a regenerated corpus
+      // could flip an hour-aligned window across the cutoff
+      """WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 600000000 AS w
+                     FROM events)
          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                 COUNT(*) AS n
          FROM events, wm
@@ -2842,21 +2883,9 @@ object SparkEntry {
                 CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
                 tok_before % 512 AS bin_offset
          FROM r""",
-    // identical 64/48 windowing replayed with generate_series + 1-based
+    // identical 64/48 windowing replayed with unnest(range) + 1-based
     // inclusive list slicing (both engines clamp the final window)
-    "corpus_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-              c AS (SELECT doc_id, toks,
-                           CASE WHEN len(toks) <= 64 THEN 1
-                                ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
-                           END AS nc
-                    FROM t),
-              x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
-         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-                CAST(i * 48 AS BIGINT) AS start_token,
-                CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
-                array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
-         FROM x""",
+    "corpus_chunk" -> chunkOracleSql,
     // chunking + the text_quality scoring (IEEE-identical doubles) +
     // row_number arg-max + embedding payload join
     "pipe_rag_index" ->
@@ -2889,19 +2918,7 @@ object SparkEntry {
          FROM r JOIN embeddings e ON e.vec_id = r.doc_id
          WHERE rk = 1""",
     // the streaming form must converge to exactly the batch chunking
-    "s11_stream_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-              c AS (SELECT doc_id, toks,
-                           CASE WHEN len(toks) <= 64 THEN 1
-                                ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
-                           END AS nc
-                    FROM t),
-              x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
-         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-                CAST(i * 48 AS BIGINT) AS start_token,
-                CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
-                array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
-         FROM x""",
+    "s11_stream_chunk" -> chunkOracleSql,
     "text_tokens" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS ws_tokens,
@@ -3022,6 +3039,23 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
                                      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
            FROM lineitem) WHERE rn <= 2""",
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+                lag(value) OVER w AS prev_value,
+                lead(value) OVER w AS next_value,
+                value - lag(value) OVER w AS delta,
+                first_value(event_type) OVER w AS first_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q_array_funcs" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                CAST(len(list_filter(w, x -> length(x) > 4)) AS INT) AS n_long_tokens,
+                CAST(list_max(list_transform(w, x -> length(x))) AS INT) AS max_token_len,
+                CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_token_chars,
+                CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+                list_sort(list_distinct(w))[1] AS first_token_sorted
+         FROM s""",
     "q_window_running" ->
       """SELECT user_id, event_id, value,
                 CAST(SUM(CAST(value AS DECIMAL(18,2)))

@@ -166,6 +166,19 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic uniform-gray test image, closed-form in `id` — ONE
+    * definition for the media gates (`src_binaryfile_media`,
+    * `mm_png_decode`, `mm_jpeg_decode`) and the geometry their SQL
+    * oracles mirror (w = 8 + id % 13, h = 8 + id % 7, gray c = id % 256).
+    * Lives here (not in SparkEntry) so executor-side lambdas reach it via
+    * static module access without capturing the caller. */
+  def grayTestImage(id: Long, fmt: String): Array[Byte] = {
+    val w = (8 + id % 13).toInt
+    val h = (8 + id % 7).toInt
+    val c = (id % 256).toInt
+    encodeImage(fmt, w, h, (c << 16) | (c << 8) | c)
+  }
+
   /** REAL raster decode via `javax.imageio`: full container walk + payload
     * decompression to a pixel raster. Emits geometry AND the mean red
     * channel — a content statistic, so a gate proves the pixels actually

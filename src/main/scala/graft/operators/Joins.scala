@@ -264,6 +264,18 @@ object Joins {
     * rewrite, which this makes explicit, composable, and guaranteed).
     *
     * Result == `fact SEMI JOIN dim ON factKey = dimKey`, exactly. */
+  // The Bloom pair only supports integral keys (the sketch hashes longs).
+  // REQUIRE instead of cast: a silent cast("long") on a string key would
+  // produce NULLs (or ANSI cast errors) and break the documented
+  // "Result == exact join" contract; requiring makes the widening to long
+  // provably lossless.
+  private def requireIntegralKey(df: DataFrame, key: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(key).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"$op: key '$key' must be integral (byte/short/int/long), got ${dt.sql}")
+  }
+
   def bloomSemiJoin(
       fact: DataFrame,
       factKey: String,
@@ -271,6 +283,8 @@ object Joins {
       dimKey: String,
       expectedKeys: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    requireIntegralKey(fact, factKey, "bloomSemiJoin")
+    requireIntegralKey(dim, dimKey, "bloomSemiJoin")
     val bf = dim.stat.bloomFilter(col(dimKey).cast("long"), expectedKeys, fpp)
     fact
       .where(graft.expressions.BloomFunctions.bloom_might_contain(
@@ -291,6 +305,12 @@ object Joins {
     * fpp-bounded candidate fraction. NULL fact keys never match anything
     * (SQL anti semantics keeps them); they take the direct-emit path.
     *
+    * Trade-off: the two branches are independent subplans, so the fact
+    * SOURCE is scanned twice (both scans probe-filtered, codegen'd,
+    * column-pruned). The saving is in the exchange + join state, which is
+    * what dominates a wide anti join; callers for whom the scan dominates
+    * (tiny dim, cheap shuffle) should use the plain anti join.
+    *
     * Result == `fact ANTI JOIN dim ON factKey = dimKey`, exactly. */
   def bloomAntiJoin(
       fact: DataFrame,
@@ -299,6 +319,8 @@ object Joins {
       dimKey: String,
       expectedKeys: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    requireIntegralKey(fact, factKey, "bloomAntiJoin")
+    requireIntegralKey(dim, dimKey, "bloomAntiJoin")
     val bf = dim.stat.bloomFilter(col(dimKey).cast("long"), expectedKeys, fpp)
     val probe = graft.expressions.BloomFunctions.bloom_might_contain(
       col(factKey).cast("long"), bf)

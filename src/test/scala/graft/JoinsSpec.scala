@@ -170,5 +170,13 @@ class JoinsSpec extends AnyFunSuite {
     val anti = Joins.bloomAntiJoin(fact, "k", dim, "d", 100L, 0.01)
       .select("k").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
     assert(anti.sorted.toSeq === Seq(-1L, 2L))
+    // non-integral keys are rejected at the OPERATOR boundary (a silent
+    // cast would NULL string keys and break the exactness contract)
+    intercept[IllegalArgumentException] {
+      Joins.bloomAntiJoin(li, "l_returnflag", o, "o_orderkey", 100L, 0.01)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(li, "l_orderkey", o, "o_orderstatus", 100L, 0.01)
+    }
   }
 }
