@@ -441,6 +441,80 @@ object SparkEntry {
       ss.table(sink)
     }),
 
+    // §2.8 — stream-stream LEFT OUTER join: the attribution query's hard
+    // half ("clicks WITHOUT a conversion") — unmatched left rows must
+    // emit with a NULL right side, which only happens once the global
+    // watermark provably passes each click's join bound (c_ts + 30 min).
+    // A single-batch feed can never flush those rows (no later batch
+    // advances the watermark), so the gate stages THREE files with
+    // controlled mtimes + maxFilesPerTrigger=1, like s10:
+    //   batch 0 = the real feed (matches emit as found);
+    //   batch 1 = a sentinel click+purchase pair at max(ts)+2h → commits
+    //             the watermark to max(ts)+1h, past every feed bound;
+    //   batch 2 = a second sentinel pair at max(ts)+4h — its processing
+    //             runs eviction under the batch-1 watermark, flushing
+    //             every unmatched feed click as a NULL-purchase row.
+    // The sentinels themselves stay in state forever (the watermark never
+    // passes THEIR bounds) so they cannot pollute the output; the oracle
+    // is the plain batch LEFT JOIN over the real feed.
+    "s12_stream_outer_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = t(ss, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), Tables.tsFromNanos(col("ts")).as("event_ts"))
+      val stage = java.nio.file.Files.createTempDirectory("graft-outer").toString
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmpDir = s"$stage/_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val part = new java.io.File(tmpDir).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmpDir"))
+        val dest = new java.io.File(s"$stage/$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+      }
+      val maxTs = ev.agg(max(col("event_ts"))).head().getTimestamp(0)
+      def sentinels(tag: Long, plusHours: Int): DataFrame = {
+        import ss.implicits._
+        // DISJOINT user ids (-1 vs -2): the click and purchase sentinels
+        // must advance their sides' watermarks without joining each other
+        Seq(("click", -tag, -1L), ("purchase", -tag - 1L, -2L))
+          .toDF("event_type", "eid", "uid")
+          .select(col("eid").as("event_id"), col("uid").as("user_id"),
+            col("event_type"),
+            (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("event_ts"))
+      }
+      val now = System.currentTimeMillis()
+      // sentinel spread ≤ 1.5h: even a trailing cleanup batch's watermark
+      // (max+3h − 1h = max+2h) stays below sentinel-1's join bound
+      // (max+2h30m), so no sentinel can ever flush as an unmatched row
+      writeOne(ev, "a_feed", now - 180000)
+      writeOne(sentinels(1L, 2), "b_s1", now - 120000)
+      writeOne(sentinels(3L, 3), "c_s2", now - 60000)
+      val src = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("event_ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("event_ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+      val sink = "s12_stream_outer_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     // §2.8 — LATE-DATA DROP, actually exercised (round-7 verdict #8): every
     // other watermarked gate feeds AvailableNow over one file, where the
     // watermark can never retire state before data arrives — the drop path
@@ -3005,6 +3079,15 @@ object SparkEntry {
          FROM events c JOIN events p
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    // the outer form: every click exactly as in the inner join PLUS one
+    // NULL-purchase row per unmatched click (the sentinel flush rows never
+    // reach the output — they stay in state, see the gate)
+    "s12_stream_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "q_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
