@@ -218,6 +218,16 @@ object SparkEntry {
                GROUP BY n_name""")
     }),
 
+    // §2.7 — RECURSIVE CTE (new in Spark 4): transitive closure of the
+    // planted 3-hop chain graph in PURE SQL — the same fixed-point
+    // semantics dedup_cluster_cc implements with pointer-jumping, here
+    // delegated to Catalyst's recursion operator. One SQL text serves
+    // both engines (only the table name differs).
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_v")
+      s.sql(recursiveClosureSql("docs_v"))
+    }),
+
     // P9/S2 — raw SQL predicate fragment (reference's raw-CQL select,
     // dsl/package.scala:83-86) parsed by Catalyst.
     "s2_scan_raw" -> ((s, dir) => {
@@ -2113,6 +2123,23 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Transitive closure over the planted 3-hop chain, ONE SQL text for
+    * both engines (Spark 4 and DuckDB both run `WITH RECURSIVE`; only
+    * the table name differs). Acyclic per-id path ⇒ UNION ALL recursion
+    * terminates with each reachable pair exactly once. */
+  private def recursiveClosureSql(table: String): String =
+    s"""WITH RECURSIVE e AS (
+           SELECT doc_id AS src, doc_id + 100000 AS dst FROM $table WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 100000, doc_id + 200000 FROM $table WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 200000, doc_id + 300000 FROM $table WHERE doc_id < 50),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION ALL
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+       SELECT src, dst FROM reach"""
+
   /** Chunk-windowing oracle (64-token windows, stride 48) — shared by
     * `corpus_chunk` and `s11_stream_chunk` (the streaming twin must
     * converge to exactly the batch answer, so one SQL serves both; a
@@ -2227,6 +2254,8 @@ object SparkEntry {
     "s2_scan_raw" ->
       """SELECT event_id, event_type, value FROM events
          WHERE event_type IN ('click','view') AND value > 50""",
+    // identical SQL text, DuckDB table name
+    "q_recursive_cte" -> recursiveClosureSql("documents"),
     "p_dynamic_json" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INT) AS k,
