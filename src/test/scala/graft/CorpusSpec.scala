@@ -159,6 +159,10 @@ class CorpusSpec extends AnyFunSuite {
     // guard rails
     assertThrows[IllegalArgumentException](
       Corpus.chunkTokens(mini, "doc_id", "text", 6, 6))
+    // the scale claim: chunking is map-only — no exchange anywhere
+    val plan = Corpus.chunkTokens(docs, "doc_id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkTokens plan shuffles:\n$plan")
   }
 
   test("tfIdf: hand-computed tiny corpus; minTf gates df like the oracle") {
