@@ -218,6 +218,21 @@ object SparkEntry {
                GROUP BY n_name""")
     }),
 
+    // §2.7 — correlated EXISTS / NOT EXISTS subqueries: Catalyst
+    // DECORRELATES both into joins (semi + anti) — the planner feature a
+    // SQL user hits constantly; identical text runs in DuckDB.
+    "q_correlated_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v o
+               WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                             WHERE l.l_orderkey = o.o_orderkey
+                               AND l.l_quantity >= 49.0)
+                 AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+                                 WHERE l.l_orderkey = o.o_orderkey
+                                   AND l.l_returnflag = 'R')""")
+    }),
+
     // §2.7 — RECURSIVE CTE (new in Spark 4): transitive closure of the
     // planted 3-hop chain graph in PURE SQL — the same fixed-point
     // semantics dedup_cluster_cc implements with pointer-jumping, here
@@ -2256,6 +2271,14 @@ object SparkEntry {
          WHERE event_type IN ('click','view') AND value > 50""",
     // identical SQL text, DuckDB table name
     "q_recursive_cte" -> recursiveClosureSql("documents"),
+    "q_correlated_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity >= 49.0)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey
+                             AND l.l_returnflag = 'R')""",
     "p_dynamic_json" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INT) AS k,
