@@ -1872,6 +1872,14 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text", minTf = 2L)
     }),
 
+    // Bigram-LM cross-entropy (conditional fluency proxy) — the AUDIT
+    // (position-ordered fold) form, hashable cross-engine; the sum/count
+    // scale form is TextAnalysis.bigramCrossEntropy, spec-proven to
+    // agree within 1e-9 (same split as text_perplexity).
+    "text_bigram_xent" -> ((s, dir) => {
+      TextAnalysis.bigramCrossEntropyAudit(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Misra–Gries heavy hitters — differential gate: MG counter values are
     // arrival-order-dependent (any run under-counts by ≤ n/(k+1)), but
     // MEMBERSHIP of every true heavy hitter (freq > n/(k+1)) is
@@ -2813,6 +2821,22 @@ object SparkEntry {
                   FROM tok JOIN vocab USING (w) CROSS JOIN tot),
            g AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
          SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+                list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps) AS xent
+         FROM g""",
+    // bigram conditional: P(w2|w1) = c(w1,w2)/c(w1,·); same ordered-fold
+    // mean as text_perplexity
+    "text_bigram_xent" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           b AS (SELECT doc_id, unnest(range(0, len(w) - 1)) AS pos, w
+                 FROM s WHERE len(w) >= 2),
+           bb AS (SELECT doc_id, pos, w[pos+1] AS w1, w[pos+2] AS w2 FROM b),
+           c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bb GROUP BY 1, 2),
+           c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+           lp AS (SELECT bb.doc_id, bb.pos,
+                         -ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) AS lp
+                  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+           g AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
+         SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
                 list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps) AS xent
          FROM g""",
     "q_range_join" ->

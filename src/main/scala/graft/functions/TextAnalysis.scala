@@ -236,6 +236,72 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Per-document BIGRAM cross-entropy against the corpus's own bigram
+    * LM — the conditional upgrade of [[unigramCrossEntropy]] (KenLM-style
+    * fluency is n-gram, not unigram): `xent = mean over positions of
+    * -ln P(w2|w1)` with `P(w2|w1) = c(w1,w2) / c(w1,·)`.
+    *
+    * Bigram formation is MAP-ONLY (per-row sequence+struct over the token
+    * array — no self-join on position); counts are two hash-partitioned
+    * partial aggregations (bigram table, then its prefix marginal — the
+    * marginal aggregates the Zipf-bounded bigram table, never the corpus
+    * again); scoring is one equi-join per table. Same sum/count scale
+    * shape as the unigram form; docs with < 2 tokens have no bigrams and
+    * drop out (mirrored by the oracle's len >= 2 filter). */
+  def bigramCrossEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bg = bigramStream(docs, idCol, textCol)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        (-log(col("c2").cast("double") / col("c1").cast("double"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")) / count(lit(1))).as("xent"))
+  }
+
+  /** AUDIT form of [[bigramCrossEntropy]]: position-ordered fold for
+    * cross-engine bit stability — same discipline as
+    * [[unigramCrossEntropyAudit]] (the oracle path; the sum/count form
+    * above is the production path). */
+  def bigramCrossEntropyAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bg = bigramStream(docs, idCol, textCol)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("pos"),
+        (-log(col("c2").cast("double") / col("c1").cast("double"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+      .select(col("doc_id"), size(col("lps")).cast("long").as("n_bigrams"),
+        (aggregate(transform(col("lps"), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x) / size(col("lps"))).as("xent"))
+  }
+
+  /** (doc_id, pos, w1, w2) bigram stream — map-only per-row array
+    * arithmetic, shared by both cross-entropy forms. */
+  private def bigramStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
   /** Winnowing-style rolling fingerprints: hash token shingles, take the
     * minimum in each sliding window, dedupe. Near-identical documents share
     * most fingerprints (spec-verified; xxhash64 is not DuckDB-expressible

@@ -121,6 +121,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(worst < 1e-9, s"scale vs audit relative error $worst")
   }
 
+  test("bigram cross-entropy: hand-computed tiny corpus; scale == audit to 1e-9") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    // corpus bigrams: (a,b)x1 [doc1], (b,a)x2 [doc1, doc2], (a,a)x1
+    // [doc1], (b,b)x1 [doc2]; prefix marginals: a· = 2, b· = 3
+    val mini = Seq(1L -> "a b a a", 2L -> "b b a", 3L -> "x").toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCrossEntropyAudit(mini, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 3 has 1 token -> no bigrams -> absent
+    assert(got.keySet === Set(1L, 2L))
+    val pBgivenA = 1.0 / 2; val pAgivenB = 2.0 / 3
+    val pAgivenA = 1.0 / 2; val pBgivenB = 1.0 / 3
+    val x1 = (-math.log(pBgivenA) + -math.log(pAgivenB) + -math.log(pAgivenA)) / 3
+    val x2 = (-math.log(pBgivenB) + -math.log(pAgivenB)) / 2
+    assert(got(1L)._1 === 3L && math.abs(got(1L)._2 - x1) < 1e-12)
+    assert(got(2L)._1 === 2L && math.abs(got(2L)._2 - x2) < 1e-12)
+    // scale (sum/count) form agrees with the audit fold
+    val docs2 = docs
+    val scale = TextAnalysis.bigramCrossEntropy(docs2.repartition(7), "doc_id", "text")
+      .withColumnRenamed("xent", "x_scale").withColumnRenamed("n_bigrams", "n_scale")
+    val audit = TextAnalysis.bigramCrossEntropyAudit(docs2, "doc_id", "text")
+      .withColumnRenamed("xent", "x_audit").withColumnRenamed("n_bigrams", "n_audit")
+    val joined = scale.join(audit, Seq("doc_id"))
+    assert(joined.count() === audit.count())
+    assert(joined.where(col("n_scale") =!= col("n_audit")).count() === 0)
+    val worst = joined.select(
+        (abs(col("x_scale") - col("x_audit")) /
+          greatest(abs(col("x_audit")), lit(1e-300))).as("rel"))
+      .agg(max(col("rel"))).head().getDouble(0)
+    assert(worst < 1e-9, s"bigram scale vs audit relative error $worst")
+  }
+
   test("chunkTokens: window geometry, overlap stitching, short docs, rebuild") {
     import SparkTestSession.spark
     import spark.implicits._
