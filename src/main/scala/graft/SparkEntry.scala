@@ -1872,6 +1872,21 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text", minTf = 2L)
     }),
 
+    // Vocabulary build (the step before any tokenizer/embedding-table
+    // training): corpus term counts → deterministic ids by (count DESC,
+    // term ASC) rank, hapax-filtered. The ranking window runs over the
+    // ZIPF-BOUNDED vocab table, never the corpus — the only corpus-sized
+    // work is the one partial-aggregated count.
+    "corpus_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+      val w = Window.orderBy(col("cnt").desc, col("term").asc)
+      vocab.withColumn("token_id", row_number().over(w).cast("long"))
+    }),
+
     // Bigram-LM cross-entropy (conditional fluency proxy) — the AUDIT
     // (position-ordered fold) form, hashable cross-engine; the sum/count
     // scale form is TextAnalysis.bigramCrossEntropy, spec-proven to
@@ -2823,6 +2838,14 @@ object SparkEntry {
          SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
                 list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps) AS xent
          FROM g""",
+    "corpus_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+              v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
+                    HAVING COUNT(*) >= 2)
+         SELECT term, cnt,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+                  AS token_id
+         FROM v""",
     // bigram conditional: P(w2|w1) = c(w1,w2)/c(w1,·); same ordered-fold
     // mean as text_perplexity
     "text_bigram_xent" ->
