@@ -21,6 +21,45 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Best-effort recursive delete of a gate's temp staging tree. Eagerly
+    * consumed stages (s10/s12 — fully drained by AvailableNow before the
+    * memory-sink table returns) call this inline; lazily-read sink dirs
+    * go through [[exitManagedTempDir]] instead, since their files must
+    * outlive the returned DataFrame. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { q => try { Files.deleteIfExists(q); () } catch { case _: Throwable => () } }
+      finally walk.close()
+    }
+  }
+
+  /** Temp staging dir registered for RECURSIVE deletion at JVM exit —
+    * `File.deleteOnExit` cannot remove non-empty dirs, and the sink
+    * roundtrip gates return a lazy reader over the staged files, so the
+    * tree must survive until the session dies. Without this, one bench
+    * round (1 warm-up + up to 3 timed passes per query) leaked ~16 staged
+    * parquet/PNG trees (ADVICE r8 #4). */
+  private def exitManagedTempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+
+  /** PNG staging for `src_binaryfile_media`, built ONCE per JVM and reused
+    * by every execution of the gate (the content is a pure function of the
+    * id range — the per-execution restage was the leak). */
+  private lazy val binaryFileStage: String = {
+    val stage = exitManagedTempDir("graft-binfile")
+    (0L until 100L).foreach { id =>
+      java.nio.file.Files.write(stage.resolve(s"img_$id.png"),
+        graft.functions.Multimodal.grayTestImage(id, "png"))
+    }
+    stage.toString
+  }
+
   /** Fold [[Tables.sessionConf]] into a builder — the one place session-level
     * settings the catalog needs (nanos-as-long parquet reads) are applied. */
   def sessionBuilder(b: SparkSession.Builder): SparkSession.Builder =
@@ -349,7 +388,7 @@ object SparkEntry {
     // (the reference's sink surface is the driver; the roundtrip proves
     // schema + data survive the sink, oracle-checked).
     "s6_sink_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val out = exitManagedTempDir("graft_sink").toString
       Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
         .select("n_nationkey", "n_name", "r_name")
         .write.mode("overwrite").parquet(out)
@@ -476,7 +515,7 @@ object SparkEntry {
     //   batch 0 = the real feed (matches emit as found);
     //   batch 1 = a sentinel click+purchase pair at max(ts)+2h → commits
     //             the watermark to max(ts)+1h, past every feed bound;
-    //   batch 2 = a second sentinel pair at max(ts)+4h — its processing
+    //   batch 2 = a second sentinel pair at max(ts)+3h — its processing
     //             runs eviction under the batch-1 watermark, flushing
     //             every unmatched feed click as a NULL-purchase row.
     // The sentinels themselves stay in state forever (the watermark never
@@ -537,6 +576,10 @@ object SparkEntry {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // AvailableNow drained every staged file into the in-memory sink —
+      // the stage tree is dead weight now (ADVICE r8 #4: one bench round
+      // leaked ~16 of these)
+      deleteRecursively(java.nio.file.Paths.get(stage))
       ss.table(sink)
     }),
 
@@ -603,6 +646,8 @@ object SparkEntry {
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // stage fully drained into the memory sink — delete (ADVICE r8 #4)
+      deleteRecursively(java.nio.file.Paths.get(stage))
       ss.table(sink)
     }),
 
@@ -846,21 +891,21 @@ object SparkEntry {
     // read it back with the written schema (proves schema + data survive
     // the format, oracle-checked like the parquet roundtrip).
     "src_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val out = exitManagedTempDir("graft_csv").toString
       val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
         .select("n_nationkey", "n_name", "r_name")
       df.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(df.schema).option("header", "true").csv(out)
     }),
     "src_json_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val out = exitManagedTempDir("graft_json").toString
       val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
         .select("n_nationkey", "n_name", "r_name")
       df.write.mode("overwrite").json(out)
       s.read.schema(df.schema).json(out)
     }),
     "src_orc_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val out = exitManagedTempDir("graft_orc").toString
       val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
         .select("n_nationkey", "n_name", "r_name")
       df.write.mode("overwrite").orc(out)
@@ -1874,17 +1919,29 @@ object SparkEntry {
 
     // Vocabulary build (the step before any tokenizer/embedding-table
     // training): corpus term counts → deterministic ids by (count DESC,
-    // term ASC) rank, hapax-filtered. The ranking window runs over the
-    // ZIPF-BOUNDED vocab table, never the corpus — the only corpus-sized
-    // work is the one partial-aggregated count.
+    // term ASC) rank, hapax-filtered. Ranking is a range-partitioned sort
+    // + per-partition ordinal offsets (Joins.zipWithOrdinal) — NOT a
+    // no-partition row_number window, which would funnel the whole vocab
+    // (billions of cnt>=2 typos/URLs at crawl scale) through one reducer.
+    // The only corpus-sized work is the one partial-aggregated count.
     "corpus_vocab" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val vocab = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= 2)
-      val w = Window.orderBy(col("cnt").desc, col("term").asc)
-      vocab.withColumn("token_id", row_number().over(w).cast("long"))
+      graft.functions.Corpus.buildVocab(t(s, dir, "documents"), "text", minCount = 2L)
+    }),
+
+    // Corpus tokenization against the built vocabulary — the missing step
+    // between vocab build and packing/chunking: per-doc ORDERED token-id
+    // sequence, OOV → reserved id 0. One broadcast join (a vocabulary is
+    // tokenizer-budget-bounded, never corpus-sized); the per-doc collect
+    // is bounded by one document's length. token_ids is serialized to a
+    // comma-joined string for the gate only (the driver's pandas row-sort
+    // cannot order array cells — the q_collect_list precedent); the
+    // operator itself emits a real array<long>.
+    "corpus_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.functions.Corpus.buildVocab(docs, "text", minCount = 2L)
+      graft.functions.Corpus.tokenizeToIds(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"))
     }),
 
     // Bigram-LM cross-entropy (conditional fluency proxy) — the AUDIT
@@ -2074,13 +2131,8 @@ object SparkEntry {
     // geometry as mm_png_decode over the staged id range.
     "src_binaryfile_media" -> ((s, dir) => {
       import s.implicits._
-      val stage = java.nio.file.Files.createTempDirectory("graft-binfile")
-      (0L until 100L).foreach { id =>
-        java.nio.file.Files.write(stage.resolve(s"img_$id.png"),
-          Multimodal.grayTestImage(id, "png"))
-      }
       val media = s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png").load(stage.toString)
+        .option("pathGlobFilter", "*.png").load(binaryFileStage)
         .select(
           regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"),
@@ -2846,6 +2898,25 @@ object SparkEntry {
                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
                   AS token_id
          FROM v""",
+    // tokenize = vocab-rank join + per-doc ordered id list; OOV -> 0
+    "corpus_tokenize" ->
+      """WITH tok0 AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+              v AS (SELECT term, COUNT(*) AS cnt FROM tok0 GROUP BY 1
+                    HAVING COUNT(*) >= 2),
+              vid AS (SELECT term,
+                             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+                               AS token_id
+                      FROM v),
+              s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              tok AS (SELECT doc_id,
+                             unnest(range(1, len(ws) + 1)) AS pos,
+                             unnest(ws) AS w
+                      FROM s),
+              j AS (SELECT t.doc_id, t.pos, COALESCE(vid.token_id, 0) AS tid
+                    FROM tok t LEFT JOIN vid ON t.w = vid.term)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                array_to_string(list(tid ORDER BY pos), ',') AS token_ids
+         FROM j GROUP BY doc_id""",
     // bigram conditional: P(w2|w1) = c(w1,w2)/c(w1,·); same ordered-fold
     // mean as text_perplexity
     "text_bigram_xent" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Custom Catalyst expression: membership probe of a pre-built Bloom
@@ -31,7 +31,8 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case LongType | IntegerType | ShortType => TypeCheckResult.TypeCheckSuccess
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"bloom_might_contain needs an integral key, got ${other.sql}")
     }
@@ -41,6 +42,7 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
       case l: java.lang.Long => l.longValue()
       case i: java.lang.Integer => i.longValue()
       case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
       case other => other.asInstanceOf[Long]
     }
     bloom.mightContainLong(key)

@@ -142,6 +142,63 @@ object Corpus {
         col("col").as("chunk_text"))
   }
 
+  /** Vocabulary build — the step before any tokenizer/embedding-table
+    * training: corpus term counts, hapax-filtered at `minCount`, assigned
+    * deterministic dense ids 1..V by (count DESC, term ASC) frequency rank.
+    *
+    * The ranking is a range-partitioned distributed sort +
+    * [[graft.operators.Joins.zipWithOrdinal]] per-partition ordinal
+    * offsets — NOT a no-partition `row_number` window: a 100 TB crawl's
+    * cnt >= minCount term set (typos, URLs, numbers) runs to billions of
+    * rows, and a global window would funnel all of them through ONE
+    * reducer. The only corpus-sized work is the partial-aggregated count.
+    * Ordering (cnt desc, term asc) is total, so ids are deterministic
+    * under any partitioning. Id 0 is reserved for OOV (see
+    * [[tokenizeToIds]]); assigned ids start at 1. */
+  def buildVocab(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    graft.operators.Joins
+      .zipWithOrdinal(vocab.orderBy(col("cnt").desc, col("term").asc), "token_id")
+      .withColumn("token_id", col("token_id") + lit(1L))
+  }
+
+  /** Corpus tokenization against a built vocabulary — the step between
+    * [[buildVocab]] and [[packTokenBudget]]/[[chunkTokens]] in every
+    * pretokenization pipeline: each document's token stream becomes an
+    * ordered `array<long>` of token ids; out-of-vocabulary tokens map to
+    * the reserved `oovId` (0 by default — [[buildVocab]] ids start at 1).
+    *
+    * Scale shape: `posexplode` (map-only) → ONE broadcast left join
+    * against the vocab table (a vocabulary is small by construction —
+    * bounded by the tokenizer budget, not the corpus) → per-document
+    * re-assembly. The `collect_list` groups by doc_id only, so its buffer
+    * is bounded by a single document's length — never corpus-sized — and
+    * `array_sort` on (pos, id) structs restores token order
+    * deterministically under any partitioning.
+    *
+    * Output: (doc_id, n_tokens, token_ids array<long>). */
+  def tokenizeToIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      oovId: Long = 0L): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    tok.join(broadcast(vocab.select(col("term"), col("token_id"))),
+        Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(oovId)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          e => e.getField("tid")).as("token_ids"))
+  }
+
   /** Per-source document cap: keep at most `n` documents per source
     * (domain / crawl host / feed), preferring the highest `score` — the
     * domain-diversity guard every web-scale corpus applies so one prolific

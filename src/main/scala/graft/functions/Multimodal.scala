@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode of
+  // an in-memory byte array round-trips a temp file — per-row temp-file
+  // I/O on executor disks for data already in RAM, and an amplifier under
+  // I/O contention. All payloads here are byte arrays, so cache in heap.
+  // Runs once per JVM at first module touch (driver or executor).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media payload: id + opaque bytes + declared format. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], format: String)
 

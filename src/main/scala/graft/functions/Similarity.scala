@@ -134,9 +134,14 @@ object Similarity {
   }
 
   /** A built IVF index: the corpus with cell assignments + precomputed
-    * norms (the "inverted file", persisted like any index would be), and
-    * the nlist×dim centroid table (tiny — always broadcast). */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame) {
+    * norms (the "inverted file", persisted like any index would be), the
+    * nlist×dim centroid table (tiny — always broadcast), and the raw
+    * centroid vectors (driver-side literals for the codegen'd map-only
+    * `nearest_cell` probe path — no join at all when nprobe=1). */
+  final case class IvfIndex(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      centers: Seq[Seq[Double]]) {
     def unpersist(): Unit = { assigned.unpersist(); () }
   }
 
@@ -239,7 +244,7 @@ object Similarity {
           col(vecCol), centers.map(_.toSeq).toSeq).as("cell"),
         l2norm(col(vecCol)).as("cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(assigned, centroids)
+    IvfIndex(assigned, centroids, centers.map(_.toSeq).toSeq)
   }
 
   /** Quantizer training set: a uniform seeded draw of at most `maxVectors`
@@ -271,27 +276,59 @@ object Similarity {
       seed: Long = 42L): IvfIndex =
     ivfRegistry.getOrElseUpdate(key, ivfBuild(corpus, idCol, vecCol, nlist, seed))
 
-  /** IVF probe: each query ranks its `nprobe` nearest cells (query set ×
-    * centroid table — both broadcast-small; the per-query window here scans
-    * nlist rows max, bounded by the centroid count, never by corpus size),
-    * then candidates come from an equi-join on the cell id and rank through
-    * the k-bounded [[TopK]] aggregation. */
+  /** IVF probe: each query ranks its `nprobe` nearest cells, candidates
+    * come from an equi-join on the cell id, and ranking runs through the
+    * k-bounded [[TopK]] aggregation. TWO plans by query-set size:
+    *
+    *  - PROBE workloads (≤ `maxBroadcastQueries` rows): the nprobe-cell
+    *    ranking (query × centroid — nlist rows per query, bounded by the
+    *    centroid count, never the corpus) is BROADCAST into the candidate
+    *    join, so the persisted inverted file never shuffles.
+    *  - BATCH workloads (a million-query join side): broadcasting the
+    *    query set would OOM driver and executors. nprobe=1 becomes a
+    *    MAP-ONLY literal-centroid argmax (`greatest` over
+    *    struct(score, cell) — no join, no window) feeding a shuffled
+    *    equi-join on cell; nprobe>1 keeps the centroid-broadcast
+    *    crossJoin + per-query window (hash-partitioned by query_id —
+    *    parallel at any scale) and the shuffled cell join.
+    *
+    * Both probe rankings order (score desc, cell asc), so for finite
+    * scores the paths choose identical cells and identical final top-k.
+    * The size check is a bounded `limit(n+1).count()`, never a full count
+    * of the query-side plan. */
   def ivfProbe(
       index: IvfIndex,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      maxBroadcastQueries: Int = 100000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2norm(col(vecCol)).as("qn"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(cosine(col("qv"), col("centroid")).desc, col("cell").asc)
-    val probes = broadcast(q.crossJoin(broadcast(index.centroids))
-      .withColumn("probe_rank", row_number().over(probeW))
-      .where(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell")))
-
+    val small =
+      q.limit(maxBroadcastQueries + 1).count() <= maxBroadcastQueries
+    val probesPlan =
+      if (small || nprobe > 1) {
+        val probeW = Window.partitionBy(col("query_id"))
+          .orderBy(cosine(col("qv"), col("centroid")).desc, col("cell").asc)
+        q.crossJoin(broadcast(index.centroids))
+          .withColumn("probe_rank", row_number().over(probeW))
+          .where(col("probe_rank") <= nprobe)
+          .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      } else {
+        // map-only single-cell probe against the driver-side centroid
+        // literals: max of struct(score, -cell) = (score desc, cell asc),
+        // the same choice the window plan makes for finite scores
+        val cand = index.centers.zipWithIndex.map { case (cvec, i) =>
+          struct(cosine(col("qv"), typedLit(cvec)).as("s"), lit(-i).as("negcell"))
+        }
+        val best =
+          if (cand.size == 1) lit(0)
+          else (-greatest(cand: _*).getField("negcell")).cast("int")
+        q.withColumn("cell", best)
+      }
+    val probes = if (small) broadcast(probesPlan) else probesPlan
     val scored = probes.join(index.assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
@@ -393,6 +430,25 @@ object Similarity {
       ksub: Int = 16,
       seed: Long = 42L): PqIndex =
     pqRegistry.getOrElseUpdate(key, pqBuild(corpus, idCol, vecCol, m, ksub, seed))
+
+  /** `DROP INDEX` — remove a registered IVF and/or PQ index and unpersist
+    * its cached blocks. Without this a long-lived session pins every built
+    * index's persisted assignment/code table forever (the registry gives
+    * build-once semantics; this is the matching teardown). Returns true if
+    * anything was registered under `key`. */
+  def dropIndex(key: String): Boolean = {
+    val ivf = ivfRegistry.remove(key)
+    ivf.foreach(_.unpersist())
+    val pq = pqRegistry.remove(key)
+    pq.foreach(_.unpersist())
+    ivf.nonEmpty || pq.nonEmpty
+  }
+
+  /** Drop every registered IVF/PQ index (session teardown). */
+  def clearIndexes(): Unit = {
+    ivfRegistry.keySet.foreach(dropIndex)
+    pqRegistry.keySet.foreach(dropIndex)
+  }
 
   /** PQ probe with Asymmetric Distance Computation: each (broadcast) query
     * precomputes its m×ksub lookup table lut[j][c] = ⟨q̂_subj, codebook_j[c]⟩

@@ -197,6 +197,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunkTokens plan shuffles:\n$plan")
   }
 
+  test("buildVocab == global-window ranking, dense 1-based ids, no window/single-partition plan") {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Corpus.buildVocab(docs, "text", minCount = 2L).cache()
+    // equivalence with the (non-scalable) global-window formulation the
+    // operator replaced (round-8 verdict #1)
+    val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    val oracle = terms.withColumn("token_id", row_number().over(w).cast("long"))
+    val n = oracle.count()
+    assert(vocab.count() === n)
+    assert(vocab.join(oracle, Seq("term", "cnt", "token_id")).count() === n)
+    // ids are dense 1..V (0 reserved for OOV)
+    assert(vocab.agg(min(col("token_id")), max(col("token_id"))).head()
+      === org.apache.spark.sql.Row(1L, n))
+    // the scale claim (the J2 template, Joins.scala:55-60): ranking is a
+    // range-partitioned sort + per-partition ordinal offsets — the plan
+    // must contain neither a Window nor an Exchange SinglePartition
+    val plan = Corpus.buildVocab(docs, "text", minCount = 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"),
+      s"buildVocab fell back to a single-reducer ranking:\n$plan")
+  }
+
+  test("tokenizeToIds: hand-checked ids, OOV->0, order preserved under repartition") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    // counts: a=3 b=2 q=2 c=1 -> vocab (cnt desc, term asc): a=1 b=2 q=3;
+    // c is OOV
+    val mini = Seq(1L -> "a a b q", 2L -> "b c a", 3L -> "q")
+      .toDF("doc_id", "text")
+    val vocab = Corpus.buildVocab(mini, "text", minCount = 2L)
+    val got = Corpus.tokenizeToIds(mini.repartition(5), "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2).toSeq))
+      .toMap
+    assert(got(1L) === ((4L, Seq(1L, 1L, 2L, 3L))))
+    assert(got(2L) === ((3L, Seq(2L, 0L, 1L))))
+    assert(got(3L) === ((1L, Seq(3L))))
+    // corpus-level invariants: every document emitted once; id sequence
+    // length == n_tokens == the document's split length
+    val full = Corpus.tokenizeToIds(docs, "doc_id", "text",
+      Corpus.buildVocab(docs, "text", minCount = 2L)).cache()
+    assert(full.count() === docs.count())
+    assert(full.where(size(col("token_ids")) =!= col("n_tokens")).count() === 0)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("expect_n"))
+    assert(full.join(lens, Seq("doc_id"))
+      .where(col("n_tokens") =!= col("expect_n")).count() === 0)
+  }
+
   test("tfIdf: hand-computed tiny corpus; minTf gates df like the oracle") {
     import SparkTestSession.spark
     import spark.implicits._

@@ -176,6 +176,47 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("ivfProbe batch path (no query broadcast) matches the probe path exactly") {
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    val queries = emb.where(col("vec_id") < 50)
+    // maxBroadcastQueries = 0 forces the batch plan: nprobe=1 goes through
+    // the map-only literal-centroid argmax, nprobe=3 through the
+    // non-broadcast window + shuffled cell join
+    for (nprobe <- Seq(1, 3)) {
+      val viaBroadcast = Similarity.ivfProbe(idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = nprobe)
+        .orderBy("query_id", "rank").collect().toSeq
+      val viaBatch = Similarity.ivfProbe(idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = nprobe, maxBroadcastQueries = 0)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(viaBatch === viaBroadcast, s"paths diverge at nprobe=$nprobe")
+      assert(viaBroadcast.nonEmpty)
+    }
+    idx.unpersist()
+  }
+
+  test("index registry lifecycle: dropIndex/clearIndexes unpersist cached blocks") {
+    import org.apache.spark.storage.StorageLevel
+    val key = "spec-lifecycle"
+    val ivf = Similarity.ivfBuildOrGet(key, emb, "vec_id", "embedding", nlist = 8)
+    ivf.assigned.count() // materialize the persisted assignment table
+    assert(ivf.assigned.storageLevel !== StorageLevel.NONE)
+    assert(Similarity.dropIndex(key), "key was registered; drop must report it")
+    assert(ivf.assigned.storageLevel === StorageLevel.NONE,
+      "dropIndex must unpersist the assignment blocks")
+    assert(!Similarity.dropIndex(key), "second drop of the same key is a no-op")
+    // rebuild under the same key is a fresh registration (not the dropped one)
+    val again = Similarity.ivfBuildOrGet(key, emb, "vec_id", "embedding", nlist = 8)
+    assert(again ne ivf)
+    // clearIndexes sweeps both registries
+    val pq = Similarity.pqBuildOrGet(key, emb, "vec_id", "embedding")
+    pq.encoded.count()
+    Similarity.clearIndexes()
+    assert(again.assigned.storageLevel === StorageLevel.NONE)
+    assert(pq.encoded.storageLevel === StorageLevel.NONE)
+    assert(!Similarity.dropIndex(key))
+  }
+
   test("zero-norm vectors (NaN cosine) are excluded from top-k, not ranked first") {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
