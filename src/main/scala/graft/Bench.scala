@@ -12,6 +12,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_ONLY=q1,q2,... : time just the named queries (profiling
+    // aid). A partial run never touches the baseline file — the full-map
+    // overwrite would silently drop every unselected query's entry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkEntry.sessionBuilder(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +36,7 @@ object Bench {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try { fn(spark, warmDir).count(); () }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}") }
@@ -71,7 +80,7 @@ object Bench {
     // re-run measured at 52s. Min-of-2 requires contention to persist across
     // both passes of the SAME query to contaminate its number, and the min
     // is the right estimator for "what the plan costs on an idle machine".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % PROBE_EVERY == 0) probe()
         def onePass(): (Double, Boolean) = {
@@ -138,15 +147,16 @@ object Bench {
     // and the regression flags are skipped (ratios against a clean
     // baseline from a dirty run are all noise).
     val contaminated = noise > 2.0
-    val outFile = if (contaminated) new java.io.File(s"BENCH_CONTENDED_$sfTag.json")
-      else prevFile
+    val partial = only.isDefined
+    val outFile = if (contaminated || partial)
+      new java.io.File(s"BENCH_CONTENDED_$sfTag.json") else prevFile
     if (contaminated)
       System.err.println(f"[bench] NOISE ${noise}%.2fx > 2x: baseline " +
         s"$prevFile left untouched; this run's timings -> $outFile; " +
         "regression flags skipped")
     java.nio.file.Files.write(outFile.toPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (prev.nonEmpty && !contaminated) {
+    if (prev.nonEmpty && !contaminated && !partial) {
       // normalize by relative machine speed: a query is only as "slower"
       // as it degraded BEYOND what the calibration workload degraded
       val speedRatio = prev.get("_cal").filter(_ > 0).map(cal / _).getOrElse(1.0)

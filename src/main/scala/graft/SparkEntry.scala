@@ -1686,6 +1686,21 @@ object SparkEntry {
       annInvariants(probe, emb)
     }),
 
+    // IVF BATCH-probe plan (round-8 verdict #7): maxBroadcastQueries=0
+    // forces the path a million-query batch join takes — the probe set is
+    // NEVER broadcast; candidate matching is a shuffled cell equi-join
+    // (and at nprobe=1 probe ranking is a map-only literal-centroid
+    // argmax). Scoring/ranking expressions are shared with the probe
+    // path, so the same bit-exact invariants gate it.
+    "sim_ivf_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.ivfBuildOrGet(s"$dir#nlist=8", emb,
+        "vec_id", "embedding", nlist = 8)
+      val probe = Similarity.ivfProbe(index, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 3, maxBroadcastQueries = 0)
+      annInvariants(probe, emb)
+    }),
+
     // IVF probed EXHAUSTIVELY (nprobe = nlist): every cell is a candidate
     // cell, so the probe must EQUAL brute force row-for-row — assignment,
     // inverted-file layout, candidate join, scoring and ranking are all on
@@ -2785,6 +2800,12 @@ object SparkEntry {
       """SELECT doc_id, true AS forms_agree FROM documents""",
     // differential invariants (see the queries entries): constants per query
     "sim_ivf_topk" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
+                5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
+         FROM embeddings WHERE vec_id < 10""",
+    // batch path: same invariants — identical scoring expressions, only
+    // the physical probe plan differs
+    "sim_ivf_batch" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
                 5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
          FROM embeddings WHERE vec_id < 10""",
