@@ -1419,6 +1419,23 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Paragraph-level dedup (the C4/Dolma sub-document pass): boilerplate
+    // that repeats across globally-unique pages survives document dedup —
+    // this drops every repeated paragraph except its (min doc_id, min pos)
+    // canonical site and reassembles the survivors. The corpus is flat
+    // single-line text, so the gate synthesizes paragraph structure
+    // deterministically (8-word paragraphs, '\n'-joined) — the tiny word
+    // vocabulary makes cross-document paragraph collisions real, so the
+    // dedup BINDS; the oracle replays the same framing and keep rule.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nPara = ceil(size(toks) / lit(8.0)).cast("int")
+      val paraed = t(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(sequence(lit(0), nPara - 1),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n").as("text"))
+      Dedup.dedupParagraphs(paraed, "doc_id", "text", "\n")
+    }),
+
     // Normalization-then-dedup — the composition normalization exists
     // for: byte-different trivial variants (case, whitespace runs,
     // lead/trail padding) must collapse to ONE group. The corpus is
@@ -1924,6 +1941,23 @@ object SparkEntry {
     "corpus_chunk" -> ((s, dir) => {
       Corpus.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
         chunkSize = 64, overlap = 16)
+    }),
+
+    // End-to-end PRETOKENIZATION pipe: vocab build → corpus tokenization
+    // → fixed-budget packing in ONE composed plan — the full path a
+    // pretraining data job runs before writing shards. Token counts come
+    // from the tokenize stage's per-doc aggregation (single-space
+    // convention), so the oracle replays len(string_split) + the same
+    // md5-shard greedy window as corpus_pack_budget — any drift in the
+    // vocab ranking, the broadcast join, or the re-assembly that changes
+    // a document's token count breaks the hash.
+    "pipe_pretokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Corpus.buildVocab(docs, "text", minCount = 2L)
+      val toks = Corpus.tokenizeToIds(docs, "doc_id", "text", vocab)
+      Corpus.packTokenBudget(
+        toks.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        budget = 512L, nShards = 8)
     }),
 
     // Per-(doc, term) TF-IDF (keyword extraction / lexical retrieval
@@ -2504,6 +2538,25 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+    // same 8-word framing + (min doc_id, min pos) keep rule + '\n' rejoin
+    "dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              f AS (SELECT doc_id, ws,
+                           unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS pos
+                    FROM d),
+              p AS (SELECT doc_id, pos,
+                           array_to_string(ws[pos*8+1 : pos*8+8], ' ') AS para
+                    FROM f),
+              c1 AS (SELECT para, MIN(doc_id) AS cdoc FROM p GROUP BY 1),
+              c2 AS (SELECT p.para, p.doc_id AS cdoc, MIN(p.pos) AS cpos
+                     FROM p JOIN c1 ON p.para = c1.para AND p.doc_id = c1.cdoc
+                     GROUP BY 1, 2),
+              kept AS (SELECT p.doc_id, p.pos, p.para
+                       FROM p JOIN c2 ON p.para = c2.para
+                                     AND p.doc_id = c2.cdoc AND p.pos = c2.cpos)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+                string_agg(para, chr(10) ORDER BY pos) AS text
+         FROM kept GROUP BY doc_id""",
     "pipe_clean_corpus" ->
       """WITH b AS (SELECT doc_id, text,
                 length(text) AS n_chars,
@@ -3138,6 +3191,22 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 1""",
     "corpus_pack_budget" ->
+      """WITH d AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS INT) AS shard
+           FROM documents),
+           r AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_before
+           FROM d)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
+                tok_before % 512 AS bin_offset
+         FROM r""",
+    // the composed pipe's token counts are the same single-space split
+    // lengths, so the pack stage's oracle is the corpus_pack_budget SQL
+    "pipe_pretokenize" ->
       """WITH d AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS INT) AS shard

@@ -49,6 +49,44 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Paragraph-level exact dedup — the C4/Dolma SUB-document pass: a
+    * boilerplate paragraph (nav text, license header, disclaimer) repeats
+    * across millions of pages that are each globally unique, so document
+    * dedup never touches it. Each document is split at `sep`; every
+    * distinct paragraph is kept ONLY at its canonical first occurrence —
+    * the (min doc_id, then min position) site, deterministic under any
+    * partitioning — and documents are reassembled from their kept
+    * paragraphs in original order (a document whose every paragraph is
+    * canonical elsewhere drops entirely).
+    *
+    * Scale shape: posexplode (map-only) → ONE hash aggregation on the
+    * paragraph finds the canonical site (`min(struct(doc_id, pos))`
+    * partial agg — map-side combined, never a corpus-wide window) → an
+    * equi-join back on the paragraph → per-doc ordered re-assembly whose
+    * collect state is bounded by a single document's length. The
+    * paragraph string itself is the join key: it crosses the wire once
+    * per occurrence either way, and there is no hash-collision risk.
+    *
+    * Output: (doc_id, n_paras, text) — deduped documents only. */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String): DataFrame = {
+    val parts = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val canon = parts.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    parts.join(canon, Seq("para"))
+      .where(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          e => e.getField("para")), sep).as("text"))
+  }
+
   /** MinHash+LSH near-duplicate pairs, exact-verified.
     *
     * bands×rowsPerBand hash functions; a pair becomes a candidate if any

@@ -24,6 +24,28 @@ class DedupSpec extends AnyFunSuite {
     assert(d.where(col("n_copies") === 2 && col("keep_id") >= 100000L).count() === 0)
   }
 
+  test("paragraph dedup: canonical (min doc, min pos) keep, ordered reassembly, empty docs drop") {
+    import spark.implicits._
+    val mini = Seq(
+      1L -> "A\nB\nC",  // all first occurrences — survives whole
+      2L -> "B\nD",     // B canonical at (1,1) -> "D"
+      3L -> "A\nB",     // every paragraph canonical elsewhere -> drops
+      4L -> "C\nC",     // C canonical at (1,2) -> drops
+      5L -> "E\nE"      // E canonical at (5,0); the pos-1 repeat drops -> "E"
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(mini, "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === Map(
+      1L -> ((3L, "A\nB\nC")),
+      2L -> ((1L, "D")),
+      5L -> ((1L, "E"))))
+    // result is stable under physical layout (the canonical rule is a
+    // pure function of (doc_id, pos), not arrival order)
+    val re = Dedup.dedupParagraphs(mini.repartition(7), "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(re === got)
+  }
+
   test("codegen'd word_shingles == composed form on corpus and edge cases") {
     import spark.implicits._
     val edge = Seq("", "a", "a b", "a b c", "a  b c d", " lead", "trail ",
