@@ -1776,6 +1776,46 @@ object SparkEntry {
           (max(abs(col("score") - col("recon"))) < 1e-9).as("scores_match_recon"))
     }),
 
+    // IVF+PQ composed probe (FAISS IVFx,PQy — the production shape of a
+    // corpus-scale ANN index): IVF cuts candidates to the query's nprobe
+    // cells, PQ ADC scores ONLY those candidates from their m-byte codes.
+    // Same invariant gate as sim_pq_topk: exactly k distinct ranked rows
+    // per query, ranks = the recomputed (score desc, id asc) sequence,
+    // ADC score equals the decode-and-dot reconstruction within
+    // re-association tolerance.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val ivf = Similarity.ivfBuildOrGet(s"$dir#nlist=8", emb,
+        "vec_id", "embedding", nlist = 8)
+      val pq = Similarity.pqBuildOrGet(s"$dir#pq8x16", emb, "vec_id", "embedding")
+      val probe = Similarity.ivfPqTopK(ivf, pq, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      val decoded = pq.encoded.select(col("neighbor_id"),
+        flatten(zip_with(col("codes"),
+          typedLit((0 until pq.m).map(j => pq.codebooks(j).map(_.toSeq).toSeq)),
+          (c, book) => element_at(book, c + lit(1)))).as("rv"))
+      val qn = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x / Similarity.l2norm(col("embedding"))).as("qvn"))
+      val checked = probe
+        .join(decoded, Seq("neighbor_id"))
+        .join(broadcast(qn), Seq("query_id"))
+        .withColumn("recon", Similarity.dot(col("qvn"), col("rv")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      checked
+        .withColumn("expected_rank", row_number().over(w))
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_results"),
+          countDistinct(col("neighbor_id")).cast("int").as("n_distinct"),
+          sum(when(col("rank") === col("expected_rank"), 1).otherwise(0))
+            .cast("int").as("n_rank_ok"),
+          (max(abs(col("score") - col("recon"))) < 1e-9).as("scores_match_recon"))
+    }),
+
     // Language ID: stopword-hit argmax (cheap function-word heuristic).
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -2866,6 +2906,11 @@ object SparkEntry {
                 5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
          FROM embeddings WHERE vec_id < 10""",
     "sim_pq_topk" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_distinct,
+                5 AS n_rank_ok, true AS scores_match_recon
+         FROM embeddings WHERE vec_id < 10""",
+    // composed IVF+PQ probe: identical invariant constants
+    "sim_ivfpq_topk" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_distinct,
                 5 AS n_rank_ok, true AS scores_match_recon
          FROM embeddings WHERE vec_id < 10""",

@@ -485,6 +485,51 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF+PQ composed probe — the FAISS `IVFx,PQy` production shape, and
+    * the answer to "PQ ADC is inherently query × corpus": IVF first cuts
+    * candidates to the query's `nprobe` nearest cells (the inverted-file
+    * restriction), then PQ ADC scores ONLY those candidates from their
+    * m-byte codes (m table lookups per candidate, no raw floats touched).
+    * The two persisted index tables join on the row id. With nprobe =
+    * nlist the candidate set is the whole corpus and the result equals
+    * [[pqProbe]] exactly (SimilaritySpec asserts it), which pins the
+    * composition's semantics to the already-gated ADC path. */
+  def ivfPqTopK(
+      ivf: IvfIndex,
+      pq: PqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val lut = array((0 until pq.m).map { j =>
+      array((0 until pq.ksub).map { c =>
+        dot(slice(col("qvn"), j * pq.dsub + 1, pq.dsub),
+          typedLit(pq.codebooks(j)(c).toSeq))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+      .where(col("qn") > 0)
+      .withColumn("qvn", transform(col("qv"), x => x / col("qn")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("qv"), col("centroid")).desc, col("cell").asc)
+    val probes = broadcast(q.crossJoin(broadcast(ivf.centroids))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cell"), lut.as("lut")))
+    val scored = probes
+      .join(ivf.assigned.select(col("neighbor_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(pq.encoded, Seq("neighbor_id"))
+      .withColumn("score",
+        aggregate(
+          zip_with(col("codes"), col("lut"), (c, t) => element_at(t, c + lit(1))),
+          lit(0.0), (a, x) => a + x))
+    rankTopK(scored, k)
+  }
+
   /** One-shot PQ top-k (build + probe); `indexKey` reuses a registered
     * index — query executions never retrain, mirroring [[ivfTopK]]. */
   def pqTopK(

@@ -195,6 +195,29 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("ivfPqTopK at nprobe=nlist equals pqProbe exactly (composition pins to ADC)") {
+    val ivf = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    val pq = Similarity.pqBuild(emb, "vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 10)
+    // exhaustive IVF restriction = no restriction: the composed probe
+    // must reproduce the pure-ADC ranking row-for-row
+    val composed = Similarity.ivfPqTopK(ivf, pq, queries,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val adc = Similarity.pqProbe(pq, queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(composed === adc)
+    assert(adc.nonEmpty)
+    // a restricted probe returns a SUBSET of cells' candidates, still
+    // k rows per query, ranks dense from 1
+    val narrow = Similarity.ivfPqTopK(ivf, pq, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2).cache()
+    assert(narrow.groupBy("query_id").count()
+      .where(col("count") =!= 5).count() === 0)
+    assert(narrow.where(col("rank") < 1 || col("rank") > 5).count() === 0)
+    ivf.unpersist(); pq.unpersist()
+  }
+
   test("index registry lifecycle: dropIndex/clearIndexes unpersist cached blocks") {
     import org.apache.spark.storage.StorageLevel
     val key = "spec-lifecycle"
