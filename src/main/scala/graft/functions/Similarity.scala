@@ -457,7 +457,9 @@ object Similarity {
     * (`zip_with` + ordered fold) instead of a dim-wide float dot. Scores
     * approximate cosine (both sides unit-normalized); ranking uses the
     * k-bounded [[TopK]] aggregation, so per-partition state is O(k) per
-    * query exactly like [[bruteForceTopK]]. */
+    * query exactly like [[bruteForceTopK]]. Pure ADC is inherently
+    * query × corpus — for LARGE query batches use [[ivfPqTopK]], whose
+    * inverted-file restriction cuts the candidate set per query. */
   def pqProbe(
       index: PqIndex,
       queries: DataFrame,
