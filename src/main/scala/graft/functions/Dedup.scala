@@ -59,15 +59,15 @@ object Dedup {
     * paragraphs in original order (a document whose every paragraph is
     * canonical elsewhere drops entirely).
     *
-    * Scale shape: posexplode (map-only) → ONE hash aggregation on the
-    * paragraph finds the canonical site (`min(struct(doc_id, pos))`
-    * partial agg — map-side combined, never a corpus-wide window) → an
-    * equi-join back on the paragraph → per-doc ordered re-assembly whose
-    * collect state is bounded by a single document's length. The
-    * paragraph string itself is the join key: it crosses the wire once
-    * per occurrence either way, and there is no hash-collision risk.
-    *
-    * Output: (doc_id, n_paras, text) — deduped documents only. */
+    * Scale shape: posexplode (map-only) → ONE hash aggregation keyed by
+    * the paragraph's md5 FINGERPRINT finds the canonical site
+    * (`min(struct(doc_id, pos))` partial agg, map-side combined, never a
+    * corpus-wide window — and the shuffle ships 16-byte digests, not
+    * KB-scale paragraph text) → an equi-join back on the digest → per-doc
+    * ordered re-assembly whose collect state is bounded by a single
+    * document's length. Content identity by md5 is the same convention
+    * [[exact]] ships. Output: (doc_id, n_paras, text) — deduped documents
+    * only. */
   def dedupParagraphs(
       docs: DataFrame,
       idCol: String,
@@ -76,9 +76,10 @@ object Dedup {
     val parts = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    val canon = parts.groupBy(col("para"))
+      .withColumn("fp", md5(col("para").cast("binary")))
+    val canon = parts.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    parts.join(canon, Seq("para"))
+    parts.join(canon, Seq("fp"))
       .where(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
