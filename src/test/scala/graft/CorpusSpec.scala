@@ -247,6 +247,27 @@ class CorpusSpec extends AnyFunSuite {
       .where(col("n_tokens") =!= col("expect_n")).count() === 0)
   }
 
+  test("tokenizeToIds decode round-trip: ids map back to the exact original tokens") {
+    val vocab = Corpus.buildVocab(docs, "text", minCount = 2L).cache()
+    val ids = Corpus.tokenizeToIds(docs, "doc_id", "text", vocab)
+    val decoded = ids.select(col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("pos", "tid")))
+      .join(broadcast(vocab.select(col("token_id").as("tid"), col("term"))),
+        Seq("tid"), "left")
+    val orig = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "otok")))
+    val joined = decoded.join(orig, Seq("doc_id", "pos")).cache()
+    // every position of every document is covered exactly once
+    assert(joined.count() === orig.count())
+    // an in-vocab id decodes to the exact original token at its position
+    assert(joined.where(col("tid") =!= 0 && col("term") =!= col("otok"))
+      .count() === 0)
+    // OOV id 0 appears ONLY where the original token is out-of-vocab
+    assert(joined.where(col("tid") === 0)
+      .join(vocab.select(col("term").as("otok")), Seq("otok"), "left_semi")
+      .count() === 0)
+  }
+
   test("tfIdf: hand-computed tiny corpus; minTf gates df like the oracle") {
     import SparkTestSession.spark
     import spark.implicits._
