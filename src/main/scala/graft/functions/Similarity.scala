@@ -306,8 +306,11 @@ object Similarity {
       maxBroadcastQueries: Int = 100000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2norm(col(vecCol)).as("qn"))
+    // saturating +1: maxBroadcastQueries = Int.MaxValue means "always
+    // broadcast" and must not overflow the limit into a negative
+    val probeCap = math.min(maxBroadcastQueries.toLong + 1L, Int.MaxValue.toLong).toInt
     val small =
-      q.limit(maxBroadcastQueries + 1).count() <= maxBroadcastQueries
+      q.limit(probeCap).count() <= maxBroadcastQueries
     val probesPlan =
       if (small || nprobe > 1) {
         val probeW = Window.partitionBy(col("query_id"))
