@@ -2258,6 +2258,118 @@ object SparkEntry {
           (abs(col("mean_red") - (col("doc_id") % 256)) <= 3.0).as("red_close"))
     }),
 
+    // Temperature-scaled source rebalancing (alpha = 0.5): per-source keep
+    // rate (n_min/n_i)^0.5 via integer hash thresholds — smallest source
+    // kept whole, larger ones downsampled toward uniform. alpha = 0.5 is
+    // the bit-exact path (IEEE sqrt is correctly rounded in both engines;
+    // see Corpus.temperatureSample). Corpus side is a stateless hash
+    // predicate behind one tiny broadcast-joined threshold table.
+    // The synthetic sources are EXACTLY uniform (rate 1 everywhere —
+    // vacuous), so the gate tiers them 12/6/2 into big/mid/small strata
+    // first: proportions are scale-invariant, so the downsampling engages
+    // (sqrt(1/6) for big, sqrt(1/3) for mid) at every scale factor.
+    "corpus_temperature_sample" -> ((s, dir) => {
+      val srcNum = substring(col("source"), 4, 8).cast("int")
+      val tiered = t(s, dir, "documents").withColumn("tier",
+        when(srcNum < 12, lit("big"))
+          .when(srcNum < 18, lit("mid"))
+          .otherwise(lit("small")))
+      Corpus.temperatureSample(tiered, "doc_id", "tier", alpha = 0.5)
+        .select(col("doc_id"), col("tier"))
+    }),
+
+    // HLL sketch distinct-count (Apache DataSketches via hll_sketch_agg —
+    // the built-in mergeable-sketch surface). Items are per-token unique
+    // ids (doc_id#pos), so the true distinct count per language is the
+    // token count — cheap for the oracle — while the sketch runs in real
+    // estimation territory (tens of thousands of uniques per group at
+    // sf0.01). Two differential invariants, both deterministic (HLL
+    // registers are order-invariant maxes): the direct estimate lands
+    // within ±10% of exact (lgK=12 → RSE 1.6%, so 10% is >6 sigma), and a
+    // two-level merge — per-source sketches hll_union_agg'd per language —
+    // estimates within the SAME bound (shard-combinability at 100 TB).
+    // The merged estimate is NOT asserted bit-equal to the direct one:
+    // union normalizes to dense HLL mode, while a small direct sketch can
+    // still be in exact sparse mode — the accuracy contract survives the
+    // merge, the representation doesn't.
+    "q_hll_distinct" -> ((s, dir) => {
+      val items = t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .select(col("lang"), col("source"),
+          concat_ws("#", col("doc_id"), col("pos")).as("item"))
+      val direct = items.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col("item"), 12)).as("est"))
+      val merged = items.groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("item"), 12).as("sk"))
+        .groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
+      direct.join(merged, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.10)
+            .as("est_ok"),
+          (abs(col("est_m") - col("n_exact")) <= col("n_exact") * 0.10)
+            .as("merge_ok"))
+    }),
+
+    // Count-Min sketch: depth x width counter matrix, merged by
+    // element-wise addition (constant-size map-side combine vs the exact
+    // count's full Zipf-tail shuffle). The gate probes EVERY distinct term
+    // against the sketch and hash-checks two invariants the oracle states
+    // as constants: estimate >= exact (one-sided, guaranteed — counters
+    // only add), and the overestimate stays under 4n/width (integer-exact
+    // comparison; expected excess is n/width per row, the min over 4 rows
+    // sits far below the 4x ceiling for any fixed hash family).
+    "text_count_min" -> ((s, dir) => {
+      val depth = 4; val width = 1024
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val cms = udaf(graft.functions.CountMin.countMin(depth, width))
+      val sketch = toks.agg(cms(col("term")).as("sketch"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = exact.agg(sum(col("cnt")).as("n"))
+      val est = udf((sk: Seq[Long], term: String) =>
+        graft.functions.CountMin.estimate(sk, term, depth, width))
+      exact.crossJoin(broadcast(total)).crossJoin(broadcast(sketch))
+        .select(col("term"), col("cnt"),
+          est(col("sketch"), col("term")).as("e"), col("n"))
+        .select(col("term"), col("cnt"),
+          (col("e") >= col("cnt")).as("ge_ok"),
+          ((col("e") - col("cnt")) * width <= col("n") * 4).as("within_ok"))
+    }),
+
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2). The corpus
+    // is word soup with no line structure, so the gate STAGES it
+    // deterministically in both engines (the text_normalize /
+    // pii_scrub trick): tokens are cut into 6-word lines, ~70% of lines
+    // get a terminal '.' by content hash, and hash-picked docs get a
+    // "lorem ipsum" line (1/17) or a curly-brace line (1/13) appended.
+    // c4Clean then keeps punctuation-terminated lines of >= 5 words and
+    // drops lorem/brace docs and docs with < 3 surviving lines — both
+    // drop directions non-vacuous at every scale factor.
+    "text_c4_clean" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nLines = ceil(size(toks) / 6.0).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1), i =>
+        concat(array_join(slice(toks, i * 6 + 1, lit(6)), " "),
+          when(Corpus.hashBucket(
+            concat_ws("#", col("doc_id"), i.cast("string")), 10) < 7,
+            lit(".")).otherwise(lit(""))))
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(array_join(lines, "\n"),
+          when(Corpus.hashBucket(concat(lit("lorem#"),
+            col("doc_id").cast("string")), 17) === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+            .otherwise(lit("")),
+          when(Corpus.hashBucket(concat(lit("brace#"),
+            col("doc_id").cast("string")), 13) === 0,
+            lit("\nwindow.config = { template: true };"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.c4Clean(staged, "doc_id", "text",
+        minWordsPerLine = 5, minLines = 3)
+    }),
+
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
     // hash aggregation. Money math accumulates EXACT INTEGER CENTS in
@@ -3554,6 +3666,58 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
                 COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    // bit-exact: thresholds are floor(1e6 * sqrt(nmin/cnt)) and IEEE sqrt
+    // is correctly rounded in both engines (see Corpus.temperatureSample)
+    "corpus_temperature_sample" ->
+      """WITH d AS (SELECT doc_id,
+                      CASE WHEN CAST(substr(source, 4) AS INT) < 12 THEN 'big'
+                           WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'mid'
+                           ELSE 'small' END AS tier
+                    FROM documents),
+              c AS (SELECT tier, COUNT(*) AS cnt FROM d GROUP BY 1),
+              m AS (SELECT MIN(cnt) AS nmin FROM c),
+              t AS (SELECT tier,
+                      CAST(floor(1000000.0 * sqrt(CAST(nmin AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS thr
+                    FROM c, m)
+         SELECT d.doc_id, d.tier FROM d JOIN t USING (tier)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 < thr""",
+    // items are unique per token row, so exact distinct = token count; the
+    // sketch invariants are deterministic constants (see the gate comment)
+    "q_hll_distinct" ->
+      """SELECT lang, COUNT(*) AS n_exact, true AS est_ok, true AS merge_ok
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY lang""",
+    "text_count_min" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         SELECT term, COUNT(*) AS cnt, true AS ge_ok, true AS within_ok
+         FROM tok GROUP BY term""",
+    "text_c4_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              c AS (SELECT doc_id, toks,
+                           CAST(ceil(len(toks) / 6.0) AS INT) AS nl FROM t),
+              x AS (SELECT doc_id, toks, unnest(range(0, nl)) AS i FROM c),
+              ln AS (SELECT doc_id, i,
+                       array_to_string(toks[i*6+1 : i*6+6], ' ') ||
+                       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT % 10 < 7
+                            THEN '.' ELSE '' END AS line
+                     FROM x),
+              stage AS (SELECT doc_id,
+                          string_agg(line, chr(10) ORDER BY i) ||
+                          CASE WHEN ('0x' || substr(md5('lorem#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 17 = 0
+                               THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END ||
+                          CASE WHEN ('0x' || substr(md5('brace#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 13 = 0
+                               THEN chr(10) || 'window.config = { template: true };' ELSE '' END AS text
+                        FROM ln GROUP BY doc_id),
+              k AS (SELECT doc_id, text,
+                      list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 5) AS kept
+                    FROM stage)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+                CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                CAST(len(string_split(text, chr(10))) - len(kept) AS BIGINT) AS n_lines_dropped
+         FROM k
+         WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
+           AND len(kept) >= 3""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

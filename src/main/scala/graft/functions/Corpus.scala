@@ -56,6 +56,45 @@ object Corpus {
     df.where(hashBucket(col(key), n) < thr)
   }
 
+  /** Temperature-scaled source rebalancing — the multilingual-mix step of
+    * every large-scale LM corpus (sampling exponent alpha in (0, 1]):
+    * source `i` with `n_i` documents keeps rate `(n_min / n_i)^(1-alpha)`,
+    * so the smallest source is kept whole and larger sources are
+    * downsampled toward uniform as alpha → 0 (alpha = 1 keeps everything —
+    * the natural-distribution end of the dial).
+    *
+    * Scale shape: ONE partial-aggregated per-source count (result is
+    * source-cardinality-sized, tiny), rates turned into integer hash
+    * thresholds out of `n`, broadcast-joined back, then the same stateless
+    * per-row [[hashBucket]] predicate as [[sampleHashMod]] — no shuffle of
+    * the corpus, no per-source window, deterministic by content identity.
+    *
+    * alpha = 0.5 uses `sqrt` explicitly: IEEE-754 sqrt is correctly
+    * rounded in every engine, so the integer thresholds — and therefore
+    * the kept set — are bit-identical to the DuckDB oracle (general `pow`
+    * is only faithfully rounded and may differ in the last ulp across
+    * libms, which could flip a row sitting exactly on a threshold). */
+  def temperatureSample(
+      df: DataFrame,
+      key: String,
+      sourceCol: String,
+      alpha: Double,
+      n: Int = 1000000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    val counts = df.groupBy(col(sourceCol).as("_src"))
+      .agg(count(lit(1)).as("_cnt"))
+    val nMin = counts.agg(min(col("_cnt")).as("_nmin"))
+    val ratio = col("_nmin").cast("double") / col("_cnt").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    val thr = counts.crossJoin(broadcast(nMin))
+      .select(col("_src"), floor(lit(n.toDouble) * rate).cast("long").as("_thr"))
+    df.join(broadcast(thr), df(sourceCol) === thr("_src"), "inner")
+      .where(hashBucket(col(key), n) < col("_thr"))
+      .drop("_src", "_thr")
+  }
+
   /** Greedy fixed-budget sequence packing, sharded for parallelism:
     * documents are sharded by content hash (`nShards`-way), ordered
     * deterministically by key within each shard, and assigned the bin id

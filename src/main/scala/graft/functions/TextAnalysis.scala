@@ -306,6 +306,43 @@ object TextAnalysis {
     * minimum in each sliding window, dedupe. Near-identical documents share
     * most fingerprints (spec-verified; xxhash64 is not DuckDB-expressible
     * so the driver check is rows-only). */
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2 — the C4 heuristics): keep only
+    * lines that end in a terminal punctuation mark AND have at least
+    * `minWordsPerLine` words; drop whole documents that mention
+    * "lorem ipsum", contain a curly brace (leaked code/templating), or
+    * retain fewer than `minLines` surviving lines.
+    *
+    * Pure per-row array arithmetic over `split('\n')` — `filter`,
+    * `rlike`, `array_join`, all codegen'd: map-only, no shuffle, no
+    * state; the cleaning rate is whatever fraction of the scan survives,
+    * at any corpus size. Every rule is string-exact, so the DuckDB
+    * `string_split(text, chr(10))` + `list_filter` oracle is
+    * bit-identical.
+    *
+    * Output: (idCol, cleaned text re-joined by '\n', n_lines_kept,
+    * n_lines_dropped) — one row per SURVIVING document. */
+  def c4Clean(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWordsPerLine
+    val kept = filter(lines, keepLine)
+    val badDoc =
+      lower(col(textCol)).contains("lorem ipsum") || col(textCol).contains("{")
+    docs
+      .withColumn("_kept", kept)
+      .where(!badDoc && size(col("_kept")) >= minLines)
+      .select(col(idCol),
+        array_join(col("_kept"), "\n").as("clean_text"),
+        size(col("_kept")).cast("long").as("n_lines_kept"),
+        (size(lines) - size(col("_kept"))).cast("long").as("n_lines_dropped"))
+  }
+
   def fingerprints(text: Column, shingleLen: Int = 5, window: Int = 4): Column = {
     val hashes = transform(TextOps.shingles(text, shingleLen), s => xxhash64(s))
     when(size(hashes) >= window,

@@ -293,4 +293,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(loose.map(_._2).toSeq === Seq(2L, 2L))
     assert(math.abs(loose.head._3 - 2 * math.log(n / 2)) < 1e-12)
   }
+
+  test("temperatureSample: smallest source kept whole at alpha->rates; alpha=1 keeps all") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    // skewed sources: a=1000 docs, b=250, c=40 (smallest)
+    val skewed = ((0 until 1000).map(i => (i.toLong, "a")) ++
+      (1000 until 1250).map(i => (i.toLong, "b")) ++
+      (1250 until 1290).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val kept = Corpus.temperatureSample(skewed, "doc_id", "source", alpha = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // smallest source: rate (40/40)^0.5 = 1 -> kept whole
+    assert(kept("c") === 40L)
+    // expected rates: b -> sqrt(40/250)=0.4, a -> sqrt(40/1000)=0.2;
+    // hash-mod holds the rate to a few percent at these sizes
+    assert(kept("b") > 250 * 0.25 && kept("b") < 250 * 0.55, s"b=${kept("b")}")
+    assert(kept("a") > 1000 * 0.12 && kept("a") < 1000 * 0.28, s"a=${kept("a")}")
+    // alpha=1 is the natural distribution: everything kept
+    assert(Corpus.temperatureSample(skewed, "doc_id", "source", alpha = 1.0)
+      .count() === 1290L)
+    // deterministic: same kept set on re-run
+    val a1 = Corpus.temperatureSample(skewed, "doc_id", "source", 0.5).select("doc_id")
+    val a2 = Corpus.temperatureSample(skewed, "doc_id", "source", 0.5).select("doc_id")
+    assert(a1.exceptAll(a2).count() === 0 && a2.exceptAll(a1).count() === 0)
+    intercept[IllegalArgumentException](
+      Corpus.temperatureSample(skewed, "doc_id", "source", 0.0))
+  }
+
+  test("c4Clean: line rules, doc drops, and counts on hand-built pages") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val pages = Seq(
+      // survives: 3 qualifying lines, one dropped (no terminal punct),
+      // one dropped (too short)
+      1L -> "one two three four five.\nsix seven eight nine ten!\nno punct line here at all\nshort one.\nfinal line with plenty words?",
+      // dropped: lorem ipsum mention
+      2L -> "one two three four five.\nsix seven eight nine ten.\nlorem ipsum dolor sit amet.",
+      // dropped: curly brace (code/templating)
+      3L -> "one two three four five.\nsix seven eight nine ten.\nvar x = { a: 1 };",
+      // dropped: only 2 surviving lines (< minLines)
+      4L -> "one two three four five.\nsix seven eight nine ten.\ntiny.").toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(pages, "doc_id", "text",
+      minWordsPerLine = 5, minLines = 3).as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L))
+    val (_, clean, keptN, dropN) = out.head
+    assert(clean === "one two three four five.\nsix seven eight nine ten!\nfinal line with plenty words?")
+    assert(keptN === 3L && dropN === 2L)
+    // a quote is a valid terminator (C4 keeps quoted dialogue lines)
+    val q = Seq(5L -> "\"he said five words here.\"\nanother good line right here.\nthird solid line lands here.").toDF("doc_id", "text")
+    assert(TextAnalysis.c4Clean(q, "doc_id", "text").count() === 1)
+  }
 }

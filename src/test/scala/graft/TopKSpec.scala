@@ -80,4 +80,42 @@ class TopKSpec extends AnyFunSuite {
     assert(Set("hh1", "hh2").subsetOf(agg.finish(merged).toSet))
     intercept[IllegalArgumentException](HeavyHitters.misraGries(0))
   }
+
+  test("Count-Min: estimate >= exact always, exact when collision-free, merge law") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    val depth = 4; val width = 256
+    // Zipf-ish stream with a long tail, shuffled deterministically
+    val stream = new scala.util.Random(11).shuffle(
+      (0 until 40).flatMap(i => Seq.fill(200 / (i + 1))(s"w$i")) ++
+        (0 until 300).map(i => s"tail$i"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cms = udaf(CountMin.countMin(depth, width))
+    // one-sided guarantee holds under ANY partitioning (merge = cell sums)
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = stream.toDF("term").repartition(parts)
+        .agg(cms(col("term")).as("s")).as[Seq[Long]].head()
+      assert(sk.length === depth * width)
+      assert(sk.sum === depth.toLong * stream.size) // each arrival hits every row once
+      exact.foreach { case (item, cnt) =>
+        val e = CountMin.estimate(sk, item, depth, width)
+        assert(e >= cnt, s"under-count for $item: est=$e exact=$cnt")
+      }
+    }
+    // plain-Scala merge law: sketch(a ++ b) == merge(sketch(a), sketch(b))
+    val agg2 = CountMin.countMin(depth, width)
+    val (a, b) = stream.splitAt(stream.size / 2)
+    def build(xs: Seq[String]) = xs.foldLeft(agg2.zero)(agg2.reduce)
+    val merged = agg2.merge(build(a), build(b))
+    assert(agg2.finish(merged) === agg2.finish(build(stream)))
+    // 2 items in a 4x256 sketch: exact unless they collide in ALL 4 hash
+    // rows (the fixed family doesn't — deterministic, so assert equality)
+    val tiny = Seq.fill(5)("x") ++ Seq.fill(3)("y")
+    val tsk = agg2.finish(build(tiny))
+    assert(CountMin.estimate(tsk, "x", depth, width) === 5L)
+    assert(CountMin.estimate(tsk, "y", depth, width) === 3L)
+    intercept[IllegalArgumentException](CountMin.countMin(0, 16))
+    intercept[IllegalArgumentException](
+      CountMin.estimate(Seq(0L), "x", depth, width))
+  }
 }
