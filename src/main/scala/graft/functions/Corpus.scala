@@ -83,12 +83,16 @@ object Corpus {
     require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
     val counts = df.groupBy(col(sourceCol).as("_src"))
       .agg(count(lit(1)).as("_cnt"))
-    val nMin = counts.agg(min(col("_cnt")).as("_nmin"))
-    val ratio = col("_nmin").cast("double") / col("_cnt").cast("double")
+    // n_min via an unpartitioned window over the AGGREGATED per-source
+    // rows (source-cardinality-sized, the corpus_mix_weights precedent) —
+    // NOT a second aggregation from `counts`' lineage, which would rescan
+    // and re-count the corpus
+    val nMin = min(col("_cnt")).over(Window.partitionBy())
+    val ratio = nMin.cast("double") / col("_cnt").cast("double")
     val rate =
       if (alpha == 0.5) sqrt(ratio)
       else pow(ratio, lit(1.0 - alpha))
-    val thr = counts.crossJoin(broadcast(nMin))
+    val thr = counts
       .select(col("_src"), floor(lit(n.toDouble) * rate).cast("long").as("_thr"))
     df.join(broadcast(thr), df(sourceCol) === thr("_src"), "inner")
       .where(hashBucket(col(key), n) < col("_thr"))
