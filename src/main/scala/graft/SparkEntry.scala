@@ -2348,27 +2348,39 @@ object SparkEntry {
     // c4Clean then keeps punctuation-terminated lines of >= 5 words and
     // drops lorem/brace docs and docs with < 3 surviving lines — both
     // drop directions non-vacuous at every scale factor.
-    "text_c4_clean" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val nLines = ceil(size(toks) / 6.0).cast("int")
-      val lines = transform(sequence(lit(0), nLines - 1), i =>
-        concat(array_join(slice(toks, i * 6 + 1, lit(6)), " "),
-          when(Corpus.hashBucket(
-            concat_ws("#", col("doc_id"), i.cast("string")), 10) < 7,
-            lit(".")).otherwise(lit(""))))
-      val staged = t(s, dir, "documents").select(col("doc_id"),
-        concat(array_join(lines, "\n"),
-          when(Corpus.hashBucket(concat(lit("lorem#"),
-            col("doc_id").cast("string")), 17) === 0,
-            lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
-            .otherwise(lit("")),
-          when(Corpus.hashBucket(concat(lit("brace#"),
-            col("doc_id").cast("string")), 13) === 0,
-            lit("\nwindow.config = { template: true };"))
-            .otherwise(lit(""))).as("text"))
-      TextAnalysis.c4Clean(staged, "doc_id", "text",
-        minWordsPerLine = 5, minLines = 3)
+    "text_c4_clean" -> ((s, dir) =>
+      TextAnalysis.c4Clean(c4StagedDocs(t(s, dir, "documents")), "doc_id",
+        "text", minWordsPerLine = 5, minLines = 3)),
+
+    // Streaming twin of text_c4_clean (the s11_stream_chunk construction):
+    // the staging and every C4 rule are stateless per-row expressions, so
+    // the SAME operator code runs over readStream micro-batches and must
+    // converge to exactly the batch answer — one oracle serves both.
+    "s13_stream_c4_clean" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "documents").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val cleaned = TextAnalysis.c4Clean(c4StagedDocs(src), "doc_id",
+        "text", minWordsPerLine = 5, minLines = 3)
+      val sink = "s13_stream_c4_sink"
+      val q = cleaned.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
     }),
+
+    // Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    // Models: ... Gopher", table A1): word-count range, mean-word-length
+    // range, >=80% words with an alphabetic character (integer-exact
+    // 5*alpha >= 4*n comparison), >=2 stopwords. Emitted as per-doc rule
+    // booleans + the composite verdict (not pre-filtered), so the oracle
+    // hash-checks BOTH directions of every rule. Map-only fused scan.
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 50, maxWords = 100000)),
 
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
@@ -2451,6 +2463,65 @@ object SparkEntry {
               CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
               array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
        FROM x"""
+
+  /** DuckDB replay of [[c4StagedDocs]] + the C4 rules — ONE string for
+    * `text_c4_clean` and `s13_stream_c4_clean` (the streaming twin must
+    * converge to exactly the batch answer; a rule change edits one place,
+    * the `corpus_chunk` precedent). */
+  private val c4CleanOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                         CAST(ceil(len(toks) / 6.0) AS INT) AS nl FROM t),
+            x AS (SELECT doc_id, toks, unnest(range(0, nl)) AS i FROM c),
+            ln AS (SELECT doc_id, i,
+                     array_to_string(toks[i*6+1 : i*6+6], ' ') ||
+                     CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT % 10 < 7
+                          THEN '.' ELSE '' END AS line
+                   FROM x),
+            stage AS (SELECT doc_id,
+                        string_agg(line, chr(10) ORDER BY i) ||
+                        CASE WHEN ('0x' || substr(md5('lorem#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 17 = 0
+                             THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END ||
+                        CASE WHEN ('0x' || substr(md5('brace#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 13 = 0
+                             THEN chr(10) || 'window.config = { template: true };' ELSE '' END AS text
+                      FROM ln GROUP BY doc_id),
+            k AS (SELECT doc_id, text,
+                    list_filter(string_split(text, chr(10)),
+                      l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 5) AS kept
+                  FROM stage)
+       SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+              CAST(len(kept) AS BIGINT) AS n_lines_kept,
+              CAST(len(string_split(text, chr(10))) - len(kept) AS BIGINT) AS n_lines_dropped
+       FROM k
+       WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
+         AND len(kept) >= 3"""
+
+  /** Deterministic line-structure staging for the C4-clean gates (shared
+    * by `text_c4_clean` and its streaming twin `s13_stream_c4_clean`): the
+    * word-soup corpus has no line structure, so tokens are cut into 6-word
+    * lines, ~70% get a terminal '.' by content hash, and hash-picked docs
+    * get a lorem-ipsum line (1/17) or a curly-brace line (1/13) appended —
+    * all stateless per-row expressions (streaming-safe), mirrored
+    * op-for-op in [[c4CleanOracleSql]]. */
+  private def c4StagedDocs(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / 6.0).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      concat(array_join(slice(toks, i * 6 + 1, lit(6)), " "),
+        when(Corpus.hashBucket(
+          concat_ws("#", col("doc_id"), i.cast("string")), 10) < 7,
+          lit(".")).otherwise(lit(""))))
+    docs.select(col("doc_id"),
+      concat(array_join(lines, "\n"),
+        when(Corpus.hashBucket(concat(lit("lorem#"),
+          col("doc_id").cast("string")), 17) === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("")),
+        when(Corpus.hashBucket(concat(lit("brace#"),
+          col("doc_id").cast("string")), 13) === 0,
+          lit("\nwindow.config = { template: true };"))
+          .otherwise(lit(""))).as("text"))
+  }
 
   /** Brute-force cosine top-k oracle — shared by `sim_brute_topk` and
     * `sim_ivf_exhaustive` (IVF probing every cell IS exhaustive search). */
@@ -3691,33 +3762,29 @@ object SparkEntry {
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          SELECT term, COUNT(*) AS cnt, true AS ge_ok, true AS within_ok
          FROM tok GROUP BY term""",
-    "text_c4_clean" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-              c AS (SELECT doc_id, toks,
-                           CAST(ceil(len(toks) / 6.0) AS INT) AS nl FROM t),
-              x AS (SELECT doc_id, toks, unnest(range(0, nl)) AS i FROM c),
-              ln AS (SELECT doc_id, i,
-                       array_to_string(toks[i*6+1 : i*6+6], ' ') ||
-                       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT % 10 < 7
-                            THEN '.' ELSE '' END AS line
-                     FROM x),
-              stage AS (SELECT doc_id,
-                          string_agg(line, chr(10) ORDER BY i) ||
-                          CASE WHEN ('0x' || substr(md5('lorem#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 17 = 0
-                               THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END ||
-                          CASE WHEN ('0x' || substr(md5('brace#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 13 = 0
-                               THEN chr(10) || 'window.config = { template: true };' ELSE '' END AS text
-                        FROM ln GROUP BY doc_id),
-              k AS (SELECT doc_id, text,
-                      list_filter(string_split(text, chr(10)),
-                        l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 5) AS kept
-                    FROM stage)
-         SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
-                CAST(len(kept) AS BIGINT) AS n_lines_kept,
-                CAST(len(string_split(text, chr(10))) - len(kept) AS BIGINT) AS n_lines_dropped
-         FROM k
-         WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
-           AND len(kept) >= 3""",
+    "text_c4_clean" -> c4CleanOracleSql,
+    "s13_stream_c4_clean" -> c4CleanOracleSql,
+    "text_gopher_rules" ->
+      """WITH b AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_words,
+                      length(text) AS n_chars,
+                      len(list_filter(string_split(text, ' '),
+                                      w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+                      len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop
+                    FROM documents)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+                CAST(n_stop AS BIGINT) AS n_stop,
+                (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+                (CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0 AND
+                 CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0) AS mwl_ok,
+                (5 * n_alpha_words >= 4 * n_words) AS alpha_ok,
+                (n_stop >= 2) AS stop_ok,
+                ((n_words >= 50 AND n_words <= 100000) AND
+                 (CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0 AND
+                  CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0) AND
+                 (5 * n_alpha_words >= 4 * n_words) AND (n_stop >= 2)) AS pass
+         FROM b""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

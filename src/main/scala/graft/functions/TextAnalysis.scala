@@ -343,6 +343,44 @@ object TextAnalysis {
         (size(lines) - size(col("_kept"))).cast("long").as("n_lines_dropped"))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, appendix A1) — the
+    * other canonical public rule set next to [[c4Clean]]'s line rules:
+    * word count within [minWords, maxWords], mean word length within
+    * [3, 10], at least 80% of words containing an alphabetic character,
+    * and at least 2 stopwords (the function-word sanity check).
+    *
+    * Emits per-document rule booleans plus the composite verdict rather
+    * than pre-filtering, so callers (and the oracle) see both directions
+    * of every rule. Map-only: one `split` feeds every rule (codegen'd
+    * array ops; the 80% test is the integer-exact `5*alpha >= 4*n` form,
+    * and mean word length divides once — the text_quality IEEE-mirroring
+    * convention). */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words)
+    val meanWl = (length(col(textCol)) - (nWords - 1)).cast("double") /
+      nWords.cast("double")
+    val nAlphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val nStop = size(regexp_extract_all(col(textCol),
+      lit("\\b(the|a|of|and|to|in|is|it|that|for)\\b"), lit(0)))
+    val wcOk = nWords >= minWords && nWords <= maxWords
+    val mwlOk = meanWl >= 3.0 && meanWl <= 10.0
+    val alphaOk = nAlphaWords * 5 >= nWords * 4
+    val stopOk = nStop >= 2
+    docs.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      meanWl.as("mean_word_len"),
+      nStop.cast("long").as("n_stop"),
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wcOk && mwlOk && alphaOk && stopOk).as("pass"))
+  }
+
   def fingerprints(text: Column, shingleLen: Int = 5, window: Int = 4): Column = {
     val hashes = transform(TextOps.shingles(text, shingleLen), s => xxhash64(s))
     when(size(hashes) >= window,

@@ -343,4 +343,38 @@ class CorpusSpec extends AnyFunSuite {
     val q = Seq(5L -> "\"he said five words here.\"\nanother good line right here.\nthird solid line lands here.").toDF("doc_id", "text")
     assert(TextAnalysis.c4Clean(q, "doc_id", "text").count() === 1)
   }
+
+  test("gopherRules: each rule flips independently on crafted docs") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val tenWords = (1 to 10).map(i => s"word$i").mkString(" ")
+    val mini = Seq(
+      // passes every rule: 50 words, normal lengths, all alphabetic,
+      // stopwords present
+      1L -> (Seq.fill(4)(tenWords).mkString(" ") + " the cat is on a mat over the big rug"),
+      // too few words
+      2L -> ("the cat is on a " + tenWords),
+      // mean word length < 3 (single letters), enough words
+      3L -> (Seq.fill(25)("a b").mkString(" ") + " " + "a b c d e f g h the is"),
+      // alphabetic fraction below 80%: half the words are numbers
+      4L -> (Seq.fill(15)("12345 w").mkString(" ") + " the cat is on a mat w w w w w w w w w w w w w w w w w w w w"),
+      // no stopwords at all
+      5L -> (1 to 60).map(i => s"zzz$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(mini, "doc_id", "text")
+      .select("doc_id", "wc_ok", "mwl_ok", "alpha_ok", "stop_ok", "pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(got(1L) === ((true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._5)         // word count fails
+    assert(got(3L)._1 && !got(3L)._2)          // mean word length fails
+    assert(!got(4L)._3 && got(4L)._1)          // alpha fraction fails
+    assert(got(5L)._1 && !got(5L)._4)          // stopword rule fails
+    // mean word length is the exact single-division form
+    val one = TextAnalysis.gopherRules(
+      Seq(9L -> "abcd ef ghij").toDF("doc_id", "text"), "doc_id", "text")
+      .select("mean_word_len").head().getDouble(0)
+    assert(one === 10.0 / 3.0)
+  }
 }
