@@ -2084,6 +2084,16 @@ object SparkEntry {
         col("doc_id") < 40, shingleLen = 8)
     }),
 
+    // Bloom-pruned decontamination — the scale path for an eval-gram set
+    // too big to broadcast exactly: scan-side might_contain(xxhash64(gram))
+    // prune, then the exact join removes the false positives, so the
+    // result is BIT-IDENTICAL to text_decontaminate and shares its oracle
+    // string (any divergence = a false negative, which Bloom cannot have).
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      Dedup.contaminationBloom(seededDocs(t(s, dir, "documents")), "doc_id",
+        "text", col("doc_id") < 40, shingleLen = 8)
+    }),
+
     // Training-mix resampling weights: per-source token share and the
     // multiplier that rebalances to a uniform mix (weight > 1 ⇒ upsample).
     // One partial-aggregated groupBy over the corpus; the window runs over
@@ -2382,6 +2392,29 @@ object SparkEntry {
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
         minWords = 50, maxWords = 100000)),
 
+    // Within-doc duplicate-line repetition — the line-level complement of
+    // text_repetition (the Gopher/MassiveText repetition battery measures
+    // both). The word-soup corpus has no line structure and 6-word lines
+    // essentially never collide by chance, so the staging PLANTS
+    // repetition deterministically: 6-word lines, then the doc's first
+    // line re-appended k = md5%4 times (k=0 keeps the no-repetition
+    // direction non-vacuous). The oracle replays staging + grouped
+    // counts verbatim; fractions are one int→double division each.
+    "text_dup_lines" -> ((s, dir) =>
+      TextAnalysis.duplicateLineSignals(repStagedDocs(t(s, dir, "documents")),
+        "doc_id", "text")),
+
+    // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
+    // log-likelihood ratio of the trusted-source target distribution
+    // (source = 'src0') vs the raw corpus — the data-selection score a
+    // pretraining pipeline resamples by. Bucket table is 1024 rows
+    // regardless of corpus size; totals ride a broadcast single-row agg;
+    // per-doc sums are partial-aggregated. Every double op (integer-exact
+    // products, one divide, one ln per bucket) mirrors the oracle.
+    "corpus_dsir_weights" -> ((s, dir) =>
+      Corpus.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", buckets = 1024)),
+
     // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
     // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
     // hash aggregation. Money math accumulates EXACT INTEGER CENTS in
@@ -2521,6 +2554,50 @@ object SparkEntry {
           col("doc_id").cast("string")), 13) === 0,
           lit("\nwindow.config = { template: true };"))
           .otherwise(lit(""))).as("text"))
+  }
+
+  /** DuckDB replay of the planted-contamination pipeline — ONE string for
+    * `text_decontaminate` and `text_decontaminate_bloom` (the Bloom prune
+    * is result-invariant, so both gates must hash to the same answer). */
+  private val decontaminateOracleSql =
+    """WITH seeded AS (
+         SELECT doc_id,
+                CASE WHEN doc_id < 40 OR doc_id % 10 = 3
+                     THEN text || ' the quick brown fox jumps over the lazy dog tonight'
+                     ELSE text END AS text
+         FROM documents),
+         s AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded),
+         t AS (SELECT doc_id,
+                      list_distinct([ w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                                      w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+                                      for i in range(1, len(w)-6) ]) AS sh
+               FROM s WHERE len(w) >= 8),
+         ev AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id < 40),
+         tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE doc_id >= 40)
+       SELECT tr.doc_id AS doc_id, COUNT(DISTINCT tr.g) AS n_hits
+       FROM tr JOIN ev ON tr.g = ev.g
+       GROUP BY tr.doc_id"""
+
+  /** Deterministic line staging WITH PLANTED REPETITION for
+    * `text_dup_lines`: 6-word lines (no punctuation needed here), then
+    * the document's first line is re-appended k = md5-hash%4 ∈ {0,1,2,3}
+    * times, so duplicate-line counts span 0–3 and both directions of the
+    * repetition signal are exercised. Stateless per-row expressions,
+    * mirrored op-for-op by the oracle's `repeat(chr(10) || line0, k)`. */
+  private def repStagedDocs(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / 6.0).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+    val line0 = array_join(slice(toks, 1, 6), " ")
+    val k = Corpus.hashBucket(concat(lit("dup#"),
+      col("doc_id").cast("string")), 4)
+    docs.select(col("doc_id"),
+      concat(array_join(lines, "\n"),
+        when(k >= 1, concat(lit("\n"), line0)).otherwise(lit("")),
+        when(k >= 2, concat(lit("\n"), line0)).otherwise(lit("")),
+        when(k >= 3, concat(lit("\n"), line0)).otherwise(lit("")))
+        .as("text"))
   }
 
   /** Brute-force cosine top-k oracle — shared by `sim_brute_topk` and
@@ -3298,24 +3375,10 @@ object SparkEntry {
     // same planted-contamination synthesis as the Spark side; the 8-gram
     // comprehension is stop-exclusive range(1, len-6) = Spark's
     // sequence(0, size-8) shingle starts
-    "text_decontaminate" ->
-      """WITH seeded AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id < 40 OR doc_id % 10 = 3
-                       THEN text || ' the quick brown fox jumps over the lazy dog tonight'
-                       ELSE text END AS text
-           FROM documents),
-           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded),
-           t AS (SELECT doc_id,
-                        list_distinct([ w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
-                                        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
-                                        for i in range(1, len(w)-6) ]) AS sh
-                 FROM s WHERE len(w) >= 8),
-           ev AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id < 40),
-           tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE doc_id >= 40)
-         SELECT tr.doc_id AS doc_id, COUNT(DISTINCT tr.g) AS n_hits
-         FROM tr JOIN ev ON tr.g = ev.g
-         GROUP BY tr.doc_id""",
+    "text_decontaminate" -> decontaminateOracleSql,
+    // the Bloom prune is result-invariant (exact join removes false
+    // positives, false negatives impossible) — same oracle, verbatim
+    "text_decontaminate_bloom" -> decontaminateOracleSql,
     // double ops mirror the Spark side op-for-op: exact long sums, one
     // cast each, one divide (share), then (1.0/n)/share for the weight
     "corpus_mix_weights" ->
@@ -3764,6 +3827,54 @@ object SparkEntry {
          FROM tok GROUP BY term""",
     "text_c4_clean" -> c4CleanOracleSql,
     "s13_stream_c4_clean" -> c4CleanOracleSql,
+    // replay of repStagedDocs (6-word lines + first line re-appended
+    // md5%4 times) then the same (doc, line) grouped counts; fractions
+    // are the identical single int→double divisions
+    "text_dup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              c AS (SELECT doc_id, toks,
+                           CAST(ceil(len(toks) / 6.0) AS INT) AS nl FROM t),
+              x AS (SELECT doc_id, toks, unnest(range(0, nl)) AS i FROM c),
+              ln AS (SELECT doc_id, i,
+                       array_to_string(toks[i*6+1 : i*6+6], ' ') AS line FROM x),
+              base AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS btext
+                       FROM ln GROUP BY doc_id),
+              stage AS (SELECT b.doc_id,
+                          b.btext || repeat(chr(10) || array_to_string(t.toks[1:6], ' '),
+                            CAST(('0x' || substr(md5('dup#' || CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 4 AS INT)) AS text
+                        FROM base b JOIN t ON b.doc_id = t.doc_id),
+              l2 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM stage),
+              g AS (SELECT doc_id, line, COUNT(*) AS n FROM l2 GROUP BY doc_id, line)
+         SELECT doc_id,
+                CAST(SUM(n) AS BIGINT) AS n_lines,
+                CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_lines,
+                CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_line_frac,
+                CAST(SUM((n - 1) * length(line)) AS DOUBLE) / CAST(SUM(n * length(line)) AS DOUBLE) AS dup_char_frac
+         FROM g GROUP BY doc_id""",
+    // hashed unigram+bigram buckets, Laplace-smoothed target/raw
+    // log-ratio per bucket (integer-exact products, one divide, one ln),
+    // per-doc sum — op-for-op the Spark pipeline
+    "corpus_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, (source = 'src0') AS is_target,
+                           string_split(text, ' ') AS toks FROM documents),
+              uni AS (SELECT doc_id, is_target, unnest(toks) AS gram FROM t),
+              bi AS (SELECT doc_id, is_target,
+                       unnest([ toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) ]) AS gram
+                     FROM t WHERE len(toks) >= 2),
+              g AS (SELECT doc_id, is_target, gram,
+                      CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 1024 AS INT) AS b
+                    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+              bc AS (SELECT b, COUNT(*) AS cr,
+                       SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+                     FROM g GROUP BY b),
+              tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+              lr AS (SELECT b, ln((CAST(ct + 1 AS DOUBLE) * (tr + 1024)) /
+                                  (CAST(cr + 1 AS DOUBLE) * (tt + 1024))) AS lw
+                     FROM bc, tot)
+         SELECT g.doc_id AS doc_id, g.is_target AS is_target,
+                CAST(COUNT(*) AS BIGINT) AS n_grams, SUM(lw) AS log_w
+         FROM g JOIN lr ON g.b = lr.b
+         GROUP BY g.doc_id, g.is_target""",
     "text_gopher_rules" ->
       """WITH b AS (SELECT doc_id,
                       len(string_split(text, ' ')) AS n_words,

@@ -272,4 +272,61 @@ object Corpus {
       .select(col("source"), col("col.id").as("doc_id"),
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rk"))
   }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — hashed n-gram
+    * features, public literature): score every document by how much more
+    * likely its hashed unigram+bigram features are under the TARGET
+    * distribution (rows matching `targetPred`, e.g. a trusted
+    * high-quality source) than under the RAW corpus distribution.
+    * `log_w = Σ_grams ln p̂_target(bucket) − ln p̂_raw(bucket)` with
+    * Laplace-smoothed bucket probabilities; resampling keeps the
+    * highest-weight raw docs to shift the corpus toward the target.
+    *
+    * Scale shape: gram → bucket is a stateless md5 expression
+    * ([[hashBucket]]), so the feature space is FIXED at `buckets` rows no
+    * matter the corpus size. One exploded gram scan (persisted — it feeds
+    * the count pass and the scoring pass) → a `buckets`-bounded groupBy
+    * carrying (bucket, is_target) partial counts → the tiny log-ratio
+    * table broadcast-joins back onto the gram stream → per-doc sum/count
+    * partial agg. The corpus is never shuffled except by doc_id at the
+    * final agg; totals ride a broadcast single-row aggregate, not a
+    * driver collect.
+    *
+    * Engine-portable math: bucket log-ratios are
+    * `ln((ct+1)·(Tr+B) / ((cr+1)·(Tt+B)))` — the products are
+    * integer-exact in doubles (< 2^53), then ONE division and ONE `ln`
+    * per bucket, mirrored op-for-op by the DuckDB oracle. */
+  def dsirLogWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int = 1024): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs.select(col(idCol).as("doc_id"),
+        coalesce(targetPred, lit(false)).as("is_target"),
+        explode(concat(toks, bigrams)).as("gram"))
+      .withColumn("b", hashBucket(col("gram"), buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketCounts = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = bucketCounts.agg(sum(col("cr")).as("tr"),
+      sum(col("ct")).as("tt"))
+    val logRatio = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        log((col("ct") + 1).cast("double") * (col("tr") + buckets) /
+          ((col("cr") + 1).cast("double") * (col("tt") + buckets)))
+          .as("lw"))
+    grams.join(broadcast(logRatio), Seq("b"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(col("lw")).as("log_w"))
+  }
 }

@@ -393,6 +393,50 @@ object Dedup {
       .agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** Bloom-pruned [[contamination]] — EXACTLY the same result through the
+    * scale path for when the eval side outgrows a broadcast hash set: a
+    * full benchmark battery plus its augmentations runs to hundreds of
+    * millions of distinct grams, too big to ship to every task as an
+    * exact set but fine as a Bloom filter (~1.2 GB at fpp=0.01 for 1e9
+    * keys vs tens of GB exact). The train side's exploded gram stream is
+    * probed SCAN-SIDE against `might_contain(xxhash64(gram))` — false
+    * positives pass, false negatives cannot — so only the matching
+    * sliver (true hits + fpp of the rest) reaches the equi-join that
+    * removes the false positives and the per-doc aggregation behind it.
+    * The join stays exact, so the result (and the DuckDB oracle) is
+    * bit-identical to [[contamination]]; the Bloom probe only shrinks
+    * what the exchange carries — the same inversion [[graft.operators.Joins.bloomAntiJoin]]
+    * documents, applied to the contamination probe.
+    *
+    * At test scale the planner still broadcasts the eval grams; at corpus
+    * scale that join hash-partitions and the probe is what keeps the
+    * shuffled gram volume ~(hits + fpp·corpus) instead of the whole
+    * corpus. */
+  def contaminationBloom(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalPred: Column,
+      shingleLen: Int = 8,
+      expectedGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      coalesce(evalPred, lit(false)).as("is_eval"),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = sh.where(col("is_eval"))
+      .select(explode(col("sh")).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = evalGrams.stat.bloomFilter(xxhash64(col("g")), expectedGrams, fpp)
+    val train = sh.where(!col("is_eval"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .where(graft.expressions.BloomFunctions.bloom_might_contain(
+        xxhash64(col("g")), bf))
+    train.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+  }
+
   /** Shared-long-substring near-dup pairs — the exact-substring duplication
     * criterion ("Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, public literature), token-windowed: two documents

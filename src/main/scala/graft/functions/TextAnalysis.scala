@@ -381,6 +381,43 @@ object TextAnalysis {
       (wcOk && mwlOk && alphaOk && stopOk).as("pass"))
   }
 
+  /** Within-document duplicate-LINE repetition signals — the other half of
+    * the Gopher/MassiveText repetition battery next to the word-level
+    * [[repetitionSignals]]: what fraction of a document's lines are exact
+    * repeats of an earlier line, and what fraction of its characters sit
+    * in those repeated lines (the character-weighted form catches a short
+    * doc whose one duplicated line is huge). Boilerplate navigation bars,
+    * repeated headers, and scraper loops all light these up while leaving
+    * word-level stats untouched.
+    *
+    * Same scalable shape as [[repetitionSignals]]: explode lines, then two
+    * partial-aggregated groupBys keyed (doc_id, line) then (doc_id) — the
+    * shuffles carry line tuples, never whole documents, and nothing is
+    * quadratic. A repeat is every occurrence beyond a line's first, so
+    * n_dup_lines = n_lines − n_distinct. Fractions are one int→double
+    * division each (the DuckDB-mirroring convention); line character
+    * counts stay exact integers until that division. */
+  def duplicateLineSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_lines"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("n") - 1) * length(col("line"))).as("dup_chars"),
+        sum(col("n") * length(col("line"))).as("total_chars"))
+      .select(col("doc_id"),
+        col("n_lines"),
+        (col("n_lines") - col("n_distinct")).as("n_dup_lines"),
+        ((col("n_lines") - col("n_distinct")).cast("double") /
+          col("n_lines").cast("double")).as("dup_line_frac"),
+        (col("dup_chars").cast("double") /
+          col("total_chars").cast("double")).as("dup_char_frac"))
+
   def fingerprints(text: Column, shingleLen: Int = 5, window: Int = 4): Column = {
     val hashes = transform(TextOps.shingles(text, shingleLen), s => xxhash64(s))
     when(size(hashes) >= window,

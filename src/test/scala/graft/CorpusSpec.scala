@@ -377,4 +377,42 @@ class CorpusSpec extends AnyFunSuite {
       .select("mean_word_len").head().getDouble(0)
     assert(one === 10.0 / 3.0)
   }
+
+  test("duplicateLineSignals: repeat counts and char-weighted fraction exact") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      // 'aaaa' appears twice: 1 dup line of 4 chars; totals 4 lines, 12 chars
+      1L -> "aaaa\nbb\naaaa\ncc",
+      // no repeats
+      2L -> "x\ny\nz",
+      // one line three times: 2 dups, all chars in the dup group
+      3L -> "mm\nmm\nmm"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateLineSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((4L, 1L, 0.25, 4.0 / 12.0)))
+    assert(got(2L) === ((3L, 0L, 0.0, 0.0)))
+    assert(got(3L) === ((3L, 2L, 2.0 / 3.0, 4.0 / 6.0)))
+  }
+
+  test("dsirLogWeights: target-like docs outrank off-target, gram count = 2n-1") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x", true),   // the target distribution is all-x
+      (2L, "x x x x", false),  // raw doc with target-like content
+      (3L, "y y y y", false)   // raw doc with off-target content
+    ).toDF("doc_id", "text", "tgt")
+    val got = Corpus.dsirLogWeights(docs, "doc_id", "text", col("tgt"),
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    spark.catalog.clearCache()
+    assert(got(1L)._1 && !got(2L)._1 && !got(3L)._1)
+    assert(got.values.forall(_._2 === 7L))     // 4 unigrams + 3 bigrams
+    assert(got(2L)._3 > got(3L)._3)            // target-like scores higher
+    assert(got(1L)._3 === got(2L)._3)          // identical text ⇒ identical weight
+  }
 }

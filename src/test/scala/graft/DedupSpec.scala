@@ -262,4 +262,24 @@ class DedupSpec extends AnyFunSuite {
     // never shuffles for the probe
     assert(got.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("contaminationBloom == contamination on randomized docs (prune is result-invariant)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.contamination(docs, "doc_id", "text",
+        col("doc_id") < 10, shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    // a tiny expectedGrams forces a saturated, FP-heavy filter — the
+    // exact join behind the probe must still remove every false positive
+    val bloom = Dedup.contaminationBloom(docs, "doc_id", "text",
+        col("doc_id") < 10, shingleLen = 3, expectedGrams = 50L, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(bloom === exact)
+  }
 }
