@@ -2404,6 +2404,46 @@ object SparkEntry {
       TextAnalysis.duplicateLineSignals(repStagedDocs(t(s, dir, "documents")),
         "doc_id", "text")),
 
+    // Top n-gram character coverage (n = 2 and 3) — the remaining Gopher
+    // repetition signal: the most frequent word n-gram per doc (smallest
+    // gram wins count ties, so both engines agree) and the char fraction
+    // its occurrences cover. Arg-max is the min(struct(-cnt, gram))
+    // partial aggregate — one candidate per doc per partition, no window
+    // over the data; the oracle reaches the same row via a per-doc
+    // row_number (method-independent answer).
+    "text_ngram_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.topNgramCoverage(docs, "doc_id", "text", 2)
+        .unionByName(TextAnalysis.topNgramCoverage(docs, "doc_id", "text", 3))
+    }),
+
+    // Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark) —
+    // the at-least-once-source dedup: unlike s7's dropDuplicates, state
+    // for a key EXPIRES once the watermark passes, so state is bounded by
+    // the delay window instead of growing forever. Keys are
+    // (user_id, event_type, hour): every duplicate of a key sits within
+    // the 1-hour bucket < the 2-hour delay, so the API's guarantee makes
+    // the result exactly SELECT DISTINCT regardless of arrival order —
+    // deterministic, batch-oracle-able.
+    "s14_stream_dedup_watermark" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dedup = src
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", Tables.tsFromNanos(col("ts"))).as("hr"))
+        .withWatermark("hr", "2 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
+      val sink = "s14_stream_dedup_wm_sink"
+      val q = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood ratio of the trusted-source target distribution
     // (source = 'src0') vs the raw corpus — the data-selection score a
@@ -3851,6 +3891,36 @@ object SparkEntry {
                 CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_line_frac,
                 CAST(SUM((n - 1) * length(line)) AS DOUBLE) / CAST(SUM(n * length(line)) AS DOUBLE) AS dup_char_frac
          FROM g GROUP BY doc_id""",
+    // per-doc arg-max via row_number (cnt DESC, gram ASC) — reaches the
+    // same deterministic row as Spark's min(struct(-cnt, gram)) partial
+    // agg; coverage is the identical integer product and single division
+    "text_ngram_coverage" ->
+      """WITH t AS (SELECT doc_id, length(text) AS doc_chars,
+                           string_split(text, ' ') AS toks FROM documents),
+              g AS (SELECT doc_id, doc_chars, 2 AS n,
+                      unnest([ array_to_string(toks[i : i+1], ' ')
+                               for i in range(1, len(toks)) ]) AS gram
+                    FROM t WHERE len(toks) >= 2
+                    UNION ALL
+                    SELECT doc_id, doc_chars, 3 AS n,
+                      unnest([ array_to_string(toks[i : i+2], ' ')
+                               for i in range(1, len(toks) - 1) ]) AS gram
+                    FROM t WHERE len(toks) >= 3),
+              c AS (SELECT doc_id, doc_chars, n, gram, COUNT(*) AS cnt
+                    FROM g GROUP BY doc_id, doc_chars, n, gram),
+              r AS (SELECT doc_id, doc_chars, n, gram, cnt,
+                      row_number() OVER (PARTITION BY doc_id, n
+                                         ORDER BY cnt DESC, gram ASC) AS rk
+                    FROM c)
+         SELECT doc_id, n, gram AS top_gram, CAST(cnt AS BIGINT) AS top_count,
+                CAST(cnt * length(gram) AS DOUBLE) / CAST(doc_chars AS DOUBLE) AS top_char_frac
+         FROM r WHERE rk = 1""",
+    // dedup keys include the hour bucket, so within-watermark dedup is
+    // exactly DISTINCT (intra-key event-time span 0 < the 2 h delay)
+    "s14_stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type,
+                time_bucket(INTERVAL '1 hour', ts) AS hr
+         FROM events""",
     // hashed unigram+bigram buckets, Laplace-smoothed target/raw
     // log-ratio per bucket (integer-exact products, one divide, one ln),
     // per-doc sum — op-for-op the Spark pipeline

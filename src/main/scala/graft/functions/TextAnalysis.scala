@@ -418,6 +418,44 @@ object TextAnalysis {
         (col("dup_chars").cast("double") /
           col("total_chars").cast("double")).as("dup_char_frac"))
 
+  /** Top word-n-gram character coverage — the remaining Gopher repetition
+    * signal (Rae et al. 2021 A1 thresholds documents whose single most
+    * frequent 2/3/4-gram covers too many of their characters: chorus
+    * lyrics, keyword-stuffed spam, templated listings). Per document:
+    * the most frequent n-gram (ties broken lexicographically — smallest
+    * gram wins, so the answer is engine-deterministic) and the fraction
+    * `count·len(gram) / len(doc)` of characters its occurrences cover.
+    *
+    * Scale shape: explode n-grams → partial-aggregated (doc, gram) count
+    * → per-doc arg-max as a `min(struct(-cnt, gram))` partial aggregate
+    * (the dedup_keep_best convention) — map-side combine ships ONE
+    * candidate per doc per partition, never the gram list; no window over
+    * the data. Documents shorter than n words emit nothing (no grams). */
+  def topNgramCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).as("doc_chars"),
+        explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("doc_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("doc_chars"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("gram")))
+        .as("top"))
+      .select(col("doc_id"), lit(n).as("n"),
+        col("top.gram").as("top_gram"),
+        (-col("top.nc")).as("top_count"),
+        ((-col("top.nc")) * length(col("top.gram"))).cast("double")
+          ./(col("doc_chars").cast("double")).as("top_char_frac"))
+  }
+
   def fingerprints(text: Column, shingleLen: Int = 5, window: Int = 4): Column = {
     val hashes = transform(TextOps.shingles(text, shingleLen), s => xxhash64(s))
     when(size(hashes) >= window,

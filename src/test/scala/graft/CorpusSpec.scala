@@ -397,6 +397,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 2L, 2.0 / 3.0, 4.0 / 6.0)))
   }
 
+  test("duplicateLineSignals == brute-force on randomized line docs") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocabLines = Vector("aa", "bbb", "c", "dddd", "ee")
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(8))(
+        vocabLines(rnd.nextInt(vocabLines.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateLineSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val lines = r.getString(1).split("\n", -1).toSeq
+      val groups = lines.groupBy(identity).view.mapValues(_.size).toMap
+      val nl = lines.size
+      val nd = nl - groups.size
+      val dupChars = groups.map { case (l, c) => (c - 1) * l.length }.sum
+      val totChars = lines.map(_.length).sum
+      val (gn, gd, gf, gc) = got(id)
+      assert(gn === nl.toLong && gd === nd.toLong)
+      assert(gf === nd.toDouble / nl)
+      assert(gc === dupChars.toDouble / totChars)
+    }
+  }
+
+  test("topNgramCoverage: deterministic tie-break and exact coverage fraction") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b a b c", // "a b" occurs twice → coverage 2·3/9
+      2L -> "x y z"      // "x y" / "y z" tie → lexicographically smallest wins
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgramCoverage(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) === (("a b", 2L, 6.0 / 9.0)))
+    assert(got(2L) === (("x y", 1L, 3.0 / 5.0)))
+    // shorter than n words ⇒ no grams ⇒ no row
+    assert(TextAnalysis.topNgramCoverage(
+      Seq(3L -> "solo").toDF("doc_id", "text"), "doc_id", "text", 2)
+      .count() === 0)
+  }
+
   test("dsirLogWeights: target-like docs outrank off-target, gram count = 2n-1") {
     import SparkTestSession.spark
     import spark.implicits._
