@@ -1463,6 +1463,18 @@ object SparkEntry {
         shingleLen = 3, threshold = 0.8)
     }),
 
+    // Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin candidate
+    // discipline): candidates join only on each doc's rarest-shingle
+    // prefix under a global df order — lossless filter, exact verify —
+    // so the result is IDENTICAL to brute-force Jaccard at the same
+    // threshold. Run at t=0.7 (vs the exploded path's 0.8) so the gate
+    // also exercises a different cutoff; the oracle is the same
+    // brute-force SQL with 0.7.
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      Dedup.jaccardPrefixPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.7)
+    }),
+
     // MinHash+LSH near-dup pairs, exact-verified. Same oracle as the exact
     // path: with 16 bands × 4 rows the S-curve catches j>=0.8 with
     // P>0.999, so the verified output equals the exact answer.
@@ -1956,6 +1968,24 @@ object SparkEntry {
         .select(col("doc_id"), TextNormalize.normalize(messy).as("clean"))
     }),
 
+    // HTML boilerplate stripping: the gate stages each document inside
+    // deterministic markup (head with style+script blocks, tags, escaped
+    // entities — built by concat from doc_id so both engines construct the
+    // IDENTICAL string), then strips it back to clean text. Codegen'd
+    // regexp chain, backreference-free so RE2 (DuckDB) and java.util.regex
+    // agree; per-row at the scan, no shuffle.
+    "text_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">p{margin:0}</style>" +
+          "<script>track(\""), col("doc_id"), lit("\")</script></head>" +
+          "<body><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><br/><a href=\"/d/"), col("doc_id"),
+        lit("\">&lt;more&gt; &amp; &quot;info&quot;</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+        .withColumn("n_clean_chars", length(col("clean")))
+    }),
+
     // Deterministic content-hash downsampling: keep ~10% of documents by
     // md5-bucket of the key — stateless per-row predicate, no shuffle, no
     // RNG state; the same document keeps the same fate however the corpus
@@ -1963,6 +1993,18 @@ object SparkEntry {
     "corpus_sample_hash" -> ((s, dir) => {
       Corpus.sampleHashMod(t(s, dir, "documents"), "doc_id", 1, 10)
         .select(col("doc_id"))
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    // weight = n_chars: the "keep k docs, prefer long ones" downsample.
+    // Content-keyed md5 uniform → u^(1/w) sort key (rounded to 6 dp
+    // BEFORE selection so libm pow ulp wobble can't flip the cutoff);
+    // plans as TakeOrderedAndProject — per-partition heaps, no global
+    // sort. Oracle: the identical formula in DuckDB.
+    "corpus_weighted_sample" -> ((s, dir) => {
+      Corpus.weightedSample(t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), k = 60)
     }),
 
     // Sharded greedy token-budget packing: documents hash-shard 8 ways,
@@ -2978,6 +3020,21 @@ object SparkEntry {
          FROM t a JOIN t b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    // prefix filtering is lossless and verification exact, so the oracle
+    // is plain brute-force Jaccard at the gate's 0.7 threshold — the
+    // candidate discipline must not change the answer
+    "dedup_jaccard_prefix" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT doc_id,
+                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w)-1) ]) AS sh
+                    FROM s WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.7""",
     "dedup_minhash_lsh" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               t AS (SELECT doc_id,
@@ -3521,6 +3578,46 @@ object SparkEntry {
     "corpus_sample_hash" ->
       """SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 1""",
+    // A-ES weighted sample: identical md5 uniform, identical u^(1/w) key
+    // rounded to 6 dp before the ORDER BY ... LIMIT selection
+    "corpus_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+                round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+                            / 4294967296.0,
+                          1.0 / n_chars), 6) AS samp_key
+         FROM documents
+         ORDER BY samp_key DESC, doc_id ASC
+         LIMIT 60""",
+    // identical staged markup (concat from doc_id), identical
+    // backreference-free regex chain with 'g' flags, entities unescaped
+    // in the same order (&amp; last)
+    "text_strip_html" ->
+      """WITH h AS (SELECT doc_id,
+              '<html><head><style type="text/css">p{margin:0}</style><script>track("'
+              || doc_id || '")</script></head><body><h1>Doc ' || doc_id
+              || '</h1><p>' || text || '</p><br/><a href="/d/' || doc_id
+              || '">&lt;more&gt; &amp; &quot;info&quot;</a></body></html>' AS html
+            FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS clean,
+                length(trim(regexp_replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                  '\s+', ' ', 'g'))) AS n_clean_chars
+         FROM h""",
     "corpus_pack_budget" ->
       """WITH d AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

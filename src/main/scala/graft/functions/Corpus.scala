@@ -36,6 +36,33 @@ object Corpus {
   def sampleHashMod(df: DataFrame, key: String, k: Int, n: Int): DataFrame =
     df.where(hashBucket(col(key), n) < k)
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES; public literature): each row gets
+    * key = u^(1/w) with u a content-keyed md5 uniform in (0,1), and the k
+    * LARGEST keys are exactly a weighted sample without replacement —
+    * a row's inclusion probability is proportional to its weight among
+    * the remaining rows at each draw. The quality-weighted downsample of
+    * a training-mix pipeline ("keep 1M documents, prefer high-quality
+    * ones") in one expression, reproducible across re-runs, cluster
+    * layouts, and engines (no RNG state — u is a pure function of `key`).
+    *
+    * Scale shape: the key is a stateless per-row expression evaluated at
+    * the scan; `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition top-k heaps merged on the driver, no global sort, no
+    * shuffle of the corpus. The sort key is rounded to 6 decimals BEFORE
+    * selection so a 1-ulp `pow` difference between libm implementations
+    * cannot flip rank order near the cutoff; ties then break by `key`
+    * column, deterministic in any engine. */
+  def weightedSample(df: DataFrame, key: String, weight: Column, k: Int): DataFrame = {
+    val u32 = conv(substring(md5(col(key).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (u32 + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("samp_key",
+        round(pow(u, lit(1.0) / weight.cast("double")), 6))
+      .orderBy(col("samp_key").desc, col(key).asc)
+      .limit(k)
+  }
+
   /** Stratified hash-mod sampling: per-stratum keep rates out of `n`
     * (e.g. downsample the dominant language, keep the rest whole — the
     * rebalancing step of every training-mix pipeline). Same stateless

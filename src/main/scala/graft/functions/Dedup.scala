@@ -539,4 +539,72 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Prefix-filtered exact Jaccard pairs — the AllPairs/PPJoin candidate
+    * discipline (Bayardo et al. 2007, Xiao et al. 2011; public
+    * literature). Same output as [[ngramJaccardPairs]] — every pair with
+    * shingle-set Jaccard >= `threshold` — but candidate generation joins
+    * only on each document's PREFIX: its `|d| - ceil(t*|d|) + 1` rarest
+    * shingles under one global (document-frequency asc, shingle asc)
+    * order. Two sets with Jaccard >= t must share at least one prefix
+    * token (|a∩b| >= ceil(t*|a|), so the first |a|-ceil(t*|a|)+1 ordered
+    * elements of `a` cannot all be missed), so the filter is lossless;
+    * everything the prefix join surfaces is then verified exactly.
+    *
+    * Why it matters at 100 TB: [[ngramJaccardPairs]] explodes EVERY
+    * shingle into the self-join, so a boilerplate shingle shared by 10^5
+    * docs contributes 10^10 candidate rows unless `maxDocFreq` caps it
+    * (changing the answer). Here common shingles land at the END of the
+    * frequency order and drop out of every long document's prefix — the
+    * join ships ~(1-t)·corpus shingle occurrences, candidates concentrate
+    * on genuinely rare overlap, and the answer is still exact.
+    *
+    * Shuffle shape: df-count aggregation; rank assignment via
+    * [[graft.operators.Joins.zipWithOrdinal]] over the range-sorted vocab
+    * (no single-partition window); a per-DOC window for prefix positions
+    * (partitioned by doc_id — thousands of small partitions, never one
+    * reducer); rank-keyed equi-self-join (long keys, no string compare —
+    * rank is unique per shingle); verification joins candidate pairs back
+    * to the persisted shingle arrays. */
+  def jaccardPrefixPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    // Global canonical rarity order. zipWithOrdinal = range sort + per-
+    // partition offsets, the J2/corpus_vocab discipline — a billion-term
+    // vocab never funnels through one reducer.
+    val ranked = graft.operators.Joins.zipWithOrdinal(
+      exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").asc, col("s").asc), "rank")
+      .select(col("s"), col("rank"))
+    // Prefix membership: position within the doc under the global order.
+    // ceil(t*sz - 1e-9): the epsilon only ever LENGTHENS the prefix, so a
+    // 1-ulp double wobble can add a candidate (harmless — verification is
+    // exact) but never lose one.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rank"))
+    val prefix = exploded.join(ranked, "s")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("rank"))
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.rank") === col("b.rank") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 }

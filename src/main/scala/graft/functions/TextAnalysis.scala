@@ -456,6 +456,26 @@ object TextAnalysis {
           ./(col("doc_chars").cast("double")).as("top_char_frac"))
   }
 
+  /** HTML boilerplate stripping — the first transform every web-crawl
+    * corpus applies before any quality/dedup signal (the extraction step
+    * of C4/RefinedWeb-style pipelines, minus DOM heuristics): drop
+    * script/style blocks wholesale, strip remaining tags, unescape the
+    * five standard entities, collapse whitespace. Pure per-row expression
+    * chain — codegen'd `regexp_replace`/`replace`, evaluates at the scan,
+    * no shuffle, no UDF. Patterns avoid backreferences so the same regex
+    * runs on RE2 engines (the DuckDB oracle) and java.util.regex
+    * identically; `&amp;` unescapes LAST so `&amp;lt;` becomes the
+    * literal text `&lt;`, not `<`. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   def fingerprints(text: Column, shingleLen: Int = 5, window: Int = 4): Column = {
     val hashes = transform(TextOps.shingles(text, shingleLen), s => xxhash64(s))
     when(size(hashes) >= window,

@@ -442,6 +442,30 @@ class CorpusSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("weightedSample == brute-force A-ES top-k; layout-invariant") {
+    import SparkTestSession.{spark, table}
+    val docs = table("documents").select(col("doc_id"), col("n_chars"))
+    val got = graft.functions.Corpus.weightedSample(docs, "doc_id", col("n_chars"), 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force: identical md5 uniform, pow key, HALF_UP 6-dp rounding
+    val want = docs.collect().map { r =>
+      val (id, w) = (r.getLong(0), r.getLong(1))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val key = java.math.BigDecimal.valueOf(math.pow(u, 1.0 / w))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (id, w, key)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(60)
+    assert(got.toSeq === want.toSeq)
+    // selection is a pure function of content — physical layout must not move it
+    val re = graft.functions.Corpus.weightedSample(
+        docs.repartition(13), "doc_id", col("n_chars"), 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(re.toSeq === want.toSeq)
+  }
+
   test("dsirLogWeights: target-like docs outrank off-target, gram count = 2n-1") {
     import SparkTestSession.spark
     import spark.implicits._

@@ -282,4 +282,38 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(bloom === exact)
   }
+
+  test("prefix-filtered jaccard == exploded exact jaccard at several thresholds") {
+    // the PPJoin candidate discipline is lossless + exactly verified, so
+    // output must be IDENTICAL (pairs AND jaccard values) to the exploded
+    // path at any threshold — including low ones where prefixes get long
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val prefix = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix === exact, s"threshold $t")
+      assert(prefix.nonEmpty || t > 0.8)
+    }
+  }
+
+  test("prefix-filtered jaccard survives heavy boilerplate without a df cap") {
+    import spark.implicits._
+    // 30 docs sharing one boilerplate sentence + unique bodies, plus one
+    // genuine near-dup pair: the shared boilerplate shingles are the df
+    // heavy-hitters that would dominate the exploded join's candidates;
+    // the prefix path must still return exactly the brute-force answer
+    val boiler = "all rights reserved contact us for more information today"
+    val uniq = (0L until 30L).map(i =>
+      (i, s"$boiler body$i text$i filler$i words$i here$i end$i"))
+    val nearDup = Seq(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      101L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    val corpus = (uniq ++ nearDup).toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixPairs(corpus, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want && got.contains((100L, 101L)))
+  }
 }

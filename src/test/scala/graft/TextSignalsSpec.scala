@@ -123,6 +123,28 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("stripHtml: blocks, tags, entities, whitespace — and plain text passthrough") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val cases = Seq(
+      // script/style bodies vanish wholesale, including their markup-ish
+      // content; dotall: blocks may span lines
+      ("<script>if (a<b) { alert('<p>') }</script>hello", "hello"),
+      ("<style>\np { color: red }\n</style>world", "world"),
+      ("<SCRIPT src=\"x.js\">var y=1;</SCRIPT>mixed case", "mixed case"),
+      // tags become spaces (word boundary preserved), attrs dropped
+      ("a<p class=\"x\">b</p>c", "a b c"),
+      // entities unescape, &amp; LAST: &amp;lt; is the literal text "&lt;"
+      ("&lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; &amp;lt;", "<tag> & \"q\" 's' &lt;"),
+      // whitespace collapses and trims
+      ("  a\n\n b\tc  ", "a b c"),
+      // no markup: unchanged
+      ("plain text stays", "plain text stays"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("signals survive whole-stage codegen and interpreted eval identically") {
     // collect() exercises codegen; a literal eval outside codegen hits
     // nullSafeEval — both funnel into the same traversal
