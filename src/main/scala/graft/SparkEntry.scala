@@ -1687,6 +1687,16 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
     }),
 
+    // Binary (1-bit sign) quantization + Hamming top-k: the XOR+popcount
+    // memory tier of a production retrieval stack — 64 dims become two
+    // 32-bit-packed longs, distance is integer-exact in both engines, so
+    // the oracle replicates packing and ranking bit-for-bit.
+    "sim_binary_hamming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryHammingTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
     // LSH-bucketed approximate top-k (recall/plan tradeoff: equi-join on
     // sign buckets instead of a full scan per query). FULLY oracled
     // (round-7 verdict #2): the seeded hyperplanes are deterministic
@@ -1993,6 +2003,20 @@ object SparkEntry {
     "corpus_sample_hash" -> ((s, dir) => {
       Corpus.sampleHashMod(t(s, dir, "documents"), "doc_id", 1, 10)
         .select(col("doc_id"))
+    }),
+
+    // Leakage-safe split assignment: near-dup clusters (CC over exact
+    // Jaccard pairs at t>=0.8) get ONE split decided by the md5 bucket of
+    // the cluster representative — near-duplicates can never straddle
+    // train/test. The oracle recomputes the same clusters (recursive CTE
+    // min-label flood) and the same md5 CASE.
+    "corpus_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Corpus.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
     }),
 
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
@@ -3234,6 +3258,29 @@ object SparkEntry {
     // zero-norm vectors score NULL (engine drops them before ranking) —
     // same explicit convention as the cosine-pair oracles (r4 advice #4)
     "sim_brute_topk" -> bruteTopkSql,
+    // identical 32-bit word packing (bit i of word w = sign of element
+    // w*32+i), integer XOR+popcount distance, same (hamming asc, id asc)
+    // rank order
+    "sim_binary_hamming" ->
+      """WITH s AS (SELECT vec_id,
+                [ list_sum([ CASE WHEN embedding[w*32+i+1] > 0
+                             THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                             for i in range(0,32) ])
+                  for w in range(0,2) ] AS sig
+              FROM embeddings),
+            q AS (SELECT * FROM s WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_sum([ bit_count(xor(q.sig[j+1], c.sig[j+1]))
+                                     for j in range(0,2) ]) AS INT) AS hamming
+              FROM q JOIN s c ON q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, hamming,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY hamming ASC, neighbor_id ASC) AS rank
+              FROM scored)
+       SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5""",
     // exhaustive IVF (nprobe = nlist) must equal brute force exactly
     "sim_ivf_exhaustive" -> bruteTopkSql,
     // full LSH replication: seeded hyperplanes interpolated as literals
@@ -3578,6 +3625,35 @@ object SparkEntry {
     "corpus_sample_hash" ->
       """SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 1""",
+    // same min-label clusters via recursive CTE flood (the
+    // dedup_cluster_cc machinery, natural pairs only), same md5 split CASE
+    "corpus_split_safe" ->
+      """WITH RECURSIVE
+           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           t AS (SELECT doc_id,
+                        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1) ]) AS sh
+                 FROM s WHERE len(w) >= 3),
+           nat AS (SELECT a.doc_id AS da, b.doc_id AS db
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS a, db AS b FROM nat
+                     UNION ALL SELECT db, da FROM nat),
+           reach AS (SELECT a AS node, a AS lab FROM edges
+                     UNION
+                     SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node),
+           cc AS (SELECT node, min(lab) AS canon FROM reach GROUP BY node),
+           rep AS (SELECT d.doc_id, coalesce(cc.canon, d.doc_id) AS rep
+                   FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+           b AS (SELECT doc_id, rep,
+                        ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bk
+                 FROM rep)
+         SELECT doc_id, rep,
+                CASE WHEN bk < 90 THEN 'train'
+                     WHEN bk < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b""",
     // A-ES weighted sample: identical md5 uniform, identical u^(1/w) key
     // rounded to 6 dp before the ORDER BY ... LIMIT selection
     "corpus_weighted_sample" ->

@@ -36,6 +36,44 @@ object Corpus {
   def sampleHashMod(df: DataFrame, key: String, k: Int, n: Int): DataFrame =
     df.where(hashBucket(col(key), n) < k)
 
+  /** Leakage-safe train/val/test split: the split is decided by the
+    * md5 bucket of each document's near-dup CLUSTER representative
+    * ([[Dedup.connectedComponents]] over the caller's similarity pairs),
+    * not the document itself — so exact and near duplicates can NEVER
+    * straddle splits. Splitting by per-doc hash leaks: a train doc's
+    * near-duplicate in the test set inflates eval (the contamination
+    * mechanism the decontamination operators exist to detect — this
+    * operator prevents the intra-corpus form by construction).
+    *
+    * `splits` are (name, percent) in declaration order, summing to 100.
+    * Docs in no pair are singleton clusters (their own representative).
+    * Scale shape: the CC label map is one row per edge-participating
+    * node; assignment is a left join + stateless md5 CASE — the corpus
+    * shuffles once, on doc_id, for the join. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      splits: Seq[(String, Int)],
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0), s"splits must be positive and sum to 100: $splits")
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol,
+      checkpointDir = checkpointDir)
+    val rep = docs.select(col(idCol).as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canon_id"), col("doc_id")).as("rep"))
+    val bucket = hashBucket(col("rep"), 100)
+    val withCum = splits.scanLeft(("", 0)) {
+      case ((_, acc), (n, p)) => (n, acc + p) }.tail
+    val splitCol = withCum.init.reverse.foldLeft(lit(withCum.last._1): Column) {
+      case (acc, (n, c)) => when(bucket < c, lit(n)).otherwise(acc)
+    }
+    rep.select(col("doc_id"), col("rep"), splitCol.as("split"))
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
     * Spirakis 2006, algorithm A-ES; public literature): each row gets
     * key = u^(1/w) with u a content-keyed md5 uniform in (0,1), and the k

@@ -760,6 +760,58 @@ object Similarity {
         (aggregate(transform(col("vs"), v => v.getField("col")),
           lit(0.0), (a, x) => a + x) / size(col("vs"))).as("centroid"))
 
+  /** 1-bit (sign) binary quantization: each embedding becomes
+    * `dim/32` longs, bit i of word w set iff element `w*32+i` is
+    * positive — a 64× compression (float32 → 1 bit/dim) under which
+    * Hamming distance tracks angular distance (Charikar 2002 sign-random-
+    * projection bound; with identity "planes" the bit is the coordinate
+    * sign). This is the memory tier retrieval systems scan FIRST at
+    * 100 TB: 64-dim vectors become 2 longs, a billion vectors fit in
+    * 16 GB of RAM, and the scan is XOR+popcount — no float math.
+    *
+    * Words pack 32 bits each (not 64) so the packed value stays within a
+    * signed long's positive range in ANY engine — bit 63 of a signed
+    * 64-bit word is unreachable without overflow tricks the DuckDB oracle
+    * cannot express. Bit values come from integer-exact `2^i` doubles
+    * (i <= 31), so the expression is pure integer math end-to-end.
+    * Requires dim % 32 == 0 (pad the embedding otherwise). */
+  def binarySignWords(vecCol: Column, dim: Int): Column = {
+    require(dim % 32 == 0, s"binarySignWords needs dim % 32 == 0, got $dim")
+    transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+        acc + when(element_at(vecCol, (w * 32 + i + 1).cast("int")) > lit(0f),
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L))))
+  }
+
+  /** Hamming top-k over [[binarySignWords]] signatures: for each query,
+    * the k corpus vectors with the fewest differing sign bits (ties by
+    * neighbor id). The whole distance is `zip_with` XOR + `bit_count` +
+    * sum — integer-exact, engine-portable, codegen-friendly. Query side
+    * broadcasts; the corpus is streamed once, never shuffled; ranking is
+    * the same per-query top-k aggregate as the cosine paths (one heap
+    * per query per partition, no global sort). */
+  def binaryHammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      binarySignWords(col(vecCol), dim).as("qs")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      binarySignWords(col(vecCol), dim).as("cs"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("qs"), col("cs"),
+          (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (a, b) => a + b))
+      // rankTopK orders score DESC; negate so smaller hamming ranks first
+      .withColumn("score", -col("hamming").cast("double"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("score")).cast("int").as("hamming"), col("rank"))
+  }
+
   /** Exact all-pairs cosine above a threshold (near-dup audit). Quadratic:
     * bounded corpora only; [[cosinePairsLsh]] is the scale path. */
   def cosinePairsExact(

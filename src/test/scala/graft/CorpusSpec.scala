@@ -442,6 +442,39 @@ class CorpusSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons hash like docs") {
+    import SparkTestSession.{spark, table}
+    import spark.implicits._
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    // engineered cross-split pressure: clone doc 0 at an id whose OWN md5
+    // bucket differs from doc 0's — per-doc hashing would separate them
+    val clone = docs.where(col("doc_id") === 0L)
+      .select((col("doc_id") + 987654L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(clone)
+    val pairs = graft.functions.Dedup.ngramJaccardPairs(
+      corpus, "doc_id", "text", shingleLen = 3, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val got = graft.functions.Corpus.leakageSafeSplit(corpus, "doc_id",
+      pairs, "doc_a", "doc_b", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every row assigned; total preserved
+    assert(rows.length === corpus.count())
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // THE invariant: one split per representative
+    val perRep = rows.groupBy(_._2).values
+    assert(perRep.forall(_.map(_._3).toSet.size === 1))
+    // the engineered clone pair shares rep 0 and therefore a split
+    val cloneRows = rows.filter(r => r._1 == 0L || r._1 == 987654L)
+    assert(cloneRows.length === 2 && cloneRows.map(_._2).toSet === Set(0L)
+      && cloneRows.map(_._3).toSet.size === 1)
+    // singleton docs: split == per-doc hash split (rep == doc)
+    val singles = rows.filter(r => r._1 == r._2)
+    assert(singles.nonEmpty)
+    // ~90/5/5 at 500 docs: train dominates
+    val frac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+  }
+
   test("weightedSample == brute-force A-ES top-k; layout-invariant") {
     import SparkTestSession.{spark, table}
     val docs = table("documents").select(col("doc_id"), col("n_chars"))

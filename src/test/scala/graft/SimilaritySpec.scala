@@ -332,4 +332,37 @@ class SimilaritySpec extends AnyFunSuite {
       .select(Similarity.dot(col("embedding"), col("embedding"))).collect().map(_.getDouble(0))
     assert(viaSql.toSeq === viaCol.toSeq)
   }
+
+  test("binarySignWords packs sign bits exactly; hamming top-k == brute force") {
+    import spark.implicits._
+    // packing: a hand-built 64-dim vector with known positive positions
+    val pos = Set(0, 1, 5, 31, 32, 63)
+    val vec = (0 until 64).map(i => if (pos(i)) 1.0f else -1.0f).toArray
+    val sig = Seq(Tuple1(vec)).toDF("v")
+      .select(Similarity.binarySignWords(col("v"), 64))
+      .head().getSeq[Long](0)
+    assert(sig === Seq(
+      (1L << 0) | (1L << 1) | (1L << 5) | (1L << 31),
+      (1L << 0) | (1L << 31)))
+    // zeros and negatives contribute no bit
+    val zsig = Seq(Tuple1(Array.fill(64)(0.0f))).toDF("v")
+      .select(Similarity.binarySignWords(col("v"), 64))
+      .head().getSeq[Long](0)
+    assert(zsig === Seq(0L, 0L))
+    // operator == per-row brute force over the corpus
+    val got = Similarity.binaryHammingTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => x > 0f)).toMap
+    val want = (for {
+      q <- vecs.keys.filter(_ < 10).toSeq
+      ranked = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, bits) =>
+          (id, bits.zip(vecs(q)).count { case (a, b) => a != b }) }
+        .sortBy { case (id, h) => (h, id) }.take(5)
+      ((id, h), i) <- ranked.zipWithIndex
+    } yield (q, id, h, i + 1)).toSet
+    assert(got === want)
+  }
 }
