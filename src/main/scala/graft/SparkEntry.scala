@@ -87,6 +87,69 @@ object SparkEntry {
     stage.toString
   }
 
+  /** Bucketed-warehouse staging for `j_bucketed_join`: both join sides are
+    * written ONCE per (JVM, dir) as external BUCKETED tables (8 buckets on
+    * the join key, sorted within buckets) under an exit-managed dir. This
+    * is the 100 TB join posture in storage form — the shuffle is paid once
+    * at write time; every subsequent join on the bucket key reads
+    * co-located buckets with NO exchange on either side (plan-asserted in
+    * LayoutSpec). Table metadata lives in the shared in-memory catalog, so
+    * child sessions of the same JVM see the tables without re-staging. */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (oT, lT) = (s"orders_bkt$tag", s"lineitem_bkt$tag")
+    stageCache.getOrElseUpdate(s"bucketed#$dir", {
+      val wh = exitManagedTempDir("graft-bucketed").toString
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/$oT").saveAsTable(oT)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/$lT").saveAsTable(lT)
+      wh
+    })
+    (oT, lT)
+  }
+
+  /** Three-batch staged feed SHARED by the s12 (left) and s15 (full)
+    * stream-stream outer-join gates — identical content, staged once per
+    * (JVM, dir) under one cache key:
+    *   batch 0 = the real events feed (matches emit as found);
+    *   batch 1 = a sentinel click+purchase pair at max(ts)+2h → commits
+    *             the watermark to max(ts)+1h, past every feed bound;
+    *   batch 2 = a second sentinel pair at max(ts)+3h — its processing
+    *             runs eviction under the batch-1 watermark, flushing
+    *             every unmatched feed row as a NULL-side outer row.
+    * Sentinel spread ≤ 1.5h: even the trailing batch's watermark
+    * (max+3h − 1h = max+2h) stays below sentinel-1's join bound
+    * (max+2h30m), so no sentinel can ever flush as an unmatched row; the
+    * click and purchase sentinels carry DISJOINT user ids (-1 vs -2) so
+    * they advance their sides' watermarks without joining each other.
+    * Returns (stage path, feed schema). */
+  private def outerJoinFeed(ss: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val ev = t(ss, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), Tables.tsFromNanos(col("ts")).as("event_ts"))
+    val stage = stagedFeed(s"s12#$dir", "graft-outer") { st =>
+      val maxTs = ev.agg(max(col("event_ts"))).head().getTimestamp(0)
+      def sentinels(tag: Long, plusHours: Int): DataFrame = {
+        import ss.implicits._
+        Seq(("click", -tag, -1L), ("purchase", -tag - 1L, -2L))
+          .toDF("event_type", "eid", "uid")
+          .select(col("eid").as("event_id"), col("uid").as("user_id"),
+            col("event_type"),
+            (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("event_ts"))
+      }
+      val now = System.currentTimeMillis()
+      writeStaged(st, ev, "a_feed", now - 180000)
+      writeStaged(st, sentinels(1L, 2), "b_s1", now - 120000)
+      writeStaged(st, sentinels(3L, 3), "c_s2", now - 60000)
+    }
+    (stage, ev.schema)
+  }
+
   /** Fold [[Tables.sessionConf]] into a builder — the one place session-level
     * settings the catalog needs (nanos-as-long parquet reads) are applied. */
   def sessionBuilder(b: SparkSession.Builder): SparkSession.Builder =
@@ -552,29 +615,8 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val ev = t(ss, dir, "events").select(col("event_id"), col("user_id"),
-        col("event_type"), Tables.tsFromNanos(col("ts")).as("event_ts"))
-      val stage = stagedFeed(s"s12#$dir", "graft-outer") { st =>
-        val maxTs = ev.agg(max(col("event_ts"))).head().getTimestamp(0)
-        def sentinels(tag: Long, plusHours: Int): DataFrame = {
-          import ss.implicits._
-          // DISJOINT user ids (-1 vs -2): the click and purchase sentinels
-          // must advance their sides' watermarks without joining each other
-          Seq(("click", -tag, -1L), ("purchase", -tag - 1L, -2L))
-            .toDF("event_type", "eid", "uid")
-            .select(col("eid").as("event_id"), col("uid").as("user_id"),
-              col("event_type"),
-              (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("event_ts"))
-        }
-        val now = System.currentTimeMillis()
-        // sentinel spread ≤ 1.5h: even a trailing cleanup batch's watermark
-        // (max+3h − 1h = max+2h) stays below sentinel-1's join bound
-        // (max+2h30m), so no sentinel can ever flush as an unmatched row
-        writeStaged(st, ev, "a_feed", now - 180000)
-        writeStaged(st, sentinels(1L, 2), "b_s1", now - 120000)
-        writeStaged(st, sentinels(3L, 3), "c_s2", now - 60000)
-      }
-      val src = ss.readStream.schema(ev.schema)
+      val (stage, schema) = outerJoinFeed(ss, dir)
+      val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
       val clicks = src.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -591,6 +633,43 @@ object SparkEntry {
           "left_outer")
         .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
       val sink = "s12_stream_outer_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+    // §2.8 — stream-stream FULL OUTER join: both unmatched directions at
+    // once — clicks without a conversion AND purchases without a
+    // preceding click each flush as a NULL-other-side row once the global
+    // watermark provably passes their join bound. Same three-batch
+    // sentinel feed as s12 (shared staging, one cache key); the sentinels
+    // themselves stay in state forever on BOTH sides, so they cannot
+    // pollute either unmatched direction. Oracle = the plain batch FULL
+    // JOIN over the real feed.
+    "s15_stream_full_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val (stage, schema) = outerJoinFeed(ss, dir)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("event_ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("event_ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("click_id"), col("purchase_id"))
+      val sink = "s15_stream_full_outer_sink"
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1124,6 +1203,27 @@ object SparkEntry {
       Joins.bloomAntiJoin(li, "l_orderkey", o, "o_orderkey",
           expectedKeys = 100000L, fpp = 0.01)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // Bucketed CO-LOCATED join — the storage-layout lever that makes the
+    // 100 TB fact-fact join affordable: both sides are bucketed on the
+    // join key at write time (staged once per JVM), so the join reads
+    // matching buckets side-by-side with NO exchange on either input
+    // (plan-asserted in LayoutSpec; broadcast + AQE disabled in a child
+    // session so the exchange-free sort-merge shape is what actually
+    // runs). Bucketing is result-invariant ⇒ the oracle is the plain
+    // join + aggregate SQL over the raw parquet.
+    "j_bucketed_join" -> ((s, dir) => {
+      val (oT, lT) = bucketedTables(s, dir)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.table(oT).join(ss.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice")) *
+            (money(lit(1.0)) - money(col("l_discount"))))
+            .cast("double").as("revenue"))
     }),
 
     // §2.4 extension — left outer join with an ON-clause filter so unmatched
@@ -1917,6 +2017,17 @@ object SparkEntry {
       Corpus.epochShuffle(t(s, dir, "documents"), "doc_id", seed = 7L)
     }),
 
+    // Balanced output sharding: heaviest-first round-robin deal into 8
+    // output shards (the corpus write step — equal-size shards without
+    // driver-side weight accounting). Deterministic total order ⇒ the
+    // oracle replays the same ROW_NUMBER % 8 deal.
+    "corpus_shard_balanced" -> ((s, dir) => {
+      Corpus.shardBalanced(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id").asc), nShards = 8)
+        .select(col("doc_id"), col("shard"))
+    }),
+
     // Per-source (domain) cap: at most 10 docs per source, best quality
     // first — the domain-diversity guard of every web-scale corpus. The
     // k-bounded TopK Aggregator ranks (map-side combine, O(cap) state per
@@ -2309,6 +2420,23 @@ object SparkEntry {
         .map { case (id, bytes) => Multimodal.MediaRecord(id, bytes, "png") }
       Multimodal.decodeImageMeta(media).toDF()
         .select("doc_id", "width", "height", "n_pixels", "mean_red")
+    }),
+
+    // Hive-style PARTITIONED layout — the other storage lever (with
+    // bucketing) of the 100 TB posture: events staged once per JVM
+    // partitioned by event_type, then read back with a partition-key
+    // filter. The filter prunes at the directory LISTING (LayoutSpec
+    // asserts the scan lists exactly one of the five partitions — a 100 TB
+    // date-partitioned log reads one day, not the archive). Layout is
+    // result-invariant ⇒ the oracle is the plain filter SQL.
+    "src_partitioned_scan" -> ((s, dir) => {
+      val stage = stagedFeed(s"partlay#$dir", "graft-partlay") { st =>
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(st)
+      }
+      s.read.parquet(stage).where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     }),
 
     "mm_png_decode" -> ((s, dir) => {
@@ -3376,6 +3504,12 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
                CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
                          WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 100 END""",
+    // same heaviest-first round-robin deal: rank % 8 over the total order
+    "corpus_shard_balanced" ->
+      """SELECT doc_id,
+                CAST((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8 AS INT)
+                  AS shard
+         FROM documents""",
     "corpus_epoch_shuffle" ->
       """SELECT doc_id,
                 ROW_NUMBER() OVER (ORDER BY md5(concat_ws('#', '7',
@@ -3856,6 +3990,14 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    // the full-outer twin: both unmatched directions survive as NULLs
+    "s15_stream_full_outer" ->
+      """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                c.event_id AS click_id, p.event_id AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "q_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
                 p.event_id AS purchase_id,
@@ -3930,6 +4072,18 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_orderkey = l_orderkey
                              AND o_totalprice > 400000.0)""",
+    // bucketing is a layout property, result-invariant: plain join SQL
+    "j_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
+    // partitioned layout is result-invariant: plain filter SQL
+    "src_partitioned_scan" ->
+      """SELECT event_id, user_id, value, event_type FROM events
+         WHERE event_type = 'click'""",
     "q_join_left" ->
       """SELECT p_partkey, l_orderkey, l_quantity FROM part
          LEFT JOIN lineitem ON p_partkey = l_partkey AND l_quantity >= 49.0""",

@@ -208,6 +208,32 @@ object Corpus {
     graft.operators.Joins.zipWithOrdinal(sorted, "epoch_ord").drop("sk")
   }
 
+  /** Balanced output sharding — the corpus WRITE step: assign each row to
+    * one of `nShards` output shards so per-shard work (size, token count)
+    * is near-equal. Rows are ranked by the caller's `order` (heaviest
+    * first for size balance — the longest-processing-time heuristic) and
+    * dealt round-robin: shard = rank % nShards. With a monotone weight
+    * order, any two shards' totals differ by at most one heaviest-row
+    * weight per dealing cycle — bounded imbalance with NO weight
+    * accounting, no driver state, and a permutation any engine replays
+    * exactly (the order must be total: tie-break on a unique key).
+    *
+    * Scale shape: one range-partitioned sort + the per-partition-offset
+    * ordinal ([[graft.operators.Joins.zipWithOrdinal]]) — no global
+    * window, no single reducer; the downstream writer does
+    * `.repartition(col(shardCol))` and streams each shard out. */
+  def shardBalanced(
+      df: DataFrame,
+      order: Seq[Column],
+      nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val ranked = graft.operators.Joins.zipWithOrdinal(
+      df.orderBy(order: _*), "shard_ord")
+    ranked.withColumn(shardCol, (col("shard_ord") % nShards).cast("int"))
+      .drop("shard_ord")
+  }
+
   /** Fixed-size token-window document chunking with overlap — the
     * context-window prep step of every RAG indexing and long-document
     * pretokenization pipeline: each document's token stream is cut into

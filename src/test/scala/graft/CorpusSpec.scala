@@ -475,6 +475,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("shardBalanced: round-robin over the weight order; shard totals near-equal") {
+    import SparkTestSession.table
+    val docs = table("documents").select(col("doc_id"), col("n_chars"))
+    val got = graft.functions.Corpus.shardBalanced(docs,
+        Seq(col("n_chars").desc, col("doc_id").asc), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // == the brute-force deal over the same total order
+    val want = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i % 8 }.toMap
+    assert(got === want)
+    // layout invariance: a repartitioned input deals identically
+    val re = graft.functions.Corpus.shardBalanced(docs.repartition(13),
+        Seq(col("n_chars").desc, col("doc_id").asc), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(re === got)
+    // balance: every shard's char total within 10% of the mean (the LPT
+    // round-robin bound is one max-row per cycle; 500 docs / 8 shards)
+    val chars = docs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val totals = got.toSeq.groupBy(_._2).values.map(_.map(p => chars(p._1)).sum)
+    val mean = totals.sum.toDouble / totals.size
+    assert(totals.size === 8)
+    assert(totals.forall(t => math.abs(t - mean) / mean < 0.1),
+      s"shard totals $totals vs mean $mean")
+  }
+
   test("weightedSample == brute-force A-ES top-k; layout-invariant") {
     import SparkTestSession.{spark, table}
     val docs = table("documents").select(col("doc_id"), col("n_chars"))

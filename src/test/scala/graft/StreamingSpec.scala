@@ -128,4 +128,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() === expected.count())
     assert(got.agg(sum("n")).head().getLong(0) === events.count())
   }
+
+  test("s15 full outer: BOTH unmatched directions flush; no sentinel leaks") {
+    val got = SparkEntry.queries("s15_stream_full_outer")(spark, sfDir)
+    // non-vacuity: the gate must exercise both NULL directions — clicks
+    // without a conversion AND purchases without a preceding click
+    assert(got.where(col("purchase_id").isNull).count() > 0,
+      "no unmatched clicks flushed")
+    assert(got.where(col("click_id").isNull).count() > 0,
+      "no unmatched purchases flushed")
+    // sentinels (negative user ids) must stay in state, never emit
+    assert(got.where(col("user_id") < 0).count() === 0, "sentinel leaked")
+    // matched subset == the batch inner join
+    val events = table("events")
+      .withColumn("event_ts", graft.sources.Tables.tsFromNanos(col("ts")))
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("event_ts").as("c_ts"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("event_ts").as("p_ts"))
+    val inner = c.join(p, col("cu") === col("pu") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    assert(got.where(col("click_id").isNotNull && col("purchase_id").isNotNull)
+      .count() === inner.count())
+  }
 }
