@@ -979,6 +979,27 @@ object SparkEntry {
       df.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(df.schema).option("header", "true").csv(out)
     }),
+    // Text source, wholetext mode — raw-corpus ingestion (one document
+    // per file, the layout crawl dumps and book corpora arrive in):
+    // stage 25 docs as UTF-8 .txt files once per JVM, read them back via
+    // the text source with `wholetext` (newlines inside a doc survive),
+    // recover ids from the `_metadata.file_path` column. Oracle = the
+    // same slice of the documents table.
+    "src_text_roundtrip" -> ((s, dir) => {
+      val stage = stagedFeed(s"textsrc#$dir", "graft-textsrc") { st =>
+        t(s, dir, "documents").where(col("doc_id") < 25)
+          .select(col("doc_id"), col("text")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(st, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      s.read.option("wholetext", "true").text(stage)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("value").as("text"))
+    }),
     "src_json_roundtrip" -> ((s, dir) => {
       val out = exitManagedTempDir("graft_json").toString
       val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
@@ -1681,6 +1702,17 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // Lloyd k-means as a first-class operator (IVF cell training /
+    // SemDeDup cluster pruning primitive): deterministic seeds (k
+    // smallest ids), 2 iterations, audit-form centroids — the oracle
+    // unrolls the same two iterations in SQL and must reproduce every
+    // assignment. Scale path is Similarity.kmeansLloyd (sum/count
+    // centroids), spec-proven to assign identically.
+    "sim_kmeans" -> ((s, dir) => {
+      Similarity.kmeansLloydAudit(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+    }),
+
     // Canonical selection by QUALITY, not min-id: per near-dup cluster,
     // keep the highest-quality member (doc_id breaks exact quality ties)
     // — what a production dedup actually ships, since the lowest id is
@@ -2015,6 +2047,19 @@ object SparkEntry {
     // layout; range-sort + zipWithIndex ordinal, no global window.
     "corpus_epoch_shuffle" -> ((s, dir) => {
       Corpus.epochShuffle(t(s, dir, "documents"), "doc_id", seed = 7L)
+    }),
+
+    // Weighted mixture interleaving (stride scheduling): the training
+    // ORDER in which each source recurs proportionally to its weight,
+    // spread evenly — here weight 1/2/3 by source number mod 3 (so the
+    // schedule is non-uniform at every scale factor). Oracle replays the
+    // same per-source rank + virtual-time arithmetic.
+    "corpus_interleave" -> ((s, dir) => {
+      val wt = lit(1.0) + (substring(col("source"), 4, 8).cast("int") % 3).cast("double")
+      Corpus.interleaveByWeight(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", wt)
+        .select(col("doc_id"), col("interleave_ord"))
     }),
 
     // Balanced output sharding: heaviest-first round-robin deal into 8
@@ -2992,6 +3037,9 @@ object SparkEntry {
     "src_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    // wholetext round-trip: the staged files ARE the documents slice
+    "src_text_roundtrip" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 25""",
     "src_json_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
@@ -3255,6 +3303,51 @@ object SparkEntry {
     // means are bit-identical (an unseeded list_reduce starts from the
     // first element and would keep -0.0 on an all-negative-zero group
     // where Spark's 0.0 seed yields +0.0)
+    // full two-iteration Lloyd replay: same seeds (k smallest ids), same
+    // seeded-fold distances and centroid means, same (dist, cl) tie-break
+    "sim_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT CAST(rn - 1 AS INT) AS cl, v AS cent
+                   FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+                   WHERE rn <= 8),
+            d1 AS (SELECT e.vec_id, c.cl,
+                          list_reduce(list_prepend(0.0,
+                            [ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                              for i in range(1, len(e.v) + 1) ]),
+                            (a, b) -> a + b) AS dist
+                   FROM e CROSS JOIN c0 c),
+            a1 AS (SELECT vec_id, cl FROM d1
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+            x1 AS (SELECT a.cl, e.vec_id, UNNEST(range(0, len(e.v))) AS pos, UNNEST(e.v) AS val
+                   FROM a1 a JOIN e USING (vec_id)),
+            g1 AS (SELECT cl, pos, list(val ORDER BY vec_id) AS vs FROM x1 GROUP BY cl, pos),
+            p1 AS (SELECT cl, pos,
+                          list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / len(vs) AS cv
+                   FROM g1),
+            c1 AS (SELECT cl, list(cv ORDER BY pos) AS cent FROM p1 GROUP BY cl),
+            d2 AS (SELECT e.vec_id, c.cl,
+                          list_reduce(list_prepend(0.0,
+                            [ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                              for i in range(1, len(e.v) + 1) ]),
+                            (a, b) -> a + b) AS dist
+                   FROM e CROSS JOIN c1 c),
+            a2 AS (SELECT vec_id, cl FROM d2
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+            x2 AS (SELECT a.cl, e.vec_id, UNNEST(range(0, len(e.v))) AS pos, UNNEST(e.v) AS val
+                   FROM a2 a JOIN e USING (vec_id)),
+            g2 AS (SELECT cl, pos, list(val ORDER BY vec_id) AS vs FROM x2 GROUP BY cl, pos),
+            p2 AS (SELECT cl, pos,
+                          list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / len(vs) AS cv
+                   FROM g2),
+            c2 AS (SELECT cl, list(cv ORDER BY pos) AS cent FROM p2 GROUP BY cl),
+            d3 AS (SELECT e.vec_id, c.cl,
+                          list_reduce(list_prepend(0.0,
+                            [ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                              for i in range(1, len(e.v) + 1) ]),
+                            (a, b) -> a + b) AS dist
+                   FROM e CROSS JOIN c2 c)
+         SELECT vec_id, cl AS cluster FROM d3
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1""",
     "sim_label_centroids" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               x AS (SELECT label, vec_id,
@@ -3504,6 +3597,16 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
                CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
                          WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 100 END""",
+    // same per-source rank and (rank + 0.5) / weight virtual-time merge
+    "corpus_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+                           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS sr
+                    FROM documents),
+            k AS (SELECT doc_id,
+                         (sr + 0.5) / (1.0 + CAST(substr(source, 4, 8) AS INT) % 3) AS sk
+                  FROM r)
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS interleave_ord
+         FROM k""",
     // same heaviest-first round-robin deal: rank % 8 over the total order
     "corpus_shard_balanced" ->
       """SELECT doc_id,

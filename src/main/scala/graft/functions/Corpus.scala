@@ -208,6 +208,38 @@ object Corpus {
     graft.operators.Joins.zipWithOrdinal(sorted, "epoch_ord").drop("sk")
   }
 
+  /** Deterministic weighted source interleaving (stride scheduling) — the
+    * training-mixture ORDER step: given a per-row weight expression (one
+    * value per source), emit a global order in which each source recurs
+    * with frequency proportional to its weight, spread evenly rather than
+    * in blocks. Each row's stride key is `(rank_in_source + 0.5) / w`
+    * (the classic stride scheduler / Smith's virtual-time rule): source
+    * rows land at virtual times 0.5/w, 1.5/w, … — a weight-2 source
+    * appears twice as often, uniformly, not front-loaded. Pure function
+    * of (data, weights): reproducible across engines and cluster layouts.
+    *
+    * Scale shape: the per-source rank is a window PARTITIONED by source —
+    * parallelism = number of sources, so this fits the common
+    * many-sources corpus; ONE dominant source would bound the stage by
+    * its own size (then compute that source's rank separately via
+    * [[graft.operators.Joins.zipWithOrdinal]] and union). The merge is a
+    * range-partitioned sort plus the per-partition-offset ordinal — no
+    * global window, no single reducer. */
+  def interleaveByWeight(
+      df: DataFrame,
+      keyCol: String,
+      srcCol: String,
+      weight: Column,
+      ordCol: String = "interleave_ord"): DataFrame = {
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(keyCol))
+    val ranked = df
+      .withColumn("src_rank", row_number().over(w) - 1)
+      .withColumn("stride_key", (col("src_rank") + lit(0.5)) / weight)
+    graft.operators.Joins.zipWithOrdinal(
+        ranked.orderBy(col("stride_key"), col(keyCol)), ordCol)
+      .drop("src_rank", "stride_key")
+  }
+
   /** Balanced output sharding — the corpus WRITE step: assign each row to
     * one of `nShards` output shards so per-shard work (size, token count)
     * is near-equal. Rows are ranked by the caller's `order` (heaviest

@@ -760,6 +760,94 @@ object Similarity {
         (aggregate(transform(col("vs"), v => v.getField("col")),
           lit(0.0), (a, x) => a + x) / size(col("vs"))).as("centroid"))
 
+  /** Shared Lloyd-iteration core for [[kmeansLloyd]]/[[kmeansLloydAudit]]:
+    * seeds = the embeddings of the k smallest ids (cluster = seed rank —
+    * deterministic, engine-portable; k-means++ would need an RNG both
+    * engines replay). Each iteration assigns every vector to its nearest
+    * centroid and recomputes centroids via `centroids`; returns the
+    * assignment under the FINAL centroids. A cluster that loses every
+    * member drops out of the centroid table (standard Lloyd behavior,
+    * identical in the oracle's replay). */
+  private def kmLoop(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int)(centroids: DataFrame => DataFrame): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cent = graft.operators.Joins.zipWithOrdinal(
+        e.orderBy(col("vec_id")).limit(k), "cl")
+      .select(col("cl").cast("int").as("cl"), col("v").as("cent"))
+    (1 to iters).foreach { _ =>
+      cent = centroids(kmAssign(e, cent).join(e, Seq("vec_id")))
+    }
+    kmAssign(e, cent).select(col("vec_id"), col("cl").as("cluster"))
+  }
+
+  /** Nearest-centroid assignment: broadcast the O(k·dim) centroid table,
+    * probe map-side (the corpus is never shuffled), argmin of squared L2
+    * with ties to the lower cluster id via one `min(struct)` partial
+    * aggregate. The distance is a `zip_with` + seeded left fold in
+    * element order — the deterministic float pipeline the DuckDB oracle
+    * replays bit-for-bit (same convention as the cosine gates). */
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        aggregate(zip_with(col("v"), col("cent"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, b) => a + b))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cl"))).as("m"))
+      .select(col("vec_id"), col("m.cl").as("cl"))
+
+  /** Lloyd k-means, SCALE form — the clustering primitive behind IVF cell
+    * training and SemDeDup-style cluster pruning, as a first-class
+    * operator: deterministic seeds + bounded iterations, centroids via
+    * posexplode sum/count partial aggregation (one shuffle keyed by
+    * (cluster, dim) per iteration, map-side combined; order-dependent in
+    * the final ulp like [[labelCentroids]]). Returns (vec_id, cluster)
+    * under the final centroids. */
+  def kmeansLloyd(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame =
+    kmLoop(df, idCol, vecCol, k, iters) { members =>
+      members.select(col("cl"), posexplode(col("v")))
+        .groupBy(col("cl"), col("pos"))
+        .agg((sum(col("col")) / count(lit(1))).as("cv"))
+        .groupBy(col("cl"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+        .select(col("cl"), transform(col("ps"), p => p.getField("cv")).as("cent"))
+    }
+
+  /** AUDIT form of [[kmeansLloyd]]: centroid means are seeded left folds
+    * over member values sorted by vec_id (the [[labelCentroidsAudit]]
+    * convention), so every float op is replayable bit-for-bit by the
+    * DuckDB oracle and the final assignment hash-matches cross-engine.
+    * Materializes each (cluster, dim) group as an array — bounded-slice
+    * verification; [[kmeansLloyd]] is the production path (SimilaritySpec
+    * proves both forms assign identically on the test corpus). */
+  def kmeansLloydAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame =
+    kmLoop(df, idCol, vecCol, k, iters) { members =>
+      members.select(col("cl"), col("vec_id"), posexplode(col("v")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("col")))).as("vs"))
+        .select(col("cl"), col("pos"),
+          (aggregate(transform(col("vs"), v => v.getField("col")),
+            lit(0.0), (a, b) => a + b) / size(col("vs"))).as("cv"))
+        .groupBy(col("cl"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+        .select(col("cl"), transform(col("ps"), p => p.getField("cv")).as("cent"))
+    }
+
   /** 1-bit (sign) binary quantization: each embedding becomes
     * `dim/32` longs, bit i of word w set iff element `w*32+i` is
     * positive — a 64× compression (float32 → 1 bit/dim) under which

@@ -475,6 +475,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("interleaveByWeight: stride schedule is proportional and evenly spread") {
+    import SparkTestSession.table
+    val docs = table("documents").select(col("doc_id"), col("source"))
+    val wt = lit(1.0) + (substring(col("source"), 4, 8).cast("int") % 3).cast("double")
+    val got = graft.functions.Corpus.interleaveByWeight(docs, "doc_id", "source", wt)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = got.length
+    assert(n === docs.count())
+    // ordinals are a dense permutation
+    assert(got.map(_._3).sorted.toSeq === (0L until n).toSeq)
+    // brute-force replay: per-source rank by doc_id, (rank+0.5)/w merge
+    val bySrc = got.map(t => (t._1, t._2)).groupBy(_._2)
+    val keys = bySrc.toSeq.flatMap { case (src, rows) =>
+      val w = 1.0 + (src.drop(3).toInt % 3)
+      rows.map(_._1).sorted.zipWithIndex.map { case (id, r) =>
+        id -> ((r + 0.5) / w, id) }
+    }
+    val want = keys.sortBy(_._2).map(_._1).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got.map(t => t._1 -> t._3).toMap === want)
+    // proportional pacing: in any prefix, a weight-3 source group has ~3x
+    // the rows of a weight-1 group (within one stride)
+    val w3srcs = bySrc.keys.filter(s => s.drop(3).toInt % 3 == 2).toSet
+    val w1srcs = bySrc.keys.filter(s => s.drop(3).toInt % 3 == 0).toSet
+    if (w3srcs.nonEmpty && w1srcs.nonEmpty) {
+      val prefix = got.sortBy(_._3).take(n / 4)
+      val c3 = prefix.count(t => w3srcs(t._2)).toDouble / w3srcs.size
+      val c1 = prefix.count(t => w1srcs(t._2)).toDouble / w1srcs.size
+      assert(c3 / c1 > 2.0 && c3 / c1 < 4.0, s"pacing ratio ${c3 / c1}")
+    }
+  }
+
   test("shardBalanced: round-robin over the weight order; shard totals near-equal") {
     import SparkTestSession.table
     val docs = table("documents").select(col("doc_id"), col("n_chars"))

@@ -333,6 +333,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("kmeansLloyd: scale and audit forms assign identically; Lloyd step improves cost") {
+    val audit = Similarity.kmeansLloydAudit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val scale = Similarity.kmeansLloyd(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(audit === scale)
+    // every vector assigned, to a seed-ranked cluster id
+    assert(audit.size === emb.count())
+    assert(audit.values.toSet.subsetOf((0 until 8).toSet))
+    // brute-force replay in Scala: seeds = embeddings of the 8 smallest
+    // ids; two Lloyd iterations with sorted-fold means; same tie-break
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def assignTo(cents: Seq[(Int, Array[Double])]): Map[Long, Int] =
+      vecs.map { case (id, v) =>
+        id -> cents.map { case (cl, c) =>
+          (v.zip(c).foldLeft(0.0) { case (a, (x, cc)) =>
+            a + (x - cc) * (x - cc) }, cl)
+        }.min._2
+      }.toMap
+    var cents = vecs.take(8).zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    (1 to 2).foreach { _ =>
+      val asg = assignTo(cents)
+      val byId = vecs.toMap
+      cents = asg.toSeq.groupBy(_._2).toSeq.map { case (cl, members) =>
+        val vs = members.map(_._1).sorted.map(byId)
+        cl -> Array.tabulate(vs.head.length)(d =>
+          vs.map(_(d)).foldLeft(0.0)(_ + _) / vs.length)
+      }.sortBy(_._1)
+    }
+    assert(audit === assignTo(cents))
+    // a Lloyd iteration must not increase total cost
+    def cost(asg: Map[Long, Int], cents: Seq[(Int, Array[Double])]): Double = {
+      val cm = cents.toMap
+      vecs.map { case (id, v) =>
+        v.zip(cm(asg(id))).map { case (x, c) => (x - c) * (x - c) }.sum }.sum
+    }
+    val seed = vecs.take(8).zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    val a0 = assignTo(seed)
+    assert(cost(audit, cents) <= cost(a0, seed) + 1e-9)
+  }
+
   test("binarySignWords packs sign bits exactly; hamming top-k == brute force") {
     import spark.implicits._
     // packing: a hand-built 64-dim vector with known positive positions
