@@ -676,6 +676,43 @@ object SparkEntry {
       ss.table(sink)
     }),
 
+    // §2.6 sinks — foreachBatch, the PRODUCTION streaming sink API (the
+    // escape hatch every real pipeline uses for exactly-once writes to
+    // batch-only targets): a three-file staged feed (maxFilesPerTrigger=1
+    // → three micro-batches) lands each epoch in its own batch=<id>
+    // directory with mode("overwrite") — re-running an epoch overwrites,
+    // never duplicates (idempotent-by-path, the documented foreachBatch
+    // exactly-once recipe). The union read-back must equal the batch
+    // filter+projection — proving no batch lost, duplicated, or leaked
+    // across epoch boundaries. Partition-discovery exposes the epoch as a
+    // `batch` column; the gate projects it away.
+    "s16_stream_foreach_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = t(ss, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val stage = stagedFeed(s"feb#$dir", "graft-feb-src") { st =>
+        val now = System.currentTimeMillis()
+        (0 to 2).foreach { i =>
+          writeStaged(st, ev.where(pmod(col("event_id"), lit(3)) === i),
+            s"${('a' + i).toChar}_slice$i", now - (3 - i) * 60000L)
+        }
+      }
+      val out = exitManagedTempDir("graft-feb-out").toString
+      val src = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val cleaned = src.where(col("event_type").isin("click", "purchase"))
+      val q = cleaned.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.read.parquet(out).select("event_id", "user_id", "event_type")
+    }),
+
     // §2.8 — LATE-DATA DROP, actually exercised (round-7 verdict #8): every
     // other watermarked gate feeds AvailableNow over one file, where the
     // watermark can never retire state before data arrives — the drop path
@@ -1464,6 +1501,43 @@ object SparkEntry {
     // passes in the quality filter, the language filter, AND the final
     // projection, and was the slowest bench entry. Values are bit-identical
     // (TextSignalsSpec), so the DuckDB regex oracle is unchanged.
+    // End-to-end SESSION FUNNEL — the flagship product-analytics
+    // composite: sessionize the event log (2 h inactivity gap, the
+    // q_session_window islands), then measure ordered progression
+    // view → click → purchase WITHIN each session. Order sensitivity is
+    // the hard part: a click counts only AFTER the session's first view,
+    // a purchase only after the first qualifying click — running-min
+    // windows in RANGE mode (peer rows at equal timestamps included, so
+    // both engines agree under ties). All windows are partitioned by
+    // (user, session): parallel across users at any scale, never global.
+    "pipe_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        unix_micros(Tables.tsFromNanos(col("ts"))).as("us"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val prev = lag(col("us"), 1).over(wOrd)
+      val withSid = e
+        .withColumn("new_s",
+          when(prev.isNull || col("us") - prev >= 7200000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wr = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("us"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val funnel = withSid
+        .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(wr))
+        .withColumn("qc", when(col("event_type") === "click" && col("fv").isNotNull, col("us")))
+        .withColumn("fc", min(col("qc")).over(wr))
+        .withColumn("qp", when(col("event_type") === "purchase" && col("fc").isNotNull, col("us")))
+      funnel.groupBy(col("user_id"), col("sid"))
+        .agg(max(when(col("fv").isNotNull, 1).otherwise(0)).as("s1"),
+          max(when(col("qc").isNotNull, 1).otherwise(0)).as("s2"),
+          max(when(col("qp").isNotNull, 1).otherwise(0)).as("s3"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("s1")).cast("long").as("reached_view"),
+          sum(col("s2")).cast("long").as("reached_click"),
+          sum(col("s3")).cast("long").as("reached_purchase"))
+    }),
+
     "pipe_clean_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val keep = docs
@@ -4115,6 +4189,46 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    // foreachBatch is a sink mechanism, result-invariant: plain filter SQL
+    "s16_stream_foreach_batch" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_type IN ('click', 'purchase')""",
+    // same islands sessionization, same RANGE running-min qualification
+    "pipe_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            m AS (SELECT user_id, event_type, us,
+                         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 7200000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e),
+            s AS (SELECT user_id, event_type, us,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m),
+            f AS (SELECT user_id, sid, event_type, us,
+                         MIN(CASE WHEN event_type = 'view' THEN us END)
+                           OVER (PARTITION BY user_id, sid ORDER BY us
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+                  FROM s),
+            g AS (SELECT *, CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                                 THEN us END AS qc
+                  FROM f),
+            h AS (SELECT *, MIN(qc) OVER (PARTITION BY user_id, sid ORDER BY us
+                                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+                  FROM g),
+            i AS (SELECT *, CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                                 THEN us END AS qp
+                  FROM h),
+            p AS (SELECT user_id, sid,
+                         MAX(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+                         MAX(CASE WHEN qc IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+                         MAX(CASE WHEN qp IS NOT NULL THEN 1 ELSE 0 END) AS s3
+                  FROM i GROUP BY user_id, sid)
+         SELECT COUNT(*) AS n_sessions,
+                CAST(SUM(s1) AS BIGINT) AS reached_view,
+                CAST(SUM(s2) AS BIGINT) AS reached_click,
+                CAST(SUM(s3) AS BIGINT) AS reached_purchase
+         FROM p""",
     "q_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
               m AS (SELECT user_id, us,
