@@ -639,6 +639,41 @@ object SparkEntry {
       ss.table(sink)
     }),
 
+    // §2.8 — stream-stream LEFT SEMI join: "clicks that converted" as an
+    // existence test — each matched click emits ONCE no matter how many
+    // purchases land in its window (the dedup the inner join can't give),
+    // and unmatched clicks age out of state silently at the watermark.
+    // Same shared sentinel feed (the sentinels' disjoint user ids mean
+    // they can never match, so a correct semi join drops them — leak
+    // check built into the row set). Oracle = batch EXISTS.
+    "s17_stream_semi_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val (stage, schema) = outerJoinFeed(ss, dir)
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("event_ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("event_ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+        .select(col("c_user").as("user_id"), col("click_id"))
+      val sink = "s17_stream_semi_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     // §2.8 — stream-stream FULL OUTER join: both unmatched directions at
     // once — clicks without a conversion AND purchases without a
     // preceding click each flush as a NULL-other-side row once the global
@@ -1914,6 +1949,29 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nPlanes = 6)
+    }),
+
+    // ANN QUALITY measurement — recall@5 of the LSH path against brute
+    // force, per query: the dial every approximate index is tuned by
+    // (recall vs candidate volume). Both rankings are themselves
+    // oracle-gated, so the oracle here is their SQL composition — the
+    // recall arithmetic is one exact count / k division. On the
+    // UNIFORM-RANDOM test embeddings, 6 planes = 64 buckets yields
+    // near-zero recall — which is precisely what this gate exists to
+    // surface: the measurement catches a mis-tuned index before
+    // production does (real corpora cluster; random vectors are LSH's
+    // adversarial case).
+    "sim_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5, nPlanes = 6)
+        .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+      brute.join(lsh,
+          col("query_id") === col("lq") && col("neighbor_id") === col("ln"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("ln")).cast("double") / 5.0).as("recall"))
     }),
 
     // IVF ANN (the KMeans-quantizer scale path). Build/probe are split:
@@ -3578,6 +3636,15 @@ object SparkEntry {
        FROM ranked WHERE rank <= 5""",
     // exhaustive IVF (nprobe = nlist) must equal brute force exactly
     "sim_ivf_exhaustive" -> bruteTopkSql,
+    // composition of the two already-oracled rankings + one exact count/k
+    "sim_lsh_recall" ->
+      s"""WITH b AS ($bruteTopkSql),
+             l AS ($lshTopkSql)
+          SELECT b.query_id,
+                 CAST(count(l.neighbor_id) AS DOUBLE) / 5.0 AS recall
+          FROM b LEFT JOIN l
+            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+          GROUP BY b.query_id""",
     // full LSH replication: seeded hyperplanes interpolated as literals
     "sim_lsh_topk" -> lshTopkSql,
     // differential invariant oracles (see the queries entries): the exact
@@ -4167,6 +4234,15 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    // existence semantics: one row per converted click, sentinels excluded
+    // by the EXISTS itself (disjoint user ids can never match)
+    "s17_stream_semi_join" ->
+      """SELECT c.user_id, c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         WHERE EXISTS (SELECT 1 FROM events p
+                       WHERE p.event_type = 'purchase'
+                         AND p.user_id = c.user_id
+                         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)""",
     // the full-outer twin: both unmatched directions survive as NULLs
     "s15_stream_full_outer" ->
       """SELECT coalesce(c.user_id, p.user_id) AS user_id,
