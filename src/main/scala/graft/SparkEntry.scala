@@ -1928,6 +1928,15 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
     }),
 
+    // MIPS (max inner product) top-k — the recommender retrieval mode:
+    // raw dot, magnitude kept. Same bit-exact dot convention as the
+    // cosine gates, so the oracle ranks list_dot_product directly.
+    "sim_mips_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mipsTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // Binary (1-bit sign) quantization + Hamming top-k: the XOR+popcount
     // memory tier of a production retrieval stack — 64 dims become two
     // 32-bit-packed longs, distance is integer-exact in both engines, so
@@ -2363,6 +2372,22 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text", minTf = 2L)
     }),
 
+    // Keyword extraction — top-3 TF-IDF terms per document (the RAG
+    // metadata / search-facet step downstream of text_tfidf): per-doc
+    // window rank (partitioned by doc — parallel across docs, never
+    // global), ties by term for engine determinism. The tfidf doubles
+    // are already proven bit-equal cross-engine by text_tfidf's hash, so
+    // ranking on them is safe.
+    "text_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tfidf = TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text", minTf = 2L)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tfidf.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("rank"))
+    }),
+
     // Vocabulary build (the step before any tokenizer/embedding-table
     // training): corpus term counts → deterministic ids by (count DESC,
     // term ASC) rank, hapax-filtered. Ranking is a range-partitioned sort
@@ -2629,6 +2654,20 @@ object SparkEntry {
     // is exact; the uniform gray fill must come back within a small DC
     // quantization tolerance — emitted as a boolean so the oracle stays
     // deterministic.
+    // Real raster RESIZE (decode → halve via Graphics2D → re-encode PNG →
+    // re-decode): the mm transform stage, not just ingestion. The emitted
+    // stats come from the RESIZED bytes, so the oracle's closed-form
+    // geometry (floor-halved dims) and uniform-gray mean prove the whole
+    // transform round trip.
+    "mm_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRecord(id, Multimodal.grayTestImage(id, "png"), "png")))
+      Multimodal.resizeHalfMeta(imgs).toDF()
+        .select("doc_id", "width", "height", "n_pixels", "mean_red")
+    }),
+
     "mm_jpeg_decode" -> ((s, dir) => {
       import s.implicits._
       val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -3611,6 +3650,21 @@ object SparkEntry {
     // zero-norm vectors score NULL (engine drops them before ranking) —
     // same explicit convention as the cosine-pair oracles (r4 advice #4)
     "sim_brute_topk" -> bruteTopkSql,
+    // raw dot ranking (MIPS): no norms, no NULL path
+    "sim_mips_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.v, c.v) AS s
+              FROM q JOIN e c ON q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, neighbor_id ASC) AS rank
+              FROM scored)
+       SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5""",
     // identical 32-bit word packing (bit i of word w = sign of element
     // w*32+i), integer XOR+popcount distance, same (hamming asc, id asc)
     // rank order
@@ -3931,6 +3985,24 @@ object SparkEntry {
                 CAST(tf.tf AS DOUBLE) *
                   ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
          FROM tf JOIN df USING (term), n""",
+    // top-3 of the same tfidf values (bit-equal per text_tfidf's hash),
+    // ties by term
+    "text_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+              scored AS (SELECT tf.doc_id, tf.term,
+                                CAST(tf.tf AS DOUBLE) *
+                                  ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+                         FROM tf JOIN df USING (term), n)
+         SELECT doc_id, term,
+                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+         FROM scored
+         QUALIFY rank <= 3""",
     // exact integer counts of the true heavy hitters; MG membership is
     // guaranteed for them, so in_sketch is the constant the sketch must hit
     "text_heavy_hitters" ->
@@ -4177,6 +4249,14 @@ object SparkEntry {
                 CAST(8 + doc_id % 13 AS INT) AS width,
                 CAST(8 + doc_id % 7 AS INT) AS height,
                 CAST((8 + doc_id % 13) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_red
+         FROM documents""",
+    // floor-halved geometry; uniform gray survives any resize kernel
+    "mm_image_resize" ->
+      """SELECT doc_id,
+                CAST((8 + doc_id % 13) // 2 AS INT) AS width,
+                CAST((8 + doc_id % 7) // 2 AS INT) AS height,
+                CAST(((8 + doc_id % 13) // 2) * ((8 + doc_id % 7) // 2) AS BIGINT) AS n_pixels,
                 CAST(doc_id % 256 AS DOUBLE) AS mean_red
          FROM documents""",
     "mm_jpeg_decode" ->

@@ -217,6 +217,35 @@ object Multimodal {
     })
   }
 
+  /** REAL raster RESIZE stage (decode → scale → re-encode → re-decode):
+    * each image is halved (floor, min 1 px) through a headless
+    * `Graphics2D.drawImage` scale, re-encoded in its own format, and the
+    * RESIZED bytes are decoded again for the emitted statistics — so a
+    * gate proves the full transform round trip (decode, raster math,
+    * encode, decode), not just arithmetic on the source header. On the
+    * uniform-gray test images any interpolation kernel is exact (every
+    * convex combination of equal pixels is that pixel), which is what
+    * makes the content statistic closed-form for the oracle. Map-only,
+    * one iterator pass per partition; ImageIO's disk cache is disabled
+    * in this object's static init. */
+  def resizeHalfMeta(ds: Dataset[MediaRecord]): Dataset[ImageMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      require(img != null, "undecodable image payload")
+      val nw = math.max(1, img.getWidth / 2)
+      val nh = math.max(1, img.getHeight / 2)
+      val dst = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, r.format, bos)
+      val (w2, h2, meanRed) = decodeImage(bos.toByteArray)
+      ImageMeta(r.doc_id, w2, h2, w2.toLong * h2, meanRed)
+    })
+  }
+
   /** Feature-extraction stage: one iterator pass per partition. Real
     * decoders for wav/bmp; stub for formats needing native codecs. */
   def extractMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {

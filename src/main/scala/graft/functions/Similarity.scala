@@ -89,6 +89,25 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Max-inner-product top-k (MIPS) — the recommender/reranker retrieval
+    * mode: score = RAW dot product, no normalization, so magnitude
+    * matters (a popular item's long vector outranks a near-parallel
+    * short one — exactly the bias cosine removes and MIPS keeps on
+    * purpose). Same broadcast-probe + O(k)-state TopK shape as
+    * [[bruteForceTopK]]; ties by neighbor id. */
+  def mipsTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic random hyperplanes (seeded) as a nested literal.
     * Public: the driver-facing oracle replicates the sign-bucket
     * computation in SQL by interpolating these exact plane values as

@@ -333,6 +333,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("mipsTopK == brute-force dot ranking; diverges from cosine where magnitude matters") {
+    val got = Similarity.mipsTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dotp(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val want = (for {
+      q <- vecs.keys.filter(_ < 10).toSeq
+      ranked = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, dotp(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      ((id, _), i) <- ranked.zipWithIndex
+    } yield (q, id, i + 1)).toSet
+    assert(got === want)
+  }
+
   test("kmeansLloyd: scale and audit forms assign identically; Lloyd step improves cost") {
     val audit = Similarity.kmeansLloydAudit(emb, "vec_id", "embedding", k = 8, iters = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap

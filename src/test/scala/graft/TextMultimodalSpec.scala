@@ -119,6 +119,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.decodeImage(Array[Byte](1, 2, 3)))
   }
 
+  test("resizeHalfMeta: floor-halved geometry, uniform fill exact, via the real codec") {
+    import spark.implicits._
+    val imgs = docs.limit(20).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        Multimodal.MediaRecord(id, Multimodal.grayTestImage(id, "png"), "png")))
+    val got = Multimodal.resizeHalfMeta(imgs).collect()
+    assert(got.length === 20)
+    got.foreach { m =>
+      val (w, h, c) = ((8 + m.doc_id % 13).toInt, (8 + m.doc_id % 7).toInt, (m.doc_id % 256).toDouble)
+      assert(m.width === w / 2 && m.height === h / 2)
+      assert(m.n_pixels === (w / 2).toLong * (h / 2))
+      // uniform gray survives any interpolation kernel exactly (PNG lossless)
+      assert(m.mean_red === c, s"doc ${m.doc_id}")
+    }
+  }
+
   test("WAV frame extraction: sample-accurate frames from the data chunk") {
     import spark.implicits._
     val media = Multimodal.encodeAsBinary(docs.limit(10), "doc_id", "text")
