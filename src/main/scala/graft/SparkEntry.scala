@@ -614,7 +614,13 @@ object SparkEntry {
     "s12_stream_outer_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4 state partitions, not the session's 32 (nor the old 8): each of
+      // the three micro-batches initializes one state store PER shuffle
+      // partition, and store setup dominates this bounded feed's cost —
+      // idle min-of-3 measured 3.4s at 8 partitions, 2.5s at 4, with 2
+      // within noise of 4. Sizing state-store count to the workload is
+      // the same per-gate dial s4 documents.
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -649,7 +655,13 @@ object SparkEntry {
     "s17_stream_semi_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4 state partitions, not the session's 32 (nor the old 8): each of
+      // the three micro-batches initializes one state store PER shuffle
+      // partition, and store setup dominates this bounded feed's cost —
+      // idle min-of-3 measured 3.4s at 8 partitions, 2.5s at 4, with 2
+      // within noise of 4. Sizing state-store count to the workload is
+      // the same per-gate dial s4 documents.
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -685,7 +697,13 @@ object SparkEntry {
     "s15_stream_full_outer" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4 state partitions, not the session's 32 (nor the old 8): each of
+      // the three micro-batches initializes one state store PER shuffle
+      // partition, and store setup dominates this bounded feed's cost —
+      // idle min-of-3 measured 3.4s at 8 partitions, 2.5s at 4, with 2
+      // within noise of 4. Sizing state-store count to the workload is
+      // the same per-gate dial s4 documents.
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
