@@ -1208,6 +1208,40 @@ object SparkEntry {
           col("n_events"))
     }),
 
+    // §2.7 — distribution window functions: ntile buckets + the two
+    // rank-ratio statistics. With a unique total order (price desc, key
+    // asc) rank == row_number, so percent_rank and cume_dist are exact
+    // integer ratios — engine-identical doubles.
+    "q_window_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+    }),
+
+    // Interval-OVERLAP join (temporal/genomic overlap): click attention
+    // windows [ts, ts+30m] against purchase decision windows [ts, ts+15m]
+    // for the same user — binned equi-join with first-shared-bin dedup,
+    // never an inequality nested loop. Binning is result-invariant ⇒ the
+    // oracle is the plain overlap-predicate join.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(Tables.tsFromNanos(col("ts"))).as("us"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("us").as("c_start"), (col("us") + 1800000000L).as("c_end"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("us").as("p_start"), (col("us") + 900000000L).as("p_end"))
+      Joins.intervalJoin(c, p, "c_start", "c_end", "p_start", "p_end",
+          binWidth = 1800000000L, extraKeys = Seq("c_user" -> "p_user"))
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+    }),
+
     // §2.7 — ranking window function with deterministic tie-break.
     "q_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2135,6 +2169,22 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.langId(col("text")).as("pred_lang"),
         TextAnalysis.langHits(col("text"), "en").as("en_hits"))
+    }),
+
+    // Quantile quality pruning WITHIN each source (the FineWeb-style
+    // "keep the best half of every dump" step — a global cut would let
+    // one high-scoring domain crowd out the rest): ntile(2) over a
+    // per-source window on the bit-equal quality score (unique tiebreak
+    // by doc_id), keep tile 1. Parallel across sources; the integer
+    // ntile avoids any threshold-float comparison.
+    "corpus_quality_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      docs.withColumn("half", ntile(2).over(w)).where(col("half") === 1)
+        .select(col("doc_id"), col("source"), col("quality"))
     }),
 
     // Quality scoring: integer counts + deterministic double ratios.
@@ -4059,6 +4109,23 @@ object SparkEntry {
                 least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
                 CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality
          FROM b""",
+    // same quality formula (bit-equal per text_quality's hash), same
+    // per-source ntile(2) cut
+    "corpus_quality_filter" ->
+      """WITH b AS (SELECT doc_id, source,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents),
+            q AS (SELECT doc_id, source,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality
+              FROM b)
+         SELECT doc_id, source, quality FROM q
+         QUALIFY ntile(2) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) = 1""",
     "text_normalize" ->
       """WITH messy AS (
            SELECT doc_id,
@@ -4422,6 +4489,24 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
                                      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
            FROM lineitem) WHERE rn <= 2""",
+    // unique total order => rank == row_number; pr/cd are exact int ratios
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    // binning + first-shared-bin dedup are result-invariant: plain
+    // overlap predicate
+    "q_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND epoch_us(c.ts) <= epoch_us(p.ts) + 900000000
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000""",
     "q_window_lag" ->
       """SELECT user_id, event_id,
                 lag(value) OVER w AS prev_value,

@@ -227,6 +227,48 @@ object Joins {
       .select((points.columns ++ intervals.columns).map(col): _*)
   }
 
+  /** Interval-OVERLAP join — both inputs are intervals (the temporal /
+    * genomic overlap operator; [[rangeJoin]]'s point-in-interval is the
+    * zero-length special case). Each side replicates its interval to
+    * every `binWidth` bin it touches and the join is an EQUI-join on
+    * (bin, extraKeys) — never a nested-loop inequality join. A pair
+    * overlapping several shared bins is kept exactly ONCE by crediting
+    * it to the FIRST shared bin (the later of the two start bins): dedup
+    * is a cheap predicate, not a distinct shuffle. `extraKeys` joins
+    * (leftCol, rightCol) pairs into the equi-key — at scale a bare time
+    * bin is a skew bucket, so co-key on the entity (user, chromosome,
+    * shard) whenever the semantics have one. Bounds inclusive; bin math
+    * is the same exact floor-division as [[rangeJoin]]; column sets must
+    * be disjoint. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      binWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binWidth > 0, s"intervalJoin: binWidth must be positive, got $binWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalJoin: column names must be disjoint, both have ${shared.mkString(", ")}")
+    def binOf(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / lit(binWidth))
+        .cast("long")
+    val l = left.withColumn("_ij_lbin",
+      explode(sequence(binOf(col(lStart)), binOf(col(lEnd)))))
+    val r = right.withColumn("_ij_rbin",
+      explode(sequence(binOf(col(rStart)), binOf(col(rEnd)))))
+    val keyCond = extraKeys.foldLeft(l("_ij_lbin") === r("_ij_rbin")) {
+      case (acc, (a, b)) => acc && col(a) === col(b)
+    }
+    l.join(r, keyCond &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        l("_ij_lbin") === greatest(binOf(col(lStart)), binOf(col(rStart))))
+      .select((left.columns ++ right.columns).map(col): _*)
+  }
+
   /** U1 — nondeterministic interleave of two differently-shaped streams into
     * a tagged union `A \/ B` (reference `either`,
     * src/main/scala/mongo/channel/package.scala:129-131 via `wye.either`).

@@ -95,6 +95,32 @@ class JoinsSpec extends AnyFunSuite {
       === expected.size)
   }
 
+  test("intervalJoin == brute-force overlap join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // intervals straddling zero, lengths 0..~6 bins so multi-bin pairs
+    // and bin-boundary pairs both occur
+    val a = (0L until 150L).map { i =>
+      val s = rnd.nextLong() % 5000L; (i, i % 5, s, s + rnd.nextInt(1200).toLong)
+    }.toDF("a_id", "a_key", "a_s", "a_e")
+    val b = (0L until 150L).map { i =>
+      val s = rnd.nextLong() % 5000L; (i, i % 5, s, s + rnd.nextInt(1200).toLong)
+    }.toDF("b_id", "b_key", "b_s", "b_e")
+    val got = Joins.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e",
+        binWidth = 200L, extraKeys = Seq("a_key" -> "b_key"))
+    val expected = a.join(b, col("a_key") === col("b_key") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.select("a_id", "b_id").as[(Long, Long)].collect().toSet === expected)
+    assert(expected.nonEmpty)
+    // first-shared-bin crediting: no duplicate pairs, no distinct needed
+    assert(got.count() === expected.size)
+    // and the plan is an equi-join, never a nested loop
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested-loop plan:\n$plan")
+  }
+
   test("rangeJoin plans as an equi-join on the bin, never a nested loop") {
     import spark.implicits._
     val points = (0L until 100L).map(i => (i, i * 7L)).toDF("p_id", "p")
