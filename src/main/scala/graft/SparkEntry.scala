@@ -847,6 +847,31 @@ object SparkEntry {
       ss.table(sink)
     }),
 
+    // Streaming UNION — two differently-TRANSFORMED branches of the
+    // micro-batch DAG merged into one sink (the multi-feed ingestion
+    // shape): clicks pass through, purchases get a derived doubled value,
+    // both branches union by name. Stateless ⇒ result equals the batch
+    // UNION ALL.
+    "s18_stream_union" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "events").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val a = src.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), lit("click").as("kind"),
+          col("value"))
+      val b = src.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), lit("purchase_2x").as("kind"),
+          (money(col("value")) * 2).cast("double").as("value"))
+      val sink = "s18_stream_union_sink"
+      val q = a.unionByName(b).writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
     "s7_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
@@ -1418,6 +1443,19 @@ object SparkEntry {
       li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
         .intersect(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
     }),
+    // the BAG-semantics (ALL) twins: multiplicities are preserved, so
+    // duplicates count — a different aggregate shape than the DISTINCT
+    // forms (count-compare per key, no dedup)
+    "q_intersect_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
+        .intersectAll(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
+    }),
+    "q_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_partkey"))
+        .exceptAll(li.where(col("l_returnflag") === "A").select(col("l_partkey")))
+    }),
     "q_except" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
@@ -1743,6 +1781,26 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, threshold = 0.8)
+    }),
+
+    // Edit-distance VERIFICATION of near-dup candidates — the
+    // character-level second opinion a shingle signal can't give (word
+    // reorderings share shingle sets; levenshtein catches them).
+    // Quadratic per pair, so it runs on the CANDIDATE pairs only (the
+    // scale discipline of every verify stage) over a bounded 400-char
+    // prefix; both engines implement classic unit-cost Levenshtein.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val ta = docs.select(col("doc_id").as("doc_a"),
+        substring(col("text"), 1, 400).as("ta"))
+      val tb = docs.select(col("doc_id").as("doc_b"),
+        substring(col("text"), 1, 400).as("tb"))
+      pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
     }),
 
     // Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin candidate
@@ -3287,6 +3345,14 @@ object SparkEntry {
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // stateless branches => batch UNION ALL, same money-decimal doubling
+    "s18_stream_union" ->
+      """SELECT event_id, user_id, 'click' AS kind, value FROM events
+         WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, user_id, 'purchase_2x' AS kind,
+                CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DOUBLE) AS value
+         FROM events WHERE event_type = 'purchase'""",
     "q_window_range" ->
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
@@ -3459,6 +3525,23 @@ object SparkEntry {
          FROM t a JOIN t b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    // same candidate pairs, classic unit-cost levenshtein on the same
+    // 400-char prefixes
+    "dedup_edit_distance" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT doc_id,
+                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w)-1) ]) AS sh
+                    FROM s WHERE len(w) >= 3),
+              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM t a JOIN t b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8)
+         SELECT p.doc_a, p.doc_b,
+                CAST(levenshtein(substr(da.text, 1, 400), substr(db.text, 1, 400)) AS INT)
+                  AS edit_dist
+         FROM p JOIN documents da ON da.doc_id = p.doc_a
+                JOIN documents db ON db.doc_id = p.doc_b""",
     // prefix filtering is lossless and verification exact, so the oracle
     // is plain brute-force Jaccard at the gate's 0.7 threshold — the
     // candidate discipline must not change the answer
@@ -4590,6 +4673,14 @@ object SparkEntry {
       """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
          INTERSECT
          SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+    "q_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+         INTERSECT ALL
+         SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+    "q_except_all" ->
+      """SELECT l_partkey FROM lineitem
+         EXCEPT ALL
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""",
     "q_except" ->
       """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
          EXCEPT
