@@ -973,7 +973,7 @@ object SparkEntry {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       val evBatch = t(ss, dir, "events")
-        .withColumn("ts_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
       val spikes = broadcast(
         evBatch.where(col("event_type") === "error" && col("value") > 150.0)
           .select(col("event_id").as("spike_id"), col("ts_us").as("start_us"),
@@ -982,7 +982,7 @@ object SparkEntry {
       val clicks = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .where(col("event_type") === "click")
-        .withColumn("click_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+        .withColumn("click_us", Tables.tsMicros(col("ts")))
         .select(col("event_id").as("click_id"), col("user_id"), col("click_us"))
       val joined = Joins.rangeJoin(clicks, spikes,
           "click_us", "start_us", "end_us", binWidth = 600000000L)
@@ -1185,7 +1185,7 @@ object SparkEntry {
     // Oracle: DuckDB's NATIVE ASOF JOIN. Time keys are exact micros longs.
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
       val purchases = ev.where(col("event_type") === "purchase")
@@ -1204,7 +1204,7 @@ object SparkEntry {
     // payload (`keepUnmatched = true`). Oracle: DuckDB ASOF LEFT JOIN.
     "q_asof_left" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
       val purchases = ev.where(col("event_type") === "purchase")
@@ -1320,12 +1320,13 @@ object SparkEntry {
     // §2.7 — RANGE-framed window (value-based frame: all events within
     // the trailing hour BY TIMESTAMP, not by row count): includes all
     // ts-peers, so the result is deterministic under ties where a ROWS
-    // frame would not be. Nanos are exact longs; sums are exact cents.
+    // frame would not be. Micros are exact longs; sums are exact cents.
     "q_window_range" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
       t(s, dir, "events")
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
         .withColumn("cents", (money(col("value")) * 100).cast("long"))
         .withColumn("sum_cents_1h", sum(col("cents")).over(w))
         .select(col("user_id"), col("event_id"), col("sum_cents_1h"))
@@ -2370,7 +2371,7 @@ object SparkEntry {
     // hash-joins on the bin id (spec asserts no BNLJ in the plan).
     "q_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_us", (col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
       val spikes = ev.where(col("event_type") === "error" && col("value") > 150.0)
         .select(col("event_id").as("spike_id"), col("ts_us").as("start_us"),
           (col("ts_us") + 600000000L).as("end_us"))
@@ -3356,8 +3357,8 @@ object SparkEntry {
     "q_window_range" ->
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
-                  PARTITION BY user_id ORDER BY epoch_ns(ts)
-                  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
                   AS sum_cents_1h
          FROM events""",
     "t_stateful_running" ->

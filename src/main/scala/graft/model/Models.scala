@@ -41,10 +41,12 @@ final case class PartRow(
     p_size: Int,
     p_retailprice: Double)
 
-/** events.ts arrives as Long nanos (see Tables.load). */
+/** events.ts is normalized to TimestampType by `Tables.tsFromNanos`
+  * (schema-adaptive: the raw parquet has shipped both Long nanos and
+  * timestamp[us]); apply it before `.as[EventRow]`. */
 final case class EventRow(
     event_id: Long,
-    ts: Long,
+    ts: java.sql.Timestamp,
     user_id: Long,
     event_type: String,
     value: Double,

@@ -24,27 +24,83 @@ object Tables {
   /** Small dimension tables a planner should broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
-  /** Session settings every graft session needs. `events.parquet` carries
-    * TIMESTAMP(NANOS) which Spark's vectorized reader rejects; reading nanos
-    * as Long (converted explicitly via [[tsFromNanos]]) requires this conf.
-    * It belongs at session construction — a loader mutating session conf is
-    * a global side effect that surprises concurrent sessions — so every
-    * entrypoint (Bench/Verify/RunOne/PlanAudit/tests) applies it at build
-    * time via this map. */
-  val sessionConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  /** Session settings every graft session needs. It belongs at session
+    * construction — a loader mutating session conf is a global side effect
+    * that surprises concurrent sessions — so every entrypoint
+    * (Bench/Verify/RunOne/PlanAudit/tests) applies it at build time via
+    * this map.
+    *
+    * - `nanosAsLong`: if the testdata generator ships `events.ts` as
+    *   TIMESTAMP(NANOS) again (it did through round 8), the vectorized
+    *   reader surfaces it as Long instead of rejecting the file; harmless
+    *   for µs-encoded data. [[tsFromNanos]] adapts to either shape.
+    * - `session.timeZone=UTC`: makes the NTZ→LTZ cast inside
+    *   [[tsFromNanos]] value-identical at EVERY entrypoint, not only the
+    *   ones whose launcher happens to set it (a spark-submit of Bench on a
+    *   non-UTC host must not shift restored event times). */
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  /** Expected shape per table: column → accepted Spark types. A silent
+    * upstream regeneration of the testdata burned 19 gates in round 9;
+    * this makes the failure loud, local, and actionable instead. Only
+    * drift-prone columns are pinned — the guard is a tripwire, not a full
+    * schema contract. */
+  private val expectedShapes: Map[String, Map[String, Set[org.apache.spark.sql.types.DataType]]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "events" -> Map(
+        "event_id" -> Set(LongType),
+        "ts" -> Set(LongType, TimestampType, TimestampNTZType),
+        "user_id" -> Set(LongType),
+        "event_type" -> Set(StringType)),
+      "lineitem" -> Map(
+        "l_orderkey" -> Set(LongType),
+        "l_quantity" -> Set(LongType, IntegerType, DoubleType, DecimalType(12, 2), DecimalType(15, 2))),
+      "documents" -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType)),
+      "embeddings" -> Map(
+        "vec_id" -> Set(LongType),
+        "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, containsNull = false),
+          ArrayType(DoubleType), ArrayType(DoubleType, containsNull = false))))
+  }
+
+  private def checkShape(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    for {
+      expected <- expectedShapes.get(name)
+      (colName, accepted) <- expected
+    } {
+      val actual = schema.find(_.name == colName).map(_.dataType)
+      require(actual.isDefined,
+        s"testdata drift: table '$name' lost column '$colName' (schema: ${schema.simpleString}); " +
+          "regenerated parquet no longer matches graft.sources.Tables.expectedShapes")
+      require(accepted.contains(actual.get),
+        s"testdata drift: $name.$colName is ${actual.get.simpleString}, expected one of " +
+          s"${accepted.map(_.simpleString).mkString("{", ",", "}")} — the generator changed its " +
+          "encoding; extend the adapter (NormalizeEventTs / expectedShapes) before trusting results")
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table '$name' (expected one of ${all.mkString(",")})")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    checkShape(name, df.schema)
+    df
   }
 
-  /** events.ts (nanos-as-long) → TimestampType (microsecond precision).
-    * Division goes through DECIMAL: `c / 1000L` on longs is DOUBLE division,
-    * and epoch-nanos (~1.7e18) exceed double's 2^53 exact range — the
-    * result was off by ±1µs on some rows. Decimal divide + truncating cast
-    * is exact. */
-  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      (c.cast("decimal(38,0)") / 1000).cast("long"))
+  /** events.ts → TimestampType (µs precision), whatever the parquet
+    * encoding: schema-adaptive at analysis time via
+    * [[graft.expressions.NormalizeEventTs]] — Long nanos get an exact
+    * integral divide; native timestamp/NTZ pass through a UTC-safe cast.
+    * (Name kept from the nanos era; every event-time call site routes
+    * through here, which is what made round 9's drift a one-function fix.) */
+  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.NormalizeEventTs(expression(c)))
+  }
+
+  /** events.ts → epoch micros as Long, encoding-adaptive. For operators
+    * whose arithmetic wants a plain long axis (range-join binning, window
+    * range frames) rather than a timestamp. */
+  def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.unix_micros(tsFromNanos(c))
 }

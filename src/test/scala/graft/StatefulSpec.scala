@@ -15,6 +15,7 @@ class StatefulSpec extends AnyFunSuite {
     val events = table("events")
     val src = spark.readStream.schema(events.schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", graft.sources.Tables.tsFromNanos(col("ts")))
       .as[EventRow]
     val totals = Stateful.runningTotals[EventRow](src, _.user_id, _.value)
     val q = totals.toDF().writeStream.format("memory").queryName("state_test")
