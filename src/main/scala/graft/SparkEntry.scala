@@ -1017,6 +1017,44 @@ object SparkEntry {
           col("sum").cast("long").as("sum_cents"))
     }),
 
+    // §2.8 T2 — BACKPRESSURE, data-checked (r9 advice #6: was spec-only).
+    // The reference's demand-driven paging (storage.scala:149,172-180;
+    // CassandraAsyncStage fetchMore) maps onto Structured Streaming
+    // admission control: `maxFilesPerTrigger=1` over a 4-slice staged
+    // feed must yield one micro-batch PER FILE, in the controlled mtime
+    // order. The gate OBSERVES the per-batch row counts via foreachBatch
+    // and returns them as (batch_id, n_rows); slice i holds exactly the
+    // event_id % 4 == i rows, so the oracle is a plain GROUP BY — if flow
+    // control were ignored (one big batch) or order drifted, row count or
+    // hash breaks. The only driver-side state is 4 (id, count) pairs.
+    "t_stream_backpressure" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = t(ss, dir, "events").select(col("event_id"))
+      val stage = stagedFeed(s"bp#$dir", "graft-bp-src") { st =>
+        val now = System.currentTimeMillis()
+        (0 to 3).foreach { i =>
+          writeStaged(st, ev.where(pmod(col("event_id"), lit(4)) === i),
+            s"${('a' + i).toChar}_slice$i", now - (4 - i) * 60000L)
+        }
+      }
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val src = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          seen.add((batchId, batch.count())): Unit
+        }
+        .option("checkpointLocation",
+          exitManagedTempDir("graft-bp-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      import ss.implicits._
+      seen.asScala.toSeq.filter(_._2 > 0).toDF("batch_id", "n_rows")
+    }),
+
     // §2.9 — the SAME custom stateful operator through Structured
     // Streaming: flatMapGroupsWithState over readStream, checkpointed
     // key state across micro-batches, AvailableNow for the bounded run.
@@ -2876,11 +2914,10 @@ object SparkEntry {
       val sketch = toks.agg(cms(col("term")).as("sketch"))
       val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       val total = exact.agg(sum(col("cnt")).as("n"))
-      val est = udf((sk: Seq[Long], term: String) =>
-        graft.functions.CountMin.estimate(sk, term, depth, width))
       exact.crossJoin(broadcast(total)).crossJoin(broadcast(sketch))
         .select(col("term"), col("cnt"),
-          est(col("sketch"), col("term")).as("e"), col("n"))
+          graft.functions.CountMin.estimateColumn(
+            col("sketch"), col("term"), depth, width).as("e"), col("n"))
         .select(col("term"), col("cnt"),
           (col("e") >= col("cnt")).as("ge_ok"),
           ((col("e") - col("cnt")) * width <= col("n") * 4).as("within_ok"))
@@ -3374,6 +3411,11 @@ object SparkEntry {
     "t_stream_canonical" ->
       """SELECT user_id, event_type, MIN(event_id) AS min_event_id
          FROM events GROUP BY user_id, event_type""",
+    // backpressure: one micro-batch per staged file (mtime order), so the
+    // observed per-batch counts are exactly the per-slice cardinalities
+    "t_stream_backpressure" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS batch_id, COUNT(*) AS n_rows
+         FROM events GROUP BY 1""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -4,8 +4,6 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-import scala.util.hashing.MurmurHash3
-
 /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) — a
   * fixed-size frequency summary over an unbounded item stream, the §2.9
   * `Aggregator` extension surface like [[TopK]] and [[HeavyHitters]].
@@ -31,10 +29,18 @@ import scala.util.hashing.MurmurHash3
   */
 object CountMin {
 
-  /** Per-row item hash: Murmur3 of the item under a fixed per-row seed,
-    * folded to [0, width). */
+  /** Fixed per-row hash seed. */
+  private[functions] def rowSeed(row: Int): Int = 0x9747b28c + row
+
+  /** Per-row item hash: Spark's Murmur3 (UTF-8 bytes) under a fixed
+    * per-row seed, folded to [0, width). Deliberately the SAME family the
+    * `hash()` expression computes, so [[estimateColumn]] can probe a
+    * finished sketch with pure codegen'd built-ins — no UDF on the probe
+    * path. */
   private[functions] def cell(item: String, row: Int, width: Int): Int = {
-    val h = MurmurHash3.stringHash(item, 0x9747b28c + row)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(item)
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(u, org.apache.spark.sql.types.StringType, rowSeed(row).toLong).toInt
     ((h % width) + width) % width
   }
 
@@ -82,5 +88,24 @@ object CountMin {
       override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
       override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
     }
+  }
+
+  /** Column-level point estimate: `least` over the term's `depth` cells.
+    * Pure built-ins (`hash(term, seed)` is the same Murmur3 the aggregator
+    * uses via [[cell]]), so the probe stays inside whole-stage codegen —
+    * this replaced the one remaining Scala UDF in the codebase. */
+  def estimateColumn(sketch: org.apache.spark.sql.Column,
+      term: org.apache.spark.sql.Column, depth: Int, width: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{element_at, least, lit, pmod}
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    require(depth > 0 && width > 0,
+      s"estimateColumn: need positive depth/width, got depth=$depth width=$width")
+    val cells: Seq[Column] = (0 until depth).map { r =>
+      val h = column(org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(expression(term)), rowSeed(r)))
+      element_at(sketch, (pmod(h, lit(width)) + lit(r * width) + lit(1)).cast("int"))
+    }
+    if (cells.lengthCompare(1) == 0) cells.head else least(cells: _*)
   }
 }

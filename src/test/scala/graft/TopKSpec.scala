@@ -117,5 +117,16 @@ class TopKSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CountMin.countMin(0, 16))
     intercept[IllegalArgumentException](
       CountMin.estimate(Seq(0L), "x", depth, width))
+    // the codegen'd column probe and the JVM probe are the same function:
+    // both sides hash with Spark's Murmur3 under the same per-row seeds
+    val sk1 = stream.toDF("term").agg(cms(col("term")).as("s")).as[Seq[Long]].head()
+    val colProbe = stream.distinct.toDF("term")
+      .withColumn("e", CountMin.estimateColumn(
+        typedLit(sk1), col("term"), depth, width))
+      .as[(String, Long)].collect().toMap
+    exact.keys.foreach { item =>
+      assert(colProbe(item) === CountMin.estimate(sk1, item, depth, width),
+        s"column/JVM probe divergence for $item")
+    }
   }
 }
