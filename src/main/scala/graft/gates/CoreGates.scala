@@ -1,0 +1,1577 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.dsl.Dsl._
+import graft.functions.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
+import graft.operators.{EventLog, Joins}
+import graft.sources.Tables
+import graft.gates.GateSupport._
+
+/** Relational core: scans, DSL predicates, joins, set ops,
+  * aggregation, windows, event-time batch queries.
+  *
+  * Split out of SparkEntry (round-9 advice #8) purely for file size; the
+  * driver surface is unchanged — SparkEntry.queries/oracleSql concatenate
+  * every family. Scaladoc on each entry cites the reference behavior it
+  * re-expresses.
+  */
+object CoreGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1 — scan with predicate + projection pushdown (reference
+    // storage.scala:315-327; pushdown into find()). Catalyst pushes both
+    // into the parquet scan: .explain shows PushedFilters + 3-col ReadSchema.
+    "s1_scan_pushdown" -> ((s, dir) => {
+      val q = Q()
+        .where(("l_quantity" $gte 30.0) && ("l_returnflag" $eq "A"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      q(t(s, dir, "lineitem"))
+    }),
+
+
+    // P1/P2/P7 + O1/O2/O3 — chained range (implicit AND map-merge,
+    // reference dsl/package.scala:62-69) + sort/skip/limit pushdown
+    // (dsl/package.scala:48-58). Sort keys form a unique key so the
+    // skip/limit slice is deterministic.
+    "p_dsl_range_sort_page" -> ((s, dir) => {
+      val q = Q()
+        .where("l_quantity" $gte 10.0 $lte 15.0)
+        .sort("l_orderkey" -> Order.Ascending, "l_linenumber" -> Order.Ascending)
+        .skip(5)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      q(t(s, dir, "lineitem"))
+    }),
+
+
+    // P3/P4/P5/P8 — $ne/$in/$nin with and/or connectives
+    // (reference mongo/package.scala:87-90,101-120).
+    "p_dsl_bool_ops" -> ((s, dir) => {
+      val pred =
+        (("o_orderstatus" $ne "F") && ("o_orderpriority" $in Seq("1-URGENT", "2-HIGH"))) ||
+          (("o_totalprice" $gt 400000.0) && ("o_orderpriority" $nin Seq("5-LOW")))
+      Q().where(pred).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")(
+        t(s, dir, "orders"))
+    }),
+
+
+    // P6 — `$all` on an array field (reference mongo/package.scala:89, test
+    // IntegrationMongoClientSpec.scala:183): every listed value must be
+    // contained. Array column derived by tokenizing documents.text — the
+    // same shape as the reference's array-valued Mongo fields.
+    "p6_all_array" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("words", split(col("text"), " "))
+      Q().where("words" $all Seq("scan", "column")).select("doc_id")(docs)
+    }),
+
+
+    // P10 — `fk` parameter binding (reference dsl/package.scala:84,91-92):
+    // the outer key bound into the parameterized inner query of a join —
+    // here the inner side is pre-restricted by the bound key, exactly the
+    // reference's per-outer-row inner query with its `fk` filled in.
+    "p10_fk_param" -> ((s, dir) => {
+      val orders = Q().where("o_orderkey" $eq 7L)(t(s, dir, "orders"))
+      Joins.inner(orders, "o_orderkey", t(s, dir, "lineitem"), "l_orderkey",
+          innerPred = Some(fk("l_orderkey", 7L)))
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+
+    // P15 — the `|>` pipe (reference channel/package.scala:50-55): arbitrary
+    // stage application via Dataset.transform, operator spelling restored.
+    "p15_pipe" -> ((s, dir) => {
+      t(s, dir, "customer") |>
+        (df => df.where(col("c_acctbal") > 5000.0)) |>
+        (df => df.select(col("c_custkey"), col("c_name"),
+          (money(col("c_acctbal")) * money(lit(1.1))).cast("double").as("boosted_bal")))
+    }),
+
+
+    // J1 — the flagship inner join: DSL-filtered outer × keyed inner with a
+    // mapper projection (reference join/package.scala:52-63,74-132).
+    "j1_join_inner" -> ((s, dir) => {
+      val orders = Q().where("o_orderstatus" $eq "O")(t(s, dir, "orders"))
+      Joins.inner(orders, "o_orderkey", t(s, dir, "lineitem"), "l_orderkey")
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("l_partkey"),
+          col("l_quantity"),
+          (money(col("l_extendedprice")) * (money(lit(1.0)) - money(col("l_discount"))))
+            .cast("double").as("net_price"))
+    }),
+
+
+    // S3/O6/T1 — partitioned event-log scan with offset resume
+    // (reference log/package.scala:56-62, storage.scala:329-349).
+    "s3_eventlog_offset" -> ((s, dir) => {
+      EventLog.from(t(s, dir, "events"), "user_id", lit(7L), "event_id",
+          offset = 100L, maxPartitionSize = 256L)
+        .select(col("user_id"), col("event_id"), col("partition_nr"),
+          col("event_type"), col("value"))
+    }),
+
+
+    // P11/S5 — MQL string query through the channel builder (reference
+    // mqlparser/package.scala:67-235 grammar; channel/package.scala:206-263
+    // builder): parsed to the Pred algebra, compiled to Catalyst Columns.
+    "p11_mql_channel" -> ((s, dir) => {
+      graft.channel.Channel.create(s, dir) { b =>
+        b.q("""{ "$or": [ { "l_quantity": { "$gte": 45 } },
+                          { "l_returnflag": { "$in": ["A"] }, "l_quantity": { "$lt": 5 } } ] }""")
+        b.collection("lineitem")
+        b.sort("l_orderkey" -> Order.Ascending, "l_linenumber" -> Order.Ascending)
+        b.skip(3)
+        b.limit(500)
+      }.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    }),
+
+
+    // P11+ — MQL `$not`/`$exists`, BEYOND the reference parser's own TODO
+    // (mqlparser/package.scala:98). No table carries nulls, so the gate
+    // derives a null-bearing column (NULL lang for doc_id % 7 == 0 — the
+    // oracle mirrors the same CASE) and runs one query exercising
+    // $exists:false, $exists:true, and $not over a range op, composed
+    // under $or. SQL three-valued semantics throughout (Exists scaladoc).
+    "p17_mql_not_exists" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("lang_opt",
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+      val p = graft.mql.MqlParser.parse(
+        """{ "$or": [ { "lang_opt": { "$exists": false } },
+                      { "lang_opt": { "$exists": true },
+                        "n_chars": { "$not": { "$lt": 600 } } } ] }""")
+      docs.where(p.column).select("doc_id", "lang_opt", "n_chars")
+    }),
+
+
+    // S5-preferred — full SQL text through Catalyst's parser (SURVEY.md
+    // §2.2 P11 verdict: "prefer spark.sql"): the reference's string-query
+    // channel upgraded to ANSI SQL.
+    "q_sql_direct" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""SELECT n_name, COUNT(*) AS n_suppliers,
+                      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+               FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+               GROUP BY n_name""")
+    }),
+
+
+    // §2.7 — correlated EXISTS / NOT EXISTS subqueries: Catalyst
+    // DECORRELATES both into joins (semi + anti) — the planner feature a
+    // SQL user hits constantly; identical text runs in DuckDB.
+    "q_correlated_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v o
+               WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                             WHERE l.l_orderkey = o.o_orderkey
+                               AND l.l_quantity >= 49.0)
+                 AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+                                 WHERE l.l_orderkey = o.o_orderkey
+                                   AND l.l_returnflag = 'R')""")
+    }),
+
+
+    // §2.7 — RECURSIVE CTE (new in Spark 4): transitive closure of the
+    // planted 3-hop chain graph in PURE SQL — the same fixed-point
+    // semantics dedup_cluster_cc implements with pointer-jumping, here
+    // delegated to Catalyst's recursion operator. One SQL text serves
+    // both engines (only the table name differs).
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_v")
+      s.sql(recursiveClosureSql("docs_v"))
+    }),
+
+
+    // P9/S2 — raw SQL predicate fragment (reference's raw-CQL select,
+    // dsl/package.scala:83-86) parsed by Catalyst.
+    "s2_scan_raw" -> ((s, dir) => {
+      Q().where(RawSql("event_type IN ('click','view') AND value > 50"))
+        .select("event_id", "event_type", "value")(t(s, dir, "events"))
+    }),
+
+
+    // §1.2 dynamic-schema regime — the reference's ragged Mongo documents
+    // (fields present on some rows only ⇒ nulls, SURVEY.md §1.2): JSON
+    // document column parsed schema-on-read; missing keys become nulls.
+    // json_tuple parses the document ONCE for both fields (get_json_object
+    // re-parsed per extraction — and the pushed filter re-parsed again:
+    // 3 parses/row, the slowest round-1 bench entry); the generator output
+    // shares the single parse and the filter sits above the Generate node.
+    "p_dynamic_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          json_tuple(col("props"), "k", "missing_field").as(Seq("k_raw", "missing_field")))
+        .withColumn("k", col("k_raw").cast("int"))
+        .where(col("k") > 50)
+        .select("event_id", "k", "missing_field")
+    }),
+
+
+    // P12 — single-column typed extraction (reference `column[B]`,
+    // channel/package.scala:181-188) via a primitive Encoder.
+    "p12_column" -> ((s, dir) => {
+      import s.implicits._
+      val names: org.apache.spark.sql.Dataset[String] =
+        t(s, dir, "part").select("p_name").as[String]
+      names.toDF("p_name")
+    }),
+
+
+    // P13/P14 — case-class projection + typed per-record map (reference
+    // `as[T]` channel/package.scala:194-203 and `map` :62): by-name Encoder
+    // derivation, then a typed transform that round-trips the rows through
+    // the object form.
+    "p13_as_typed" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").as[graft.model.OrderRow]
+        .filter(o => o.o_totalprice > 300000.0)
+        .map(o => (o.o_orderkey, o.o_orderstatus, o.o_totalprice))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+
+    // J2/J3 — deterministic pairwise zip of two ordered relations, stopping
+    // at the shorter side (reference zipWith, channel/package.scala:92-143).
+    "j2_zipwith" -> ((s, dir) => {
+      Joins.zipByOrdinal(
+        t(s, dir, "nation").select("n_nationkey", "n_name"),
+        Seq(col("n_nationkey").asc),
+        t(s, dir, "region").select("r_regionkey", "r_name"),
+        Seq(col("r_regionkey").asc))
+    }),
+
+
+    // J3 — `zip`: pairwise alignment into (left, right) structs (reference
+    // channel/package.scala:143), flattened for the oracle compare.
+    "j3_zip" -> ((s, dir) => {
+      Joins.zip(
+          t(s, dir, "nation").select("n_nationkey", "n_name"),
+          Seq(col("n_nationkey").asc),
+          t(s, dir, "region").select("r_regionkey", "r_name"),
+          Seq(col("r_regionkey").asc))
+        .select(col("left.n_nationkey").as("n_nationkey"), col("left.n_name").as("n_name"),
+          col("right.r_regionkey").as("r_regionkey"), col("right.r_name").as("r_name"))
+    }),
+
+
+    // J4 — `zip` against a size-restricting side (reference zip+limit,
+    // channel/package.scala:108): the shorter (limited) side bounds the
+    // output length through the min-length inner join on ordinals.
+    "j4_zip_limit" -> ((s, dir) => {
+      val r3 = t(s, dir, "region").select("r_regionkey", "r_name")
+        .orderBy(col("r_regionkey")).limit(3)
+      Joins.zip(
+          t(s, dir, "nation").select("n_nationkey", "n_name"),
+          Seq(col("n_nationkey").asc),
+          r3, Seq(col("r_regionkey").asc))
+        .select(col("left.n_nationkey").as("n_nationkey"), col("left.n_name").as("n_name"),
+          col("right.r_regionkey").as("r_regionkey"), col("right.r_name").as("r_name"))
+    }),
+
+
+    // J5 — `tee`: arbitrary deterministic two-input combinator (reference
+    // channel/package.scala:118-119) — here instantiated with a keyed join.
+    "j5_tee" -> ((s, dir) => {
+      Joins.tee(t(s, dir, "supplier"), t(s, dir, "nation")) { (sup, nat) =>
+        sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      }
+    }),
+
+
+    // J6 — one-to-one log zip: two event-log partitions aligned by ordinal
+    // with min-length semantics (reference
+    // test/eventlog/PartitionedLogCassandraSpec.scala:116-152, asserting
+    // `domainSize - 15` — output length = the shorter log).
+    "j6_log_zip" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("view_user"))
+      Joins.zipByOrdinal(clicks, Seq(col("click_id").asc), views, Seq(col("view_id").asc))
+    }),
+
+
+    // S6 — batch sink: write the result to a parquet sink, read it back
+    // (the reference's sink surface is the driver; the roundtrip proves
+    // schema + data survive the sink, oracle-checked).
+    "s6_sink_roundtrip" -> ((s, dir) => {
+      val out = exitManagedTempDir("graft_sink").toString
+      Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    }),
+
+
+    // U1 — nondeterministic tagged merge (reference `either`,
+    // channel/package.scala:129-131), flattened to a comparable shape.
+    "u1_either" -> ((s, dir) => {
+      val l = t(s, dir, "customer").select(col("c_name").as("name"))
+      val r = t(s, dir, "supplier").select(col("s_name").as("name"))
+      Joins.either(l, r)
+        .select(col("side"), coalesce(col("left.name"), col("right.name")).as("name"))
+    }),
+
+
+    // U2 — ordered source concatenation (reference `++`,
+    // test/SportCenterSpec.scala:88).
+    "u2_concat" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      Joins.concat(
+        li.where(col("l_quantity") <= 2.0),
+        li.where(col("l_quantity") >= 49.0))
+    }),
+
+
+    // §2.8 extension — event-time tumbling window aggregation (batch form).
+    // The reference has event_time in the data model but never windows it
+    // (SURVEY.md §2.8); Spark supplies window() natively. Sums are exact
+    // decimals for the DuckDB compare (time_bucket == window alignment).
+    "q_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+
+    // §2.8 extension — SLIDING event-time windows (1 h window, 30 min
+    // slide): every event lands in exactly two overlapping windows.
+    "q_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .groupBy(window(col("event_ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+
+    // §2.9 custom stateful operator — flatMapGroupsWithState running totals
+    // (the reference's abandoned Semigroup `conflate`,
+    // join/package.scala:162-171, industrialized). Batch-gated: the final
+    // per-key state equals GROUP BY totals. Values are summed as exact
+    // integer cents (integer-valued doubles add associatively — immune to
+    // per-group iteration order).
+    "t_stateful_running" -> ((s, dir) => {
+      import s.implicits._
+      val cents = t(s, dir, "events")
+        .select(col("user_id"),
+          (money(col("value")) * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      graft.streaming.Stateful.runningTotals[(Long, Long)](
+          cents, _._1, _._2.toDouble)
+        .groupByKey(_.key)
+        .reduceGroups((a, b) => if (a.events >= b.events) a else b)
+        .map(_._2)
+        .toDF()
+        .select(col("key").as("user_id"), col("events"),
+          col("sum").cast("long").as("sum_cents"))
+    }),
+
+
+    // S6 sinks, more formats — CSV and JSON roundtrips: write the sink,
+    // read it back with the written schema (proves schema + data survive
+    // the format, oracle-checked like the parquet roundtrip).
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val out = exitManagedTempDir("graft_csv").toString
+      val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+      df.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(df.schema).option("header", "true").csv(out)
+    }),
+
+    // Text source, wholetext mode — raw-corpus ingestion (one document
+    // per file, the layout crawl dumps and book corpora arrive in):
+    // stage 25 docs as UTF-8 .txt files once per JVM, read them back via
+    // the text source with `wholetext` (newlines inside a doc survive),
+    // recover ids from the `_metadata.file_path` column. Oracle = the
+    // same slice of the documents table.
+    "src_text_roundtrip" -> ((s, dir) => {
+      val stage = stagedFeed(s"textsrc#$dir", "graft-textsrc") { st =>
+        t(s, dir, "documents").where(col("doc_id") < 25)
+          .select(col("doc_id"), col("text")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(st, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      s.read.option("wholetext", "true").text(stage)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("value").as("text"))
+    }),
+
+    "src_json_roundtrip" -> ((s, dir) => {
+      val out = exitManagedTempDir("graft_json").toString
+      val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+      df.write.mode("overwrite").json(out)
+      s.read.schema(df.schema).json(out)
+    }),
+
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val out = exitManagedTempDir("graft_orc").toString
+      val df = Joins.inner(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+      df.write.mode("overwrite").orc(out)
+      s.read.schema(df.schema).orc(out)
+    }),
+
+
+    // §2.7 — full CUBE grouping sets (rollup's sibling).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+
+    // §2.7 — LATERAL correlated subquery (top-1 order per customer):
+    // Catalyst decorrelates the per-row ORDER BY LIMIT into a ranked
+    // window join — no per-row re-execution, unlike the reference's
+    // index-nested-loop shape this generalizes.
+    "q_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      t(s, dir, "orders").createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           FROM lat_customer c, LATERAL (
+             SELECT o_orderkey, o_totalprice FROM lat_orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+           ) o
+           WHERE c.c_acctbal > 9000""")
+    }),
+
+
+    // §2.7 — explicit GROUPING SETS (the general form rollup/cube sugar
+    // over): chosen sets (flag, status), (flag), () — Catalyst expands to
+    // one Expand + single hash aggregate, not N scans.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           FROM gs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    }),
+
+
+    // Custom operator — AS-OF join (SURVEY.md §7.3 "compose existing ops"):
+    // each click matched to the user's most recent prior-or-equal purchase.
+    // One shuffle on the key (union + per-key window), no range explosion.
+    // Oracle: DuckDB's NATIVE ASOF JOIN. Time keys are exact micros longs.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      Joins.asOf(
+          clicks, col("user_id"), col("ts_us"),
+          purchases, col("user_id"), col("ts_us"),
+          rightPayload = Seq(col("purchase_id"), col("ts_us").as("p_ts_us")),
+          rightTieBreak = col("purchase_id"))
+        .select(col("click_id"), col("user_id"),
+          col("asof.purchase_id").as("purchase_id"),
+          (col("ts_us") - col("asof.p_ts_us")).as("gap_us"))
+    }),
+
+
+    // AS-OF join, LEFT variant — unmatched left rows survive with null
+    // payload (`keepUnmatched = true`). Oracle: DuckDB ASOF LEFT JOIN.
+    "q_asof_left" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      Joins.asOf(
+          clicks, col("user_id"), col("ts_us"),
+          purchases, col("user_id"), col("ts_us"),
+          rightPayload = Seq(col("purchase_id"), col("ts_us").as("p_ts_us")),
+          rightTieBreak = col("purchase_id"),
+          keepUnmatched = true)
+        .select(col("click_id"), col("user_id"),
+          col("asof.purchase_id").as("purchase_id"),
+          (col("ts_us") - col("asof.p_ts_us")).as("gap_us"))
+    }),
+
+
+    // §2.8 extension — session windows (gap-based): the stateful windowing
+    // the reference's event-time data model never got (SURVEY.md §2.8).
+    // Session starts/counts are exact integers (unix micros), so the
+    // gaps-and-islands SQL in DuckDB reproduces them bit-for-bit.
+    "q_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .groupBy(session_window(col("event_ts"), "2 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))
+    }),
+
+
+    // §2.7 — distribution window functions: ntile buckets + the two
+    // rank-ratio statistics. With a unique total order (price desc, key
+    // asc) rank == row_number, so percent_rank and cume_dist are exact
+    // integer ratios — engine-identical doubles.
+    "q_window_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+    }),
+
+
+    // Interval-OVERLAP join (temporal/genomic overlap): click attention
+    // windows [ts, ts+30m] against purchase decision windows [ts, ts+15m]
+    // for the same user — binned equi-join with first-shared-bin dedup,
+    // never an inequality nested loop. Binning is result-invariant ⇒ the
+    // oracle is the plain overlap-predicate join.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(Tables.tsFromNanos(col("ts"))).as("us"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("us").as("c_start"), (col("us") + 1800000000L).as("c_end"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("us").as("p_start"), (col("us") + 900000000L).as("p_end"))
+      Joins.intervalJoin(c, p, "c_start", "c_end", "p_start", "p_end",
+          binWidth = 1800000000L, extraKeys = Seq("c_user" -> "p_user"))
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+    }),
+
+
+    // §2.7 — ranking window function with deterministic tie-break.
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
+    }),
+
+
+    // §2.7 — lag/lead/first_value event features (the per-user sequence
+    // deltas every behavioral training pipeline derives): one window pass
+    // per key, total order (event_id tie-break), delta as a single IEEE
+    // subtraction over raw doubles.
+    "q_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        first(col("event_type")).over(w).as("first_type"))
+    }),
+
+
+    // §2.7 — higher-order array functions (filter/transform/aggregate/
+    // sort), all codegen-free lambda evaluation over the token array in
+    // one projection — integer-exact, so the DuckDB list_* forms match.
+    "q_array_funcs" -> ((s, dir) => {
+      val arr = split(col("text"), " ")
+      t(s, dir, "documents").select(col("doc_id"),
+        size(filter(arr, x => length(x) > 4)).as("n_long_tokens"),
+        array_max(transform(arr, x => length(x))).as("max_token_len"),
+        aggregate(transform(arr, x => length(x)), lit(0L),
+          (acc, x) => acc + x).as("total_token_chars"),
+        size(array_distinct(arr)).as("n_distinct_tokens"),
+        element_at(array_sort(array_distinct(arr)), 1).as("first_token_sorted"))
+    }),
+
+
+    // §2.7 — running (cumulative) aggregate per key over the event log.
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value", sum(money(col("value"))).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("value"), col("running_value"))
+    }),
+
+
+    // §2.7 — RANGE-framed window (value-based frame: all events within
+    // the trailing hour BY TIMESTAMP, not by row count): includes all
+    // ts-peers, so the result is deterministic under ties where a ROWS
+    // frame would not be. Micros are exact longs; sums are exact cents.
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
+        .withColumn("cents", (money(col("value")) * 100).cast("long"))
+        .withColumn("sum_cents_1h", sum(col("cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("sum_cents_1h"))
+    }),
+
+
+    // §2.6 — top-k (Catalyst fuses to TakeOrderedAndProject: no global sort).
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+
+    // Skew-mitigated salted join — the hot-key spread is result-invariant,
+    // so the oracle is the PLAIN join SQL: proof that salting changes the
+    // partitioning, never the multiset.
+    "j_salted_skew" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      Joins.saltedInner(li, "l_orderkey", o, "o_orderkey", salts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    }),
+
+
+    // Bloom-pre-filtered semi join — the explicit form of runtime row-level
+    // filtering: a bounded sketch of the selective dim side's keys prunes
+    // the fact side at the scan, BEFORE the join exchange; the exact semi
+    // join downstream removes Bloom false positives. The sketch is
+    // result-invariant, so the oracle is the plain IN-subquery SQL — same
+    // invariant style as j_salted_skew (salting vs plain join).
+    "j_bloom_semi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      Joins.bloomSemiJoin(li, "l_orderkey", o, "o_orderkey",
+          expectedKeys = 100000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+
+    // The ANTI direction — a negative Bloom probe GUARANTEES
+    // non-membership, so ~all fact rows of a selective dim side bypass
+    // the join exchange entirely; only the fpp-bounded candidate sliver
+    // pays the exact anti join. Result-invariant ⇒ plain NOT-EXISTS SQL.
+    "j_bloom_anti" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      Joins.bloomAntiJoin(li, "l_orderkey", o, "o_orderkey",
+          expectedKeys = 100000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+
+    // Bucketed CO-LOCATED join — the storage-layout lever that makes the
+    // 100 TB fact-fact join affordable: both sides are bucketed on the
+    // join key at write time (staged once per JVM), so the join reads
+    // matching buckets side-by-side with NO exchange on either input
+    // (plan-asserted in LayoutSpec; broadcast + AQE disabled in a child
+    // session so the exchange-free sort-merge shape is what actually
+    // runs). Bucketing is result-invariant ⇒ the oracle is the plain
+    // join + aggregate SQL over the raw parquet.
+    "j_bucketed_join" -> ((s, dir) => {
+      val (oT, lT) = bucketedTables(s, dir)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.table(oT).join(ss.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice")) *
+            (money(lit(1.0)) - money(col("l_discount"))))
+            .cast("double").as("revenue"))
+    }),
+
+
+    // §2.4 extension — left outer join with an ON-clause filter so unmatched
+    // rows survive as nulls (absent in the reference; free in Spark).
+    "q_join_left" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 49.0)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left")
+        .select(col("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    }),
+
+
+    // §2.4 extension — full outer join (both unmatched sides survive).
+    "q_join_full" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 49.0)
+      p.join(li, p("p_partkey") === li("l_partkey"), "full_outer")
+        .select(col("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    }),
+
+
+    // §2.4 extension — semi join (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+
+    // §2.4 extension — anti join (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+
+    // §2.7 — hierarchical aggregate (ROLLUP) with grouping-set semantics.
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+
+    // §2.5 extension — set operations the reference lacks (SURVEY.md §2.5).
+    "q_intersect" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
+        .intersect(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
+    }),
+
+    // the BAG-semantics (ALL) twins: multiplicities are preserved, so
+    // duplicates count — a different aggregate shape than the DISTINCT
+    // forms (count-compare per key, no dedup)
+    "q_intersect_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
+        .intersectAll(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
+    }),
+
+    "q_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_partkey"))
+        .exceptAll(li.where(col("l_returnflag") === "A").select(col("l_partkey")))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_quantity") >= 49.0).select(col("l_partkey"))
+        .except(li.where(col("l_quantity") <= 2.0).select(col("l_partkey")))
+    }),
+
+
+    // §2.7 extension — scalar function library (string/date/math built-ins
+    // the reference delegates to Scala lambdas; here they're codegen'd
+    // Catalyst functions with DuckDB-matching semantics).
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          length(col("o_orderstatus")).as("status_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          dayofmonth(col("o_orderdate")).as("order_day"),
+          (money(col("o_totalprice")) - money(lit(100000.0))).cast("double").as("delta"),
+          abs((money(col("o_totalprice")) - money(lit(100000.0))).cast("double")).as("abs_delta"),
+          greatest(col("o_custkey"), col("o_orderkey")).as("max_key"))
+    }),
+
+
+    // §2.7 extension — pivot (wide aggregation); DuckDB oracle uses
+    // FILTER-ed conditional aggregates for the same shape.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+    }),
+
+
+    // §2.7 extension — unpivot (long-form reshape, the inverse of pivot):
+    // 4 measure columns melt to (metric, value) rows. Map-only expansion
+    // (each input row emits 4 output rows in the same task — no shuffle);
+    // DuckDB runs its native UNPIVOT for the identical reshape.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+    }),
+
+
+    // §2.7 extension — grouped array aggregation (nested result type):
+    // the per-key DISTINCT set, SORTED so the array value is
+    // deterministic under any partitioning/arrival order. Partial
+    // aggregation combines the sets map-side. The set is emitted as a
+    // comma-joined STRING, not a raw array: the driver's oracle harness
+    // sorts result rows with pandas, which cannot order numpy array
+    // cells (r5 `q_collect_list` err) — serializing keeps the value
+    // comparable while the aggregation under test is unchanged.
+    "q_collect_list" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("n_events"))
+    }),
+
+
+    // §2.7 — exact percentiles (sort-based, linear interpolation — the
+    // deterministic form; approx quantile sketches are rows-only land).
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+    }),
+
+
+    // §2.7 — scalar subquery in a predicate (orders in the top decile of
+    // the global max price).
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_ssq_v")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_ssq_v
+               WHERE o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders_ssq_v)""")
+    }),
+
+
+    // §2.7 — exact distinct aggregation.
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+
+    // §2.7 — approximate distinct (HLL++). Deterministic in Spark but not
+    // DuckDB-comparable → rows-only check by design.
+    // Differential gate (r8): HLL++ estimates are not SQL-reproducible,
+    // but the EXACT distinct counts are, and the estimator's contract
+    // (relative error within 3×rsd of the default rsd=0.05) is a checkable
+    // boolean. A broken sketch (or a broken merge of partial sketches)
+    // breaks the booleans; the exact counts hash-verify the rest.
+    "q_approx_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def within(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        (abs(approx - exact).cast("double") / exact.cast("double")) <= 0.15
+      li.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        within(approx_count_distinct(col("l_partkey")),
+          countDistinct(col("l_partkey"))).as("parts_within_tol"),
+        within(approx_count_distinct(col("l_orderkey")),
+          countDistinct(col("l_orderkey"))).as("orders_within_tol"))
+    }),
+
+
+    // §2.7 — approximate percentile (KLL-style sketch): mergeable bounded
+    // state vs the exact form's full sort. Differential gate: the sketch
+    // value is not SQL-reproducible, but its CONTRACT is — the approx
+    // result's true rank interval [count(<v), count(<=v)] must intersect
+    // [q·n − n/acc, q·n + n/acc] (accuracy=1000). The exact percentile
+    // (interpolated, = DuckDB quantile_cont, proven by q_percentile)
+    // hash-verifies alongside the booleans.
+    "q_approx_percentile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("apx50"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("apx90"),
+        count(lit(1)).as("n"))
+      def rankOk(apx: org.apache.spark.sql.Column, q: Double) = {
+        val lo = sum(when(col("l_quantity") < apx, 1L).otherwise(0L))
+        val hi = sum(when(col("l_quantity") <= apx, 1L).otherwise(0L))
+        val tol = first(col("n")).cast("double") / 1000.0
+        val target = first(col("n")).cast("double") * q
+        (lo.cast("double") <= target + tol) && (hi.cast("double") >= target - tol)
+      }
+      li.crossJoin(broadcast(a)).agg(
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        expr("percentile(l_quantity, 0.9)").as("exact_p90"),
+        rankOk(col("apx50"), 0.5).as("p50_rank_ok"),
+        rankOk(col("apx90"), 0.9).as("p90_rank_ok"))
+    }),
+
+
+    // §2.4/§2.7 extension — 3-way join + aggregation + top-k (TPC-H Q3
+    // shape): the classic multi-join plan Catalyst reorders/broadcasts.
+    "q3_shipping" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey").as("o_orderkey"),
+          o("o_orderdate").cast("date").as("order_date"))
+        .agg(sum(money(col("l_extendedprice")) * (money(lit(1.0)) - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+
+    // Point-in-interval RANGE join, binned to an equi-join: clicks landing
+    // inside a 10-minute window after any error spike (value > 150).
+    // Spark's native plan for a pure BETWEEN predicate is
+    // BroadcastNestedLoopJoin — Θ(points × intervals) at corpus scale;
+    // Joins.rangeJoin quantizes both sides to binWidth-sized bins and
+    // hash-joins on the bin id (spec asserts no BNLJ in the plan).
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
+      val spikes = ev.where(col("event_type") === "error" && col("value") > 150.0)
+        .select(col("event_id").as("spike_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + 600000000L).as("end_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("click_us"))
+      Joins.rangeJoin(clicks, spikes, "click_us", "start_us", "end_us",
+          binWidth = 600000000L)
+        .select(col("spike_id"), col("click_id"), col("user_id"),
+          (col("click_us") - col("start_us")).as("gap_us"))
+    }),
+
+
+    // Multimodal REAL PNG round-trip (round-7 verdict #5): deterministic
+    // gray images (geometry and color closed-form in doc_id) are encoded
+    // through the JDK's real PNG codec, then decoded back to a raster by
+    // the typed mapPartitions stage. mean_red is a CONTENT statistic: PNG
+    // is lossless, so the uniform fill must survive zlib round-trip
+    // exactly — the oracle is pure closed-form geometry.
+    // Multimodal INGESTION from a file store — Spark's built-in
+    // `binaryFile` source, the actual path a 100 TB image corpus arrives
+    // through (each object = one row with path/length/content; the source
+    // parallelizes across files and pushes a pathGlobFilter). The gate
+    // stages deterministic PNGs (gate staging, like s10's files), reads
+    // them back through binaryFile, recovers the id from the PATH, and
+    // runs the real decode stage — oracle is the same closed-form
+    // geometry as mm_png_decode over the staged id range.
+    "src_binaryfile_media" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(binaryFileStage)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) => Multimodal.MediaRecord(id, bytes, "png") }
+      Multimodal.decodeImageMeta(media).toDF()
+        .select("doc_id", "width", "height", "n_pixels", "mean_red")
+    }),
+
+
+    // Hive-style PARTITIONED layout — the other storage lever (with
+    // bucketing) of the 100 TB posture: events staged once per JVM
+    // partitioned by event_type, then read back with a partition-key
+    // filter. The filter prunes at the directory LISTING (LayoutSpec
+    // asserts the scan lists exactly one of the five partitions — a 100 TB
+    // date-partitioned log reads one day, not the archive). Layout is
+    // result-invariant ⇒ the oracle is the plain filter SQL.
+    "src_partitioned_scan" -> ((s, dir) => {
+      val stage = stagedFeed(s"partlay#$dir", "graft-partlay") { st =>
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(st)
+      }
+      s.read.parquet(stage).where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    }),
+
+
+    // HLL sketch distinct-count (Apache DataSketches via hll_sketch_agg —
+    // the built-in mergeable-sketch surface). Items are per-token unique
+    // ids (doc_id#pos), so the true distinct count per language is the
+    // token count — cheap for the oracle — while the sketch runs in real
+    // estimation territory (tens of thousands of uniques per group at
+    // sf0.01). Two differential invariants, both deterministic (HLL
+    // registers are order-invariant maxes): the direct estimate lands
+    // within ±10% of exact (lgK=12 → RSE 1.6%, so 10% is >6 sigma), and a
+    // two-level merge — per-source sketches hll_union_agg'd per language —
+    // estimates within the SAME bound (shard-combinability at 100 TB).
+    // The merged estimate is NOT asserted bit-equal to the direct one:
+    // union normalizes to dense HLL mode, while a small direct sketch can
+    // still be in exact sparse mode — the accuracy contract survives the
+    // merge, the representation doesn't.
+    "q_hll_distinct" -> ((s, dir) => {
+      val items = t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .select(col("lang"), col("source"),
+          concat_ws("#", col("doc_id"), col("pos")).as("item"))
+      val direct = items.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col("item"), 12)).as("est"))
+      val merged = items.groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("item"), 12).as("sk"))
+        .groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
+      direct.join(merged, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.10)
+            .as("est_ok"),
+          (abs(col("est_m") - col("n_exact")) <= col("n_exact") * 0.10)
+            .as("merge_ok"))
+    }),
+
+
+    // §2.7 extension — grouped aggregation (TPC-H Q1 shape). The reference
+    // has no aggregates (SURVEY.md §2.7); Catalyst supplies partial+final
+    // hash aggregation. Money math accumulates EXACT INTEGER CENTS in
+    // long (pure codegen'd long arithmetic — no per-row Decimal objects,
+    // which made the decimal(18,2)-sum form 3× slower). Every per-row
+    // value is a whole number of cents (floor(x*100+0.5) recovers it
+    // exactly from the stored double — inputs are non-negative, so this
+    // is round-half-up).
+    //
+    // Bit-parity with the oracle's CAST(SUM(decimal) AS DOUBLE) holds at
+    // ANY scale (r4 advice #5): the exact long sums are widened to
+    // decimal, scaled down by the power of ten IN DECIMAL (exact — the
+    // result scale ≥ the needed 2/4 digits), and cast to double once per
+    // GROUP — the same single correctly-rounded conversion the oracle
+    // performs. The previous form cast the long sum to double BEFORE
+    // dividing, which is exact only while the sum stays under 2^53
+    // (≈ sf 10 for sum_disc_price). The disc-price product (≤ ~1e9 per
+    // row) is further split into (quotient, remainder) by 10^4 — two long
+    // sums, each bounded by rows/group × 1e5, recombined exactly in
+    // per-group decimal math — so long accumulation itself holds to
+    // ~9e13 rows per group (≈ petabytes of lineitem), not 9e9.
+    "q1_agg" -> ((s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        floor(c * 100.0 + 0.5).cast("long")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("ep_c"),
+          cents(col("l_discount")).as("disc_c"))
+        .withColumn("dp", col("ep_c") * (lit(100L) - col("disc_c")))
+        .withColumn("dp_hi", expr("dp DIV 10000"))
+        .withColumn("dp_lo", col("dp") - col("dp_hi") * lit(10000L))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (dec(sum(col("qty_c"))) / lit(100)).cast("double").as("sum_qty"),
+          (dec(sum(col("ep_c"))) / lit(100)).cast("double").as("sum_base_price"),
+          ((dec(sum(col("dp_hi"))) * lit(10000) + dec(sum(col("dp_lo")))) / lit(10000))
+            .cast("double").as("sum_disc_price"),
+          ((dec(sum(col("qty_c"))) / lit(100)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_scan_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_quantity >= 30.0 AND l_returnflag = 'A'""",
+
+    "p_dsl_range_sort_page" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 10.0 AND l_quantity <= 15.0
+         ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 5""",
+
+    "p_dsl_bool_ops" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+         WHERE (o_orderstatus <> 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH'))
+            OR (o_totalprice > 400000.0 AND o_orderpriority NOT IN ('5-LOW'))""",
+
+    "j1_join_inner" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, l_partkey,
+                l_quantity,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DOUBLE) AS net_price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'O'""",
+
+    "s3_eventlog_offset" ->
+      """SELECT user_id, event_id, CAST(FLOOR(event_id / 256) AS BIGINT) AS partition_nr,
+                event_type, value
+         FROM events WHERE user_id = 7 AND event_id >= 100 ORDER BY event_id""",
+
+    "p11_mql_channel" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_quantity >= 45 OR (l_returnflag IN ('A') AND l_quantity < 5)
+         ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 3""",
+
+    // $exists ⇒ IS [NOT] NULL, $not ⇒ three-valued NOT (see the gate)
+    "p17_mql_not_exists" ->
+      """WITH d AS (SELECT doc_id,
+                           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_opt,
+                           n_chars
+                    FROM documents)
+         SELECT doc_id, lang_opt, n_chars FROM d
+         WHERE lang_opt IS NULL
+            OR (lang_opt IS NOT NULL AND NOT (n_chars < 600))""",
+
+    "q_sql_direct" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+                CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "s2_scan_raw" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type IN ('click','view') AND value > 50""",
+
+    // identical SQL text, DuckDB table name
+    "q_recursive_cte" -> recursiveClosureSql("documents"),
+
+    "q_correlated_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity >= 49.0)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey
+                             AND l.l_returnflag = 'R')""",
+
+    "p_dynamic_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                json_extract_string(props, '$.missing_field') AS missing_field
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""",
+
+    "p12_column" ->
+      "SELECT p_name FROM part",
+
+    "p13_as_typed" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_totalprice > 300000.0""",
+
+    "p6_all_array" ->
+      """SELECT doc_id FROM documents
+         WHERE list_has_all(string_split(text, ' '), ['scan', 'column'])""",
+
+    "p10_fk_param" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey = 7 AND l_orderkey = 7""",
+
+    "p15_pipe" ->
+      """SELECT c_custkey, c_name,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE)
+                  AS boosted_bal
+         FROM customer WHERE c_acctbal > 5000.0""",
+
+    "j3_zip" ->
+      """WITH l AS (SELECT n_nationkey, n_name,
+                           ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+              r AS (SELECT r_regionkey, r_name,
+                           ROW_NUMBER() OVER (ORDER BY r_regionkey) AS rn FROM region)
+         SELECT n_nationkey, n_name, r_regionkey, r_name FROM l JOIN r USING (rn)""",
+
+    "j4_zip_limit" ->
+      """WITH l AS (SELECT n_nationkey, n_name,
+                           ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+              r AS (SELECT r_regionkey, r_name,
+                           ROW_NUMBER() OVER (ORDER BY r_regionkey) AS rn
+                    FROM (SELECT * FROM region ORDER BY r_regionkey LIMIT 3))
+         SELECT n_nationkey, n_name, r_regionkey, r_name FROM l JOIN r USING (rn)""",
+
+    "j5_tee" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+
+    "j6_log_zip" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id AS click_user,
+                           ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+                    FROM events WHERE event_type = 'click'),
+              v AS (SELECT event_id AS view_id, user_id AS view_user,
+                           ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+                    FROM events WHERE event_type = 'view')
+         SELECT click_id, click_user, view_id, view_user FROM c JOIN v USING (rn)""",
+
+    "s6_sink_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "src_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    // wholetext round-trip: the staged files ARE the documents slice
+    "src_text_roundtrip" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 25""",
+
+    "src_json_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "src_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS sum_cents_1h
+         FROM events""",
+
+    "t_stateful_running" ->
+      """SELECT user_id, COUNT(*) AS events,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events GROUP BY user_id""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+         ) o
+         WHERE c.c_acctbal > 9000""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+
+    "j2_zipwith" ->
+      """WITH l AS (SELECT n_nationkey, n_name,
+                           ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+              r AS (SELECT r_regionkey, r_name,
+                           ROW_NUMBER() OVER (ORDER BY r_regionkey) AS rn FROM region)
+         SELECT n_nationkey, n_name, r_regionkey, r_name FROM l JOIN r USING (rn)""",
+
+    "u1_either" ->
+      """SELECT 'left' AS side, c_name AS name FROM customer
+         UNION ALL
+         SELECT 'right' AS side, s_name AS name FROM supplier""",
+
+    "u2_concat" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity <= 2.0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0""",
+
+    "q3_shipping" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""",
+
+    // differential invariant oracles (see the queries entries): the exact
+    // parts hash-verify; the estimator/implementation contracts are
+    // constant booleans that flip on drift
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                true AS parts_within_tol, true AS orders_within_tol
+         FROM lineitem""",
+
+    "q_range_join" ->
+      """SELECT i.event_id AS spike_id, p.event_id AS click_id, p.user_id,
+                epoch_us(p.ts) - epoch_us(i.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'error' AND value > 150.0) i
+         JOIN (SELECT * FROM events WHERE event_type = 'click') p
+           ON epoch_us(p.ts) >= epoch_us(i.ts)
+          AND epoch_us(p.ts) <= epoch_us(i.ts) + 600000000""",
+
+    // binaryFile ingestion of the staged id range — same closed form
+    "src_binaryfile_media" ->
+      """SELECT doc_id,
+                CAST(8 + doc_id % 13 AS INT) AS width,
+                CAST(8 + doc_id % 7 AS INT) AS height,
+                CAST((8 + doc_id % 13) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_red
+         FROM documents WHERE doc_id < 100""",
+
+    "q_time_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+                p.event_id AS purchase_id,
+                epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "q_asof_left" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+                p.event_id AS purchase_id,
+                epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              m AS (SELECT user_id, us,
+                           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 7200000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e),
+              s AS (SELECT user_id, us,
+                           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM m)
+         SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
+
+    "q_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+                  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+           FROM lineitem) WHERE rn <= 2""",
+
+    // unique total order => rank == row_number; pr/cd are exact int ratios
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+
+    // binning + first-shared-bin dedup are result-invariant: plain
+    // overlap predicate
+    "q_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND epoch_us(c.ts) <= epoch_us(p.ts) + 900000000
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000""",
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+                lag(value) OVER w AS prev_value,
+                lead(value) OVER w AS next_value,
+                value - lag(value) OVER w AS delta,
+                first_value(event_type) OVER w AS first_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "q_array_funcs" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                CAST(len(list_filter(w, x -> length(x) > 4)) AS INT) AS n_long_tokens,
+                CAST(list_max(list_transform(w, x -> length(x))) AS INT) AS max_token_len,
+                CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_token_chars,
+                CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+                list_sort(list_distinct(w))[1] AS first_token_sorted
+         FROM s""",
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, value,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_value
+         FROM events""",
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "j_salted_skew" ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000.0""",
+
+    // the Bloom sketch is result-invariant: plain EXISTS semantics
+    "j_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 400000.0)""",
+
+    "j_bloom_anti" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey = l_orderkey
+                             AND o_totalprice > 400000.0)""",
+
+    // bucketing is a layout property, result-invariant: plain join SQL
+    "j_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
+
+    // partitioned layout is result-invariant: plain filter SQL
+    "src_partitioned_scan" ->
+      """SELECT event_id, user_id, value, event_type FROM events
+         WHERE event_type = 'click'""",
+
+    "q_join_left" ->
+      """SELECT p_partkey, l_orderkey, l_quantity FROM part
+         LEFT JOIN lineitem ON p_partkey = l_partkey AND l_quantity >= 49.0""",
+
+    "q_join_full" ->
+      """SELECT p_partkey, l_orderkey, l_quantity FROM part
+         FULL JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49.0) l
+           ON p_partkey = l_partkey""",
+
+    "q_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off AS window_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events,
+              (VALUES (INTERVAL '0 minutes'), (INTERVAL '30 minutes')) o(off)
+         GROUP BY 1, 2""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_intersect" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+         INTERSECT
+         SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+
+    "q_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+         INTERSECT ALL
+         SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+
+    "q_except_all" ->
+      """SELECT l_partkey FROM lineitem
+         EXCEPT ALL
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""",
+
+    "q_except" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+         EXCEPT
+         SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""",
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+                upper(o_orderpriority) AS prio_upper,
+                substr(o_orderpriority, 1, 1) AS prio_code,
+                length(o_orderstatus) AS status_len,
+                concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+                CAST(year(o_orderdate) AS INT) AS order_year,
+                CAST(month(o_orderdate) AS INT) AS order_month,
+                CAST(day(o_orderdate) AS INT) AS order_day,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(100000.0 AS DECIMAL(18,2)) AS DOUBLE) AS delta,
+                abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(100000.0 AS DECIMAL(18,2)) AS DOUBLE)) AS abs_delta,
+                greatest(o_custkey, o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey <= 1000""",
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+                COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+                COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                             l_extendedprice, l_discount, l_tax
+                      FROM lineitem WHERE l_orderkey < 1000)
+         UNPIVOT src ON l_quantity, l_extendedprice, l_discount, l_tax
+         INTO NAME metric VALUE value""",
+
+    "q_collect_list" ->
+      """SELECT user_id,
+                array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+                COUNT(*) AS n_events
+         FROM events GROUP BY user_id""",
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // sketch rank-contract booleans are constants; the exact interpolated
+    // percentiles hash-verify (same quantile_cont parity as q_percentile)
+    "q_approx_percentile" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS exact_p50,
+                quantile_cont(l_quantity, 0.9) AS exact_p90,
+                true AS p50_rank_ok, true AS p90_rank_ok
+         FROM lineitem""",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders)""",
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // items are unique per token row, so exact distinct = token count; the
+    // sketch invariants are deterministic constants (see the gate comment)
+    "q_hll_distinct" ->
+      """SELECT lang, COUNT(*) AS n_exact, true AS est_ok, true AS merge_ok
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY lang""",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+  )
+}

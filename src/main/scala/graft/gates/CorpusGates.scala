@@ -1,0 +1,768 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.dsl.Dsl._
+import graft.functions.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
+import graft.operators.{EventLog, Joins}
+import graft.sources.Tables
+import graft.gates.GateSupport._
+
+/** Corpus assembly: sampling, mixing, sharding, packing, pipes.
+  *
+  * Split out of SparkEntry (round-9 advice #8) purely for file size; the
+  * driver surface is unchanged — SparkEntry.queries/oracleSql concatenate
+  * every family. Scaladoc on each entry cites the reference behavior it
+  * re-expresses.
+  */
+object CorpusGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- LLM-data-pipeline extensions (north star; SURVEY.md §7.2 M6) ----
+
+    // The flagship composition: a full training-data cleaning pass —
+    // quality gate → language gate → exact dedup (keep min id) → token
+    // accounting — each stage an already-oracle-proven operator, composed
+    // through the `|>` pipe. All per-row text signals come from ONE fused
+    // byte-level traversal (TextSignals struct) materialized up front —
+    // the previous composed form re-ran split + five regexp_extract_all
+    // passes in the quality filter, the language filter, AND the final
+    // projection, and was the slowest bench entry. Values are bit-identical
+    // (TextSignalsSpec), so the DuckDB regex oracle is unchanged.
+    // End-to-end SESSION FUNNEL — the flagship product-analytics
+    // composite: sessionize the event log (2 h inactivity gap, the
+    // q_session_window islands), then measure ordered progression
+    // view → click → purchase WITHIN each session. Order sensitivity is
+    // the hard part: a click counts only AFTER the session's first view,
+    // a purchase only after the first qualifying click — running-min
+    // windows in RANGE mode (peer rows at equal timestamps included, so
+    // both engines agree under ties). All windows are partitioned by
+    // (user, session): parallel across users at any scale, never global.
+    "pipe_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        unix_micros(Tables.tsFromNanos(col("ts"))).as("us"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val prev = lag(col("us"), 1).over(wOrd)
+      val withSid = e
+        .withColumn("new_s",
+          when(prev.isNull || col("us") - prev >= 7200000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wr = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("us"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val funnel = withSid
+        .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(wr))
+        .withColumn("qc", when(col("event_type") === "click" && col("fv").isNotNull, col("us")))
+        .withColumn("fc", min(col("qc")).over(wr))
+        .withColumn("qp", when(col("event_type") === "purchase" && col("fc").isNotNull, col("us")))
+      funnel.groupBy(col("user_id"), col("sid"))
+        .agg(max(when(col("fv").isNotNull, 1).otherwise(0)).as("s1"),
+          max(when(col("qc").isNotNull, 1).otherwise(0)).as("s2"),
+          max(when(col("qp").isNotNull, 1).otherwise(0)).as("s3"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("s1")).cast("long").as("reached_view"),
+          sum(col("s2")).cast("long").as("reached_click"),
+          sum(col("s3")).cast("long").as("reached_purchase"))
+    }),
+
+
+    "pipe_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = docs
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs |>
+        (d => d.select(col("doc_id"), TextAnalysis.signals(col("text")).as("sig"))) |>
+        (d => d.where(TextAnalysis.qualityScoreFromSignals(col("sig")) >= 0.5)) |>
+        (d => d.where(TextAnalysis.langIdFromSignals(col("sig")) === "en")) |>
+        (d => d.join(keep, Seq("doc_id"), "left_semi")) |>
+        (d => d.select(col("doc_id"),
+          col("sig.n_words").as("ws_tokens"),
+          TextAnalysis.qualityScoreFromSignals(col("sig")).as("quality")))
+    }),
+
+
+    // The END-TO-END training-corpus build: pipe_clean_corpus plus the
+    // train/eval split and benchmark decontamination — train docs only,
+    // quality-gated, language-gated, exact-deduped (against the WHOLE
+    // corpus incl. eval, so a train copy of an eval doc dies twice), and
+    // stripped of anything sharing an 8-gram with the eval split. Same
+    // planted contamination as text_decontaminate so the stage provably
+    // removes rows at every scale factor. Per-row signals still come from
+    // the single fused traversal; the decontamination stage adds one
+    // broadcast probe + one anti-join — the whole pipeline stays one
+    // corpus scan plus hash-partitioned metadata joins.
+    // RAG indexing prep, end-to-end: token-window chunking → per-chunk
+    // quality scoring (the IEEE-mirrored composed form, same discipline
+    // as text_quality) → best chunk per document (partial-aggregated
+    // min(struct), no corpus-wide window) → join the document's embedding
+    // payload. The shape every retrieval index build runs: chunk, score,
+    // select, attach vectors.
+    "pipe_rag_index" -> ((s, dir) => {
+      val chunks = Corpus.chunkTokens(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, overlap = 16)
+      val scored = chunks.select(col("doc_id"), col("chunk_id"),
+          TextAnalysis.qualityScore(col("chunk_text")).as("quality"))
+        .where(col("quality").isNotNull)
+      val best = scored.groupBy(col("doc_id"))
+        .agg(min(struct((-col("quality")).as("negq"),
+          col("chunk_id").as("chunk_id"))).as("m"))
+        .select(col("doc_id"), col("m.chunk_id").as("best_chunk"),
+          (-col("m.negq")).as("quality"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label"))
+      best.join(emb, Seq("doc_id"))
+    }),
+
+
+    "pipe_training_corpus" -> ((s, dir) => {
+      // seeded feeds FOUR consumers (dedup keeper set, both contamination
+      // sides, the main signal scan) — persist once so the corpus is read
+      // once, same discipline as the LSH signature stages (Bench/Verify
+      // clear the cache per query)
+      val seeded = seededDocs(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep = seeded.groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val contaminated = Dedup.contamination(seeded, "doc_id", "text",
+          col("doc_id") < 40, shingleLen = 8)
+        .select(col("doc_id"))
+      seeded |>
+        (d => d.where(col("doc_id") >= 40)) |>
+        (d => d.select(col("doc_id"), TextAnalysis.signals(col("text")).as("sig"))) |>
+        (d => d.where(TextAnalysis.qualityScoreFromSignals(col("sig")) >= 0.5)) |>
+        (d => d.where(TextAnalysis.langIdFromSignals(col("sig")) === "en")) |>
+        (d => d.join(keep, Seq("doc_id"), "left_semi")) |>
+        (d => d.join(contaminated, Seq("doc_id"), "left_anti")) |>
+        (d => d.select(col("doc_id"), col("sig.n_words").as("ws_tokens"),
+          TextAnalysis.qualityScoreFromSignals(col("sig")).as("quality")))
+    }),
+
+
+    // Quantile quality pruning WITHIN each source (the FineWeb-style
+    // "keep the best half of every dump" step — a global cut would let
+    // one high-scoring domain crowd out the rest): ntile(2) over a
+    // per-source window on the bit-equal quality score (unique tiebreak
+    // by doc_id), keep tile 1. Parallel across sources; the integer
+    // ntile avoids any threshold-float comparison.
+    "corpus_quality_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      docs.withColumn("half", ntile(2).over(w)).where(col("half") === 1)
+        .select(col("doc_id"), col("source"), col("quality"))
+    }),
+
+
+    // Stratified hash-mod sampling: downsample the dominant language to
+    // 10%, keep minority languages at 50%, unknown whole — the training-
+    // mix rebalancing step. Stateless per-row predicate (content-hash
+    // bucket < per-stratum threshold): no shuffle, no per-stratum
+    // window — the exact-quota alternative would sort within a handful
+    // of giant language partitions at corpus scale.
+    "corpus_stratified_sample" -> ((s, dir) => {
+      val withLang = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"))
+      Corpus.sampleStratified(withLang, "doc_id", col("lang"),
+        Seq("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50), defaultRate = 100)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+
+    // Deterministic seeded epoch shuffle: the training order for epoch 7 —
+    // a pure function of (seed, doc_id), reproducible on any cluster
+    // layout; range-sort + zipWithIndex ordinal, no global window.
+    "corpus_epoch_shuffle" -> ((s, dir) => {
+      Corpus.epochShuffle(t(s, dir, "documents"), "doc_id", seed = 7L)
+    }),
+
+
+    // Weighted mixture interleaving (stride scheduling): the training
+    // ORDER in which each source recurs proportionally to its weight,
+    // spread evenly — here weight 1/2/3 by source number mod 3 (so the
+    // schedule is non-uniform at every scale factor). Oracle replays the
+    // same per-source rank + virtual-time arithmetic.
+    "corpus_interleave" -> ((s, dir) => {
+      val wt = lit(1.0) + (substring(col("source"), 4, 8).cast("int") % 3).cast("double")
+      Corpus.interleaveByWeight(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", wt)
+        .select(col("doc_id"), col("interleave_ord"))
+    }),
+
+
+    // Balanced output sharding: heaviest-first round-robin deal into 8
+    // output shards (the corpus write step — equal-size shards without
+    // driver-side weight accounting). Deterministic total order ⇒ the
+    // oracle replays the same ROW_NUMBER % 8 deal.
+    "corpus_shard_balanced" -> ((s, dir) => {
+      Corpus.shardBalanced(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id").asc), nShards = 8)
+        .select(col("doc_id"), col("shard"))
+    }),
+
+
+    // Per-source (domain) cap: at most 10 docs per source, best quality
+    // first — the domain-diversity guard of every web-scale corpus. The
+    // k-bounded TopK Aggregator ranks (map-side combine, O(cap) state per
+    // source per partition); a row_number window would funnel each heavy
+    // domain onto one reducer. Oracle: the window form, equivalent for
+    // finite scores.
+    "corpus_source_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.sourceCap(docs, "source", "doc_id",
+        TextAnalysis.qualityScoreFromSignals(TextAnalysis.signals(col("text"))),
+        n = 10)
+    }),
+
+
+    // Deterministic content-hash downsampling: keep ~10% of documents by
+    // md5-bucket of the key — stateless per-row predicate, no shuffle, no
+    // RNG state; the same document keeps the same fate however the corpus
+    // is re-split. The oracle computes the identical md5-derived bucket.
+    "corpus_sample_hash" -> ((s, dir) => {
+      Corpus.sampleHashMod(t(s, dir, "documents"), "doc_id", 1, 10)
+        .select(col("doc_id"))
+    }),
+
+
+    // Leakage-safe split assignment: near-dup clusters (CC over exact
+    // Jaccard pairs at t>=0.8) get ONE split decided by the md5 bucket of
+    // the cluster representative — near-duplicates can never straddle
+    // train/test. The oracle recomputes the same clusters (recursive CTE
+    // min-label flood) and the same md5 CASE.
+    "corpus_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Corpus.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    }),
+
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    // weight = n_chars: the "keep k docs, prefer long ones" downsample.
+    // Content-keyed md5 uniform → u^(1/w) sort key (rounded to 6 dp
+    // BEFORE selection so libm pow ulp wobble can't flip the cutoff);
+    // plans as TakeOrderedAndProject — per-partition heaps, no global
+    // sort. Oracle: the identical formula in DuckDB.
+    "corpus_weighted_sample" -> ((s, dir) => {
+      Corpus.weightedSample(t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), k = 60)
+    }),
+
+
+    // Sharded greedy token-budget packing: documents hash-shard 8 ways,
+    // then one windowed pass per shard assigns fixed-budget bin ids —
+    // parallelism = shard count, never a global single-reducer window.
+    "corpus_pack_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.signals(col("text")).getField("n_words").as("toks"))
+      Corpus.packTokenBudget(docs, "doc_id", "toks", budget = 512L, nShards = 8)
+    }),
+
+
+    // Token-window chunking with overlap (RAG / long-document context-prep):
+    // 64-token windows advancing by 48 (16-token overlap) — map-only
+    // sequence+slice arithmetic, one output row per chunk. The oracle
+    // replays the identical windowing with generate_series + list slicing.
+    "corpus_chunk" -> ((s, dir) => {
+      Corpus.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+    }),
+
+
+    // End-to-end PRETOKENIZATION pipe: vocab build → corpus tokenization
+    // → fixed-budget packing in ONE composed plan — the full path a
+    // pretraining data job runs before writing shards. Token counts come
+    // from the tokenize stage's per-doc aggregation (single-space
+    // convention), so the oracle replays len(string_split) + the same
+    // md5-shard greedy window as corpus_pack_budget — any drift in the
+    // vocab ranking, the broadcast join, or the re-assembly that changes
+    // a document's token count breaks the hash.
+    "pipe_pretokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Corpus.buildVocab(docs, "text", minCount = 2L)
+      val toks = Corpus.tokenizeToIds(docs, "doc_id", "text", vocab)
+      Corpus.packTokenBudget(
+        toks.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        budget = 512L, nShards = 8)
+    }),
+
+
+    // Vocabulary build (the step before any tokenizer/embedding-table
+    // training): corpus term counts → deterministic ids by (count DESC,
+    // term ASC) rank, hapax-filtered. Ranking is a range-partitioned sort
+    // + per-partition ordinal offsets (Joins.zipWithOrdinal) — NOT a
+    // no-partition row_number window, which would funnel the whole vocab
+    // (billions of cnt>=2 typos/URLs at crawl scale) through one reducer.
+    // The only corpus-sized work is the one partial-aggregated count.
+    "corpus_vocab" -> ((s, dir) => {
+      graft.functions.Corpus.buildVocab(t(s, dir, "documents"), "text", minCount = 2L)
+    }),
+
+
+    // Corpus tokenization against the built vocabulary — the missing step
+    // between vocab build and packing/chunking: per-doc ORDERED token-id
+    // sequence, OOV → reserved id 0. One broadcast join (a vocabulary is
+    // tokenizer-budget-bounded, never corpus-sized); the per-doc collect
+    // is bounded by one document's length. token_ids is serialized to a
+    // comma-joined string for the gate only (the driver's pandas row-sort
+    // cannot order array cells — the q_collect_list precedent); the
+    // operator itself emits a real array<long>.
+    "corpus_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.functions.Corpus.buildVocab(docs, "text", minCount = 2L)
+      graft.functions.Corpus.tokenizeToIds(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"))
+    }),
+
+
+    // Training-mix resampling weights: per-source token share and the
+    // multiplier that rebalances to a uniform mix (weight > 1 ⇒ upsample).
+    // One partial-aggregated groupBy over the corpus; the window runs over
+    // the AGGREGATED per-source rows (a handful), not the data. Every
+    // double op mirrors the oracle op-for-op (exact long sums, one cast,
+    // one divide) so the ratios are IEEE-identical.
+    "corpus_mix_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select(col("source"),
+        TextAnalysis.signals(col("text")).getField("n_words").cast("long").as("toks"))
+      val agg = toks.groupBy(col("source")).agg(sum(col("toks")).as("toks"))
+      val w = Window.partitionBy()
+      val share = col("toks").cast("double") / sum(col("toks")).over(w).cast("double")
+      agg.select(col("source"), col("toks"), share.as("share"),
+        ((lit(1.0) / count(lit(1)).over(w)) / share).as("weight"))
+    }),
+
+
+    // Temperature-scaled source rebalancing (alpha = 0.5): per-source keep
+    // rate (n_min/n_i)^0.5 via integer hash thresholds — smallest source
+    // kept whole, larger ones downsampled toward uniform. alpha = 0.5 is
+    // the bit-exact path (IEEE sqrt is correctly rounded in both engines;
+    // see Corpus.temperatureSample). Corpus side is a stateless hash
+    // predicate behind one tiny broadcast-joined threshold table.
+    // The synthetic sources are EXACTLY uniform (rate 1 everywhere —
+    // vacuous), so the gate tiers them 12/6/2 into big/mid/small strata
+    // first: proportions are scale-invariant, so the downsampling engages
+    // (sqrt(1/6) for big, sqrt(1/3) for mid) at every scale factor.
+    "corpus_temperature_sample" -> ((s, dir) => {
+      val srcNum = substring(col("source"), 4, 8).cast("int")
+      val tiered = t(s, dir, "documents").withColumn("tier",
+        when(srcNum < 12, lit("big"))
+          .when(srcNum < 18, lit("mid"))
+          .otherwise(lit("small")))
+      Corpus.temperatureSample(tiered, "doc_id", "tier", alpha = 0.5)
+        .select(col("doc_id"), col("tier"))
+    }),
+
+
+    // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
+    // log-likelihood ratio of the trusted-source target distribution
+    // (source = 'src0') vs the raw corpus — the data-selection score a
+    // pretraining pipeline resamples by. Bucket table is 1024 rows
+    // regardless of corpus size; totals ride a broadcast single-row agg;
+    // per-doc sums are partial-aggregated. Every double op (integer-exact
+    // products, one divide, one ln per bucket) mirrors the oracle.
+    "corpus_dsir_weights" -> ((s, dir) =>
+      Corpus.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", buckets = 1024))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_clean_corpus" ->
+      """WITH b AS (SELECT doc_id, text,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents),
+              q AS (SELECT doc_id, n_words,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(en AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS pred_lang
+              FROM b),
+              k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text))
+         SELECT q.doc_id, n_words AS ws_tokens, quality
+         FROM q
+         WHERE quality >= 0.5 AND pred_lang = 'en'
+           AND q.doc_id IN (SELECT doc_id FROM k)""",
+
+    // the pipe_clean_corpus oracle plus the train split and the
+    // text_decontaminate shingle CTE, composed over the same seeded text
+    "pipe_training_corpus" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id < 40 OR doc_id % 10 = 3
+                       THEN text || ' the quick brown fox jumps over the lazy dog tonight'
+                       ELSE text END AS text
+           FROM documents),
+           b AS (SELECT doc_id, text,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM seeded),
+           q AS (SELECT doc_id, n_words,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(en AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS pred_lang
+              FROM b),
+           k AS (SELECT MIN(doc_id) AS doc_id FROM seeded GROUP BY MD5(text)),
+           s2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded),
+           t2 AS (SELECT doc_id,
+                         list_distinct([ w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                                         w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+                                         for i in range(1, len(w)-6) ]) AS sh
+                  FROM s2 WHERE len(w) >= 8),
+           ev AS (SELECT DISTINCT unnest(sh) AS g FROM t2 WHERE doc_id < 40),
+           contam AS (SELECT DISTINCT tr.doc_id
+                      FROM (SELECT doc_id, unnest(sh) AS g FROM t2 WHERE doc_id >= 40) tr
+                      JOIN ev ON tr.g = ev.g)
+         SELECT q.doc_id, n_words AS ws_tokens, quality
+         FROM q
+         WHERE q.doc_id >= 40 AND quality >= 0.5 AND pred_lang = 'en'
+           AND q.doc_id IN (SELECT doc_id FROM k)
+           AND q.doc_id NOT IN (SELECT doc_id FROM contam)""",
+
+    "corpus_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, text,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es
+              FROM documents),
+              l AS (SELECT doc_id,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS lang
+              FROM h)
+         SELECT doc_id, lang FROM l
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
+               CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
+                         WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 100 END""",
+
+    // same per-source rank and (rank + 0.5) / weight virtual-time merge
+    "corpus_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+                           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS sr
+                    FROM documents),
+            k AS (SELECT doc_id,
+                         (sr + 0.5) / (1.0 + CAST(substr(source, 4, 8) AS INT) % 3) AS sk
+                  FROM r)
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS interleave_ord
+         FROM k""",
+
+    // same heaviest-first round-robin deal: rank % 8 over the total order
+    "corpus_shard_balanced" ->
+      """SELECT doc_id,
+                CAST((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8 AS INT)
+                  AS shard
+         FROM documents""",
+
+    "corpus_epoch_shuffle" ->
+      """SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY md5(concat_ws('#', '7',
+                                     CAST(doc_id AS VARCHAR))), doc_id) - 1
+                  AS epoch_ord
+         FROM documents""",
+
+    // the TopK-Aggregator cap is equivalent to the window form for finite
+    // scores (score desc, doc_id asc is a total order)
+    "corpus_source_cap" ->
+      """WITH b AS (SELECT doc_id, source,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents),
+           q AS (SELECT doc_id, source,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS score
+              FROM b),
+           r AS (SELECT source, doc_id, score,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY score DESC, doc_id ASC) AS rk
+                 FROM q WHERE score IS NOT NULL)
+         SELECT source, doc_id, score, rk FROM r WHERE rk <= 10""",
+
+    "corpus_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+              v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
+                    HAVING COUNT(*) >= 2)
+         SELECT term, cnt,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+                  AS token_id
+         FROM v""",
+
+    // tokenize = vocab-rank join + per-doc ordered id list; OOV -> 0
+    "corpus_tokenize" ->
+      """WITH tok0 AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+              v AS (SELECT term, COUNT(*) AS cnt FROM tok0 GROUP BY 1
+                    HAVING COUNT(*) >= 2),
+              vid AS (SELECT term,
+                             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+                               AS token_id
+                      FROM v),
+              s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              tok AS (SELECT doc_id,
+                             unnest(range(1, len(ws) + 1)) AS pos,
+                             unnest(ws) AS w
+                      FROM s),
+              j AS (SELECT t.doc_id, t.pos, COALESCE(vid.token_id, 0) AS tid
+                    FROM tok t LEFT JOIN vid ON t.w = vid.term)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                array_to_string(list(tid ORDER BY pos), ',') AS token_ids
+         FROM j GROUP BY doc_id""",
+
+    // double ops mirror the Spark side op-for-op: exact long sums, one
+    // cast each, one divide (share), then (1.0/n)/share for the weight
+    "corpus_mix_weights" ->
+      """WITH b AS (SELECT source, len(string_split(text, ' ')) AS toks FROM documents),
+              a AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS toks FROM b GROUP BY source)
+         SELECT source, toks,
+                CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS DOUBLE) AS share,
+                (1.0 / COUNT(*) OVER ()) /
+                  (CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS DOUBLE)) AS weight
+         FROM a""",
+
+    // same quality formula (bit-equal per text_quality's hash), same
+    // per-source ntile(2) cut
+    "corpus_quality_filter" ->
+      """WITH b AS (SELECT doc_id, source,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents),
+            q AS (SELECT doc_id, source,
+                least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality
+              FROM b)
+         SELECT doc_id, source, quality FROM q
+         QUALIFY ntile(2) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) = 1""",
+
+    "corpus_sample_hash" ->
+      """SELECT doc_id FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 1""",
+
+    // same min-label clusters via recursive CTE flood (the
+    // dedup_cluster_cc machinery, natural pairs only), same md5 split CASE
+    "corpus_split_safe" ->
+      """WITH RECURSIVE
+           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           t AS (SELECT doc_id,
+                        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1) ]) AS sh
+                 FROM s WHERE len(w) >= 3),
+           nat AS (SELECT a.doc_id AS da, b.doc_id AS db
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS a, db AS b FROM nat
+                     UNION ALL SELECT db, da FROM nat),
+           reach AS (SELECT a AS node, a AS lab FROM edges
+                     UNION
+                     SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node),
+           cc AS (SELECT node, min(lab) AS canon FROM reach GROUP BY node),
+           rep AS (SELECT d.doc_id, coalesce(cc.canon, d.doc_id) AS rep
+                   FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+           b AS (SELECT doc_id, rep,
+                        ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bk
+                 FROM rep)
+         SELECT doc_id, rep,
+                CASE WHEN bk < 90 THEN 'train'
+                     WHEN bk < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b""",
+
+    // A-ES weighted sample: identical md5 uniform, identical u^(1/w) key
+    // rounded to 6 dp before the ORDER BY ... LIMIT selection
+    "corpus_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+                round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+                            / 4294967296.0,
+                          1.0 / n_chars), 6) AS samp_key
+         FROM documents
+         ORDER BY samp_key DESC, doc_id ASC
+         LIMIT 60""",
+
+    "corpus_pack_budget" ->
+      """WITH d AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS INT) AS shard
+           FROM documents),
+           r AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_before
+           FROM d)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
+                tok_before % 512 AS bin_offset
+         FROM r""",
+
+    // the composed pipe's token counts are the same single-space split
+    // lengths, so the pack stage's oracle is the corpus_pack_budget SQL
+    "pipe_pretokenize" ->
+      """WITH d AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS INT) AS shard
+           FROM documents),
+           r AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_before
+           FROM d)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
+                tok_before % 512 AS bin_offset
+         FROM r""",
+
+    // identical 64/48 windowing replayed with unnest(range) + 1-based
+    // inclusive list slicing (both engines clamp the final window)
+    "corpus_chunk" -> chunkOracleSql,
+
+    // chunking + the text_quality scoring (IEEE-identical doubles) +
+    // row_number arg-max + embedding payload join
+    "pipe_rag_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              c AS (SELECT doc_id, toks,
+                           CASE WHEN len(toks) <= 64 THEN 1
+                                ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
+                           END AS nc
+                    FROM t),
+              x AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks FROM c),
+              ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                            array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+                     FROM x),
+              b AS (SELECT doc_id, chunk_id,
+                           length(chunk_text) AS n_chars,
+                           len(string_split(chunk_text, ' ')) AS n_words,
+                           len(regexp_extract_all(chunk_text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+                           len(regexp_extract_all(chunk_text, '[A-Za-z]')) AS n_alpha
+                    FROM ch),
+              q AS (SELECT doc_id, chunk_id,
+                           least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                           least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 5.0, 1.0) * 0.3 +
+                           CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars AS DOUBLE), 0) * 0.3 AS quality
+                    FROM b),
+              r AS (SELECT doc_id, chunk_id, quality,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY quality DESC, chunk_id) AS rk
+                    FROM q WHERE quality IS NOT NULL)
+         SELECT r.doc_id, r.chunk_id AS best_chunk, r.quality, e.label
+         FROM r JOIN embeddings e ON e.vec_id = r.doc_id
+         WHERE rk = 1""",
+
+    // same islands sessionization, same RANGE running-min qualification
+    "pipe_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            m AS (SELECT user_id, event_type, us,
+                         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 7200000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e),
+            s AS (SELECT user_id, event_type, us,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m),
+            f AS (SELECT user_id, sid, event_type, us,
+                         MIN(CASE WHEN event_type = 'view' THEN us END)
+                           OVER (PARTITION BY user_id, sid ORDER BY us
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+                  FROM s),
+            g AS (SELECT *, CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                                 THEN us END AS qc
+                  FROM f),
+            h AS (SELECT *, MIN(qc) OVER (PARTITION BY user_id, sid ORDER BY us
+                                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+                  FROM g),
+            i AS (SELECT *, CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                                 THEN us END AS qp
+                  FROM h),
+            p AS (SELECT user_id, sid,
+                         MAX(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+                         MAX(CASE WHEN qc IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+                         MAX(CASE WHEN qp IS NOT NULL THEN 1 ELSE 0 END) AS s3
+                  FROM i GROUP BY user_id, sid)
+         SELECT COUNT(*) AS n_sessions,
+                CAST(SUM(s1) AS BIGINT) AS reached_view,
+                CAST(SUM(s2) AS BIGINT) AS reached_click,
+                CAST(SUM(s3) AS BIGINT) AS reached_purchase
+         FROM p""",
+
+    // bit-exact: thresholds are floor(1e6 * sqrt(nmin/cnt)) and IEEE sqrt
+    // is correctly rounded in both engines (see Corpus.temperatureSample)
+    "corpus_temperature_sample" ->
+      """WITH d AS (SELECT doc_id,
+                      CASE WHEN CAST(substr(source, 4) AS INT) < 12 THEN 'big'
+                           WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'mid'
+                           ELSE 'small' END AS tier
+                    FROM documents),
+              c AS (SELECT tier, COUNT(*) AS cnt FROM d GROUP BY 1),
+              m AS (SELECT MIN(cnt) AS nmin FROM c),
+              t AS (SELECT tier,
+                      CAST(floor(1000000.0 * sqrt(CAST(nmin AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS thr
+                    FROM c, m)
+         SELECT d.doc_id, d.tier FROM d JOIN t USING (tier)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 < thr""",
+
+    // hashed unigram+bigram buckets, Laplace-smoothed target/raw
+    // log-ratio per bucket (integer-exact products, one divide, one ln),
+    // per-doc sum — op-for-op the Spark pipeline
+    "corpus_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, (source = 'src0') AS is_target,
+                           string_split(text, ' ') AS toks FROM documents),
+              uni AS (SELECT doc_id, is_target, unnest(toks) AS gram FROM t),
+              bi AS (SELECT doc_id, is_target,
+                       unnest([ toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) ]) AS gram
+                     FROM t WHERE len(toks) >= 2),
+              g AS (SELECT doc_id, is_target, gram,
+                      CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 1024 AS INT) AS b
+                    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+              bc AS (SELECT b, COUNT(*) AS cr,
+                       SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+                     FROM g GROUP BY b),
+              tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+              lr AS (SELECT b, ln((CAST(ct + 1 AS DOUBLE) * (tr + 1024)) /
+                                  (CAST(cr + 1 AS DOUBLE) * (tt + 1024))) AS lw
+                     FROM bc, tot)
+         SELECT g.doc_id AS doc_id, g.is_target AS is_target,
+                CAST(COUNT(*) AS BIGINT) AS n_grams, SUM(lw) AS log_w
+         FROM g JOIN lr ON g.b = lr.b
+         GROUP BY g.doc_id, g.is_target"""
+  )
+}

@@ -1,0 +1,392 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.dsl.Dsl._
+import graft.functions.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
+import graft.operators.{EventLog, Joins}
+import graft.sources.Tables
+
+/** Shared gate plumbing: table loads, exit-managed staging, deterministic
+  * multi-file feeds, money/decimal casts, ANN invariants, and the staged
+  * oracle-SQL fragments shared between a gate and its DuckDB twin. Moved
+  * verbatim out of SparkEntry (round-9 advice #8).
+  */
+private[graft] object GateSupport {
+
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Best-effort recursive delete of a gate's temp staging tree (used by
+    * the [[exitManagedTempDir]] shutdown hook — `File.deleteOnExit` cannot
+    * remove non-empty directories). */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { q => try { Files.deleteIfExists(q); () } catch { case _: Throwable => () } }
+      finally walk.close()
+    }
+  }
+
+  /** Temp staging dir registered for RECURSIVE deletion at JVM exit —
+    * `File.deleteOnExit` cannot remove non-empty dirs, and the sink
+    * roundtrip gates return a lazy reader over the staged files, so the
+    * tree must survive until the session dies. Without this, one bench
+    * round (1 warm-up + up to 3 timed passes per query) leaked ~16 staged
+    * parquet/PNG trees (ADVICE r8 #4). */
+  def exitManagedTempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+
+  /** Per-(gate, dir) staged-feed cache: s10/s12 stage a deterministic
+    * multi-file feed whose mtime order drives the micro-batch order. The
+    * content is a pure function of the input dir, so one JVM stages it
+    * ONCE and every later execution (bench warm-up + 3 timed passes)
+    * re-reads it — the per-pass restage was both the temp leak (ADVICE r8
+    * #4) and about half the gate's measured wall-clock. Dirs are
+    * exit-managed. */
+  val stageCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  def stagedFeed(key: String, prefix: String)(build: String => Unit): String =
+    stageCache.getOrElseUpdate(key, {
+      val st = exitManagedTempDir(prefix).toString
+      build(st)
+      st
+    })
+
+  /** coalesce(1)-write `df` to `stage/name.parquet` with a controlled
+    * mtime (file order == micro-batch order under maxFilesPerTrigger=1). */
+  def writeStaged(stage: String, df: DataFrame, name: String, mtime: Long): Unit = {
+    val tmpDir = s"$stage/_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmpDir"))
+    val dest = new java.io.File(s"$stage/$name.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+  }
+
+  /** PNG staging for `src_binaryfile_media`, built ONCE per JVM and reused
+    * by every execution of the gate (the content is a pure function of the
+    * id range — the per-execution restage was the leak). */
+  lazy val binaryFileStage: String = {
+    val stage = exitManagedTempDir("graft-binfile")
+    (0L until 100L).foreach { id =>
+      java.nio.file.Files.write(stage.resolve(s"img_$id.png"),
+        graft.functions.Multimodal.grayTestImage(id, "png"))
+    }
+    stage.toString
+  }
+
+  /** Bucketed-warehouse staging for `j_bucketed_join`: both join sides are
+    * written ONCE per (JVM, dir) as external BUCKETED tables (8 buckets on
+    * the join key, sorted within buckets) under an exit-managed dir. This
+    * is the 100 TB join posture in storage form — the shuffle is paid once
+    * at write time; every subsequent join on the bucket key reads
+    * co-located buckets with NO exchange on either side (plan-asserted in
+    * LayoutSpec). Table metadata lives in the shared in-memory catalog, so
+    * child sessions of the same JVM see the tables without re-staging. */
+  def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (oT, lT) = (s"orders_bkt$tag", s"lineitem_bkt$tag")
+    stageCache.getOrElseUpdate(s"bucketed#$dir", {
+      val wh = exitManagedTempDir("graft-bucketed").toString
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/$oT").saveAsTable(oT)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/$lT").saveAsTable(lT)
+      wh
+    })
+    (oT, lT)
+  }
+
+  /** Three-batch staged feed SHARED by the s12 (left) and s15 (full)
+    * stream-stream outer-join gates — identical content, staged once per
+    * (JVM, dir) under one cache key:
+    *   batch 0 = the real events feed (matches emit as found);
+    *   batch 1 = a sentinel click+purchase pair at max(ts)+2h → commits
+    *             the watermark to max(ts)+1h, past every feed bound;
+    *   batch 2 = a second sentinel pair at max(ts)+3h — its processing
+    *             runs eviction under the batch-1 watermark, flushing
+    *             every unmatched feed row as a NULL-side outer row.
+    * Sentinel spread ≤ 1.5h: even the trailing batch's watermark
+    * (max+3h − 1h = max+2h) stays below sentinel-1's join bound
+    * (max+2h30m), so no sentinel can ever flush as an unmatched row; the
+    * click and purchase sentinels carry DISJOINT user ids (-1 vs -2) so
+    * they advance their sides' watermarks without joining each other.
+    * Returns (stage path, feed schema). */
+  def outerJoinFeed(ss: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val ev = t(ss, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), Tables.tsFromNanos(col("ts")).as("event_ts"))
+    val stage = stagedFeed(s"s12#$dir", "graft-outer") { st =>
+      val maxTs = ev.agg(max(col("event_ts"))).head().getTimestamp(0)
+      def sentinels(tag: Long, plusHours: Int): DataFrame = {
+        import ss.implicits._
+        Seq(("click", -tag, -1L), ("purchase", -tag - 1L, -2L))
+          .toDF("event_type", "eid", "uid")
+          .select(col("eid").as("event_id"), col("uid").as("user_id"),
+            col("event_type"),
+            (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("event_ts"))
+      }
+      val now = System.currentTimeMillis()
+      writeStaged(st, ev, "a_feed", now - 180000)
+      writeStaged(st, sentinels(1L, 2), "b_s1", now - 120000)
+      writeStaged(st, sentinels(3L, 3), "c_s2", now - 60000)
+    }
+    (stage, ev.schema)
+  }
+
+  /** Planted-contamination seeding SHARED by `text_decontaminate` and
+    * `pipe_training_corpus` (their DuckDB oracles mirror it verbatim —
+    * keep all three sites in lockstep): the eval split is the fixed id
+    * range doc_id < 40, and a disjoint train slice (doc_id % 10 = 3) gets
+    * the same planted sentence so contamination hits exist at every scale
+    * factor. */
+  def seededDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") < 40 || col("doc_id") % 10 === 3,
+        concat(col("text"),
+          lit(" the quick brown fox jumps over the lazy dog tonight")))
+        .otherwise(col("text")).as("text"))
+
+  /** Money columns in the testdata are exact 2-decimal values; computing in
+    * DECIMAL makes Spark and the DuckDB oracle bit-identical (double
+    * accumulation order / round-half ties differ between engines). Final
+    * results are cast back to double for a stable schema. */
+  def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Differential invariants of an approximate-NN probe result (round-7
+    * verdict #2): per query, the row count, the number of rows whose
+    * `rank` matches an independently-recomputed (score desc, id asc)
+    * row_number, and the number of scores EXACTLY equal to the cosine
+    * recomputed from the raw embeddings table. For a correct probe the
+    * scores are bit-equal (identical expression shape on identical
+    * inputs), so the oracle is a constant row per query — any drift in
+    * candidate generation, scoring, or TopK ordering breaks the hash. */
+  def annInvariants(probe: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    probe
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("exact", try_divide(Similarity.dot(col("qv"), col("cv")),
+        Similarity.l2norm(col("qv")) * Similarity.l2norm(col("cv"))))
+      .withColumn("expected_rank", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_results"),
+        sum(when(col("rank") === col("expected_rank"), 1).otherwise(0))
+          .cast("int").as("n_rank_ok"),
+        sum(when(col("score") === col("exact"), 1).otherwise(0))
+          .cast("int").as("n_score_exact"),
+        max(abs(col("score") - col("exact"))).as("max_score_err"))
+  }
+
+
+
+  /** Transitive closure over the planted 3-hop chain, ONE SQL text for
+    * both engines (Spark 4 and DuckDB both run `WITH RECURSIVE`; only
+    * the table name differs). Acyclic per-id path ⇒ UNION ALL recursion
+    * terminates with each reachable pair exactly once. */
+  def recursiveClosureSql(table: String): String =
+    s"""WITH RECURSIVE e AS (
+           SELECT doc_id AS src, doc_id + 100000 AS dst FROM $table WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 100000, doc_id + 200000 FROM $table WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 200000, doc_id + 300000 FROM $table WHERE doc_id < 50),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION ALL
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+       SELECT src, dst FROM reach"""
+
+  /** Chunk-windowing oracle (64-token windows, stride 48) — shared by
+    * `corpus_chunk` and `s11_stream_chunk` (the streaming twin must
+    * converge to exactly the batch answer, so one SQL serves both; a
+    * geometry change edits ONE place). */
+  val chunkOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                         CASE WHEN len(toks) <= 64 THEN 1
+                              ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT)
+                         END AS nc
+                  FROM t),
+            x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+       SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+              CAST(i * 48 AS BIGINT) AS start_token,
+              CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
+              array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+       FROM x"""
+
+  /** DuckDB replay of [[c4StagedDocs]] + the C4 rules — ONE string for
+    * `text_c4_clean` and `s13_stream_c4_clean` (the streaming twin must
+    * converge to exactly the batch answer; a rule change edits one place,
+    * the `corpus_chunk` precedent). */
+  val c4CleanOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                         CAST(ceil(len(toks) / 6.0) AS INT) AS nl FROM t),
+            x AS (SELECT doc_id, toks, unnest(range(0, nl)) AS i FROM c),
+            ln AS (SELECT doc_id, i,
+                     array_to_string(toks[i*6+1 : i*6+6], ' ') ||
+                     CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT % 10 < 7
+                          THEN '.' ELSE '' END AS line
+                   FROM x),
+            stage AS (SELECT doc_id,
+                        string_agg(line, chr(10) ORDER BY i) ||
+                        CASE WHEN ('0x' || substr(md5('lorem#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 17 = 0
+                             THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END ||
+                        CASE WHEN ('0x' || substr(md5('brace#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 13 = 0
+                             THEN chr(10) || 'window.config = { template: true };' ELSE '' END AS text
+                      FROM ln GROUP BY doc_id),
+            k AS (SELECT doc_id, text,
+                    list_filter(string_split(text, chr(10)),
+                      l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 5) AS kept
+                  FROM stage)
+       SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+              CAST(len(kept) AS BIGINT) AS n_lines_kept,
+              CAST(len(string_split(text, chr(10))) - len(kept) AS BIGINT) AS n_lines_dropped
+       FROM k
+       WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
+         AND len(kept) >= 3"""
+
+  /** Deterministic line-structure staging for the C4-clean gates (shared
+    * by `text_c4_clean` and its streaming twin `s13_stream_c4_clean`): the
+    * word-soup corpus has no line structure, so tokens are cut into 6-word
+    * lines, ~70% get a terminal '.' by content hash, and hash-picked docs
+    * get a lorem-ipsum line (1/17) or a curly-brace line (1/13) appended —
+    * all stateless per-row expressions (streaming-safe), mirrored
+    * op-for-op in [[c4CleanOracleSql]]. */
+  def c4StagedDocs(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / 6.0).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      concat(array_join(slice(toks, i * 6 + 1, lit(6)), " "),
+        when(Corpus.hashBucket(
+          concat_ws("#", col("doc_id"), i.cast("string")), 10) < 7,
+          lit(".")).otherwise(lit(""))))
+    docs.select(col("doc_id"),
+      concat(array_join(lines, "\n"),
+        when(Corpus.hashBucket(concat(lit("lorem#"),
+          col("doc_id").cast("string")), 17) === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("")),
+        when(Corpus.hashBucket(concat(lit("brace#"),
+          col("doc_id").cast("string")), 13) === 0,
+          lit("\nwindow.config = { template: true };"))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** DuckDB replay of the planted-contamination pipeline — ONE string for
+    * `text_decontaminate` and `text_decontaminate_bloom` (the Bloom prune
+    * is result-invariant, so both gates must hash to the same answer). */
+  val decontaminateOracleSql =
+    """WITH seeded AS (
+         SELECT doc_id,
+                CASE WHEN doc_id < 40 OR doc_id % 10 = 3
+                     THEN text || ' the quick brown fox jumps over the lazy dog tonight'
+                     ELSE text END AS text
+         FROM documents),
+         s AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded),
+         t AS (SELECT doc_id,
+                      list_distinct([ w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                                      w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+                                      for i in range(1, len(w)-6) ]) AS sh
+               FROM s WHERE len(w) >= 8),
+         ev AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id < 40),
+         tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE doc_id >= 40)
+       SELECT tr.doc_id AS doc_id, COUNT(DISTINCT tr.g) AS n_hits
+       FROM tr JOIN ev ON tr.g = ev.g
+       GROUP BY tr.doc_id"""
+
+  /** Deterministic line staging WITH PLANTED REPETITION for
+    * `text_dup_lines`: 6-word lines (no punctuation needed here), then
+    * the document's first line is re-appended k = md5-hash%4 ∈ {0,1,2,3}
+    * times, so duplicate-line counts span 0–3 and both directions of the
+    * repetition signal are exercised. Stateless per-row expressions,
+    * mirrored op-for-op by the oracle's `repeat(chr(10) || line0, k)`. */
+  def repStagedDocs(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / 6.0).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+    val line0 = array_join(slice(toks, 1, 6), " ")
+    val k = Corpus.hashBucket(concat(lit("dup#"),
+      col("doc_id").cast("string")), 4)
+    docs.select(col("doc_id"),
+      concat(array_join(lines, "\n"),
+        when(k >= 1, concat(lit("\n"), line0)).otherwise(lit("")),
+        when(k >= 2, concat(lit("\n"), line0)).otherwise(lit("")),
+        when(k >= 3, concat(lit("\n"), line0)).otherwise(lit("")))
+        .as("text"))
+  }
+
+  /** Brute-force cosine top-k oracle — shared by `sim_brute_topk` and
+    * `sim_ivf_exhaustive` (IVF probing every cell IS exhaustive search). */
+  val bruteTopkSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN list_dot_product(q.v, q.v) = 0
+                            OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                          ELSE list_dot_product(q.v, c.v) /
+                               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     END AS s
+              FROM q JOIN e c ON q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+              FROM scored WHERE s IS NOT NULL)
+       SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5"""
+
+  /** Full SQL replication of `Similarity.lshTopK(k=5, nPlanes=6)`: the
+    * seeded hyperplanes are deterministic, so their exact values are
+    * interpolated as DOUBLE[] literals (java.lang.Double.toString
+    * round-trips every double) and the sign bucket is recomputed in
+    * DuckDB — bucket bits agree because both engines produce bit-identical
+    * left-to-right double dot products (proven by sim_brute_topk's hash). */
+  val lshTopkSql: String = {
+    val planes = Similarity.hyperplanes(nPlanes = 6, dim = 64, seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+            q AS (SELECT * FROM b WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN list_dot_product(q.v, q.v) = 0
+                            OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                          ELSE list_dot_product(q.v, c.v) /
+                               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     END AS s
+              FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+              FROM scored WHERE s IS NOT NULL)
+       SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5"""
+  }
+
+}

@@ -1,0 +1,426 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.dsl.Dsl._
+import graft.functions.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
+import graft.operators.{EventLog, Joins}
+import graft.sources.Tables
+import graft.gates.GateSupport._
+
+/** Similarity / ANN family (brute, MIPS, LSH, IVF, PQ, k-means).
+  *
+  * Split out of SparkEntry (round-9 advice #8) purely for file size; the
+  * driver surface is unchanged — SparkEntry.queries/oracleSql concatenate
+  * every family. Scaladoc on each entry cites the reference behavior it
+  * re-expresses.
+  */
+object SimGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-label embedding centroids — the deterministic sorted-fold AUDIT
+    // form (bit-stable cross-engine, hence hashable); the production
+    // sum/count scale path is Similarity.labelCentroids, spec-proven to
+    // agree within 1e-9 relative error.
+    "sim_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroidsAudit(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+    }),
+
+
+    // Lloyd k-means as a first-class operator (IVF cell training /
+    // SemDeDup cluster pruning primitive): deterministic seeds (k
+    // smallest ids), 2 iterations, audit-form centroids — the oracle
+    // unrolls the same two iterations in SQL and must reproduce every
+    // assignment. Scale path is Similarity.kmeansLloyd (sum/count
+    // centroids), spec-proven to assign identically.
+    "sim_kmeans" -> ((s, dir) => {
+      Similarity.kmeansLloydAudit(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+    }),
+
+
+    // Symmetric int8 embedding quantization (4× storage compression for
+    // corpus-scale vector serving): map-only, no shuffle; rounding is the
+    // engine-stable floor(y + 0.5) so the oracle reproduces every element.
+    // The codes array is emitted comma-joined (NULL elements as "null"):
+    // the driver's pandas-based compare cannot sort numpy array cells
+    // (r4/r5 `sim_quantize_int8` err), and the serialization is exact for
+    // integers so every element is still oracle-checked.
+    "sim_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"),
+            x => coalesce(x.cast("string"), lit("null"))), ",").as("q"))
+    }),
+
+
+    // Brute-force cosine top-k for a fixed query set (broadcast queries,
+    // one corpus pass).
+    "sim_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+    }),
+
+
+    // MIPS (max inner product) top-k — the recommender retrieval mode:
+    // raw dot, magnitude kept. Same bit-exact dot convention as the
+    // cosine gates, so the oracle ranks list_dot_product directly.
+    "sim_mips_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mipsTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+
+    // Binary (1-bit sign) quantization + Hamming top-k: the XOR+popcount
+    // memory tier of a production retrieval stack — 64 dims become two
+    // 32-bit-packed longs, distance is integer-exact in both engines, so
+    // the oracle replicates packing and ranking bit-for-bit.
+    "sim_binary_hamming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryHammingTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
+
+    // LSH-bucketed approximate top-k (recall/plan tradeoff: equi-join on
+    // sign buckets instead of a full scan per query). FULLY oracled
+    // (round-7 verdict #2): the seeded hyperplanes are deterministic
+    // literals, so the DuckDB oracle interpolates the exact plane values
+    // and replicates bucket = Σ 2^j·[dot(v,plane_j)>0] — the sign of a
+    // bit-identical double dot product is itself bit-identical (the brute
+    // gate already proves dot bit-equality between the engines).
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nPlanes = 6)
+    }),
+
+
+    // ANN QUALITY measurement — recall@5 of the LSH path against brute
+    // force, per query: the dial every approximate index is tuned by
+    // (recall vs candidate volume). Both rankings are themselves
+    // oracle-gated, so the oracle here is their SQL composition — the
+    // recall arithmetic is one exact count / k division. On the
+    // UNIFORM-RANDOM test embeddings, 6 planes = 64 buckets yields
+    // near-zero recall — which is precisely what this gate exists to
+    // surface: the measurement catches a mis-tuned index before
+    // production does (real corpora cluster; random vectors are LSH's
+    // adversarial case).
+    "sim_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5, nPlanes = 6)
+        .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+      brute.join(lsh,
+          col("query_id") === col("lq") && col("neighbor_id") === col("ln"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("ln")).cast("double") / 5.0).as("recall"))
+    }),
+
+
+    // IVF ANN (the KMeans-quantizer scale path). Build/probe are split:
+    // the quantizer is built ONCE per (dir, nlist) and registered — query
+    // executions probe the persisted inverted file, they never retrain.
+    // Differential gate (round-7 verdict #2): the trained centroids are
+    // not SQL-expressible, but per-query INVARIANTS of a correct probe
+    // are — the result must carry exactly k rows, ranks must be the
+    // (score desc, neighbor_id asc) row sequence (independently recomputed
+    // with a window, checking the TopK aggregator's ordering), and every
+    // returned score must EXACTLY equal the cosine recomputed from the raw
+    // embeddings table (same expression shape ⇒ bit-equal when correct).
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probe = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3,
+          indexKey = Some(s"$dir#nlist=8"))
+      annInvariants(probe, emb)
+    }),
+
+
+    // IVF BATCH-probe plan (round-8 verdict #7): maxBroadcastQueries=0
+    // forces the path a million-query batch join takes — the probe set is
+    // NEVER broadcast; candidate matching is a shuffled cell equi-join
+    // (and at nprobe=1 probe ranking is a map-only literal-centroid
+    // argmax). Scoring/ranking expressions are shared with the probe
+    // path, so the same bit-exact invariants gate it.
+    "sim_ivf_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.ivfBuildOrGet(s"$dir#nlist=8", emb,
+        "vec_id", "embedding", nlist = 8)
+      val probe = Similarity.ivfProbe(index, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 3, maxBroadcastQueries = 0)
+      annInvariants(probe, emb)
+    }),
+
+
+    // IVF probed EXHAUSTIVELY (nprobe = nlist): every cell is a candidate
+    // cell, so the probe must EQUAL brute force row-for-row — assignment,
+    // inverted-file layout, candidate join, scoring and ranking are all on
+    // the hook. Oracle = the same brute-force SQL sim_brute_topk passes.
+    "sim_ivf_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
+          indexKey = Some(s"$dir#nlist=8"))
+    }),
+
+
+    // Product-quantization ANN (FAISS-style PQ8x16 + ADC): the corpus is
+    // encoded once as 8 subspace code ids (~32× smaller than the raw
+    // floats — the memory form a 100 TB index actually ships), queries
+    // score codes via per-query lookup tables. Differential gate: trained
+    // codebooks are not SQL-expressible, but a correct ADC probe must emit
+    // exactly k distinct ranked rows per query AND its LUT-summed score
+    // must match an independent reconstruction — dot(q̂, decode(codes)),
+    // the codes fetched back from the registered index — within float
+    // re-association tolerance (the two formulations sum the same terms
+    // in different order). SimilaritySpec keeps planted-twin recall.
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val probe = Similarity.pqTopK(emb, queries,
+          "vec_id", "embedding", k = 5, m = 8, ksub = 16,
+          indexKey = Some(s"$dir#pq8x16"))
+      val index = Similarity.pqBuildOrGet(s"$dir#pq8x16", emb, "vec_id", "embedding")
+      // decode(codes): concat of the selected per-subspace centroids —
+      // reconstructed corpus vector in the quantized space
+      val decoded = index.encoded.select(col("neighbor_id"),
+        flatten(zip_with(col("codes"),
+          typedLit((0 until index.m).map(j => index.codebooks(j).map(_.toSeq).toSeq)),
+          (c, book) => element_at(book, c + lit(1)))).as("rv"))
+      val qn = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x / Similarity.l2norm(col("embedding"))).as("qvn"))
+      val checked = probe
+        .join(decoded, Seq("neighbor_id"))
+        .join(broadcast(qn), Seq("query_id"))
+        .withColumn("recon", Similarity.dot(col("qvn"), col("rv")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      checked
+        .withColumn("expected_rank", row_number().over(w))
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_results"),
+          countDistinct(col("neighbor_id")).cast("int").as("n_distinct"),
+          sum(when(col("rank") === col("expected_rank"), 1).otherwise(0))
+            .cast("int").as("n_rank_ok"),
+          (max(abs(col("score") - col("recon"))) < 1e-9).as("scores_match_recon"))
+    }),
+
+
+    // IVF+PQ composed probe (FAISS IVFx,PQy — the production shape of a
+    // corpus-scale ANN index): IVF cuts candidates to the query's nprobe
+    // cells, PQ ADC scores ONLY those candidates from their m-byte codes.
+    // Same invariant gate as sim_pq_topk: exactly k distinct ranked rows
+    // per query, ranks = the recomputed (score desc, id asc) sequence,
+    // ADC score equals the decode-and-dot reconstruction within
+    // re-association tolerance.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val ivf = Similarity.ivfBuildOrGet(s"$dir#nlist=8", emb,
+        "vec_id", "embedding", nlist = 8)
+      val pq = Similarity.pqBuildOrGet(s"$dir#pq8x16", emb, "vec_id", "embedding")
+      val probe = Similarity.ivfPqTopK(ivf, pq, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      val decoded = pq.encoded.select(col("neighbor_id"),
+        flatten(zip_with(col("codes"),
+          typedLit((0 until pq.m).map(j => pq.codebooks(j).map(_.toSeq).toSeq)),
+          (c, book) => element_at(book, c + lit(1)))).as("rv"))
+      val qn = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x / Similarity.l2norm(col("embedding"))).as("qvn"))
+      val checked = probe
+        .join(decoded, Seq("neighbor_id"))
+        .join(broadcast(qn), Seq("query_id"))
+        .withColumn("recon", Similarity.dot(col("qvn"), col("rv")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      checked
+        .withColumn("expected_rank", row_number().over(w))
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_results"),
+          countDistinct(col("neighbor_id")).cast("int").as("n_distinct"),
+          sum(when(col("rank") === col("expected_rank"), 1).otherwise(0))
+            .cast("int").as("n_rank_ok"),
+          (max(abs(col("score") - col("recon"))) < 1e-9).as("scores_match_recon"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // zipped UNNESTs give (0-based pos, value) pairs; list(... ORDER BY
+    // vec_id) + list_reduce over a PREPENDED 0.0 seed is the same
+    // zero-seeded sorted left fold the Spark side runs, so the float
+    // means are bit-identical (an unseeded list_reduce starts from the
+    // first element and would keep -0.0 on an all-negative-zero group
+    // where Spark's 0.0 seed yields +0.0)
+    // full two-iteration Lloyd replay: same seeds (k smallest ids), same
+    // seeded-fold distances and centroid means, same (dist, cl) tie-break
+    "sim_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT CAST(rn - 1 AS INT) AS cl, v AS cent
+                   FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+                   WHERE rn <= 8),
+            d1 AS (SELECT e.vec_id, c.cl,
+                          list_reduce(list_prepend(0.0,
+                            [ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                              for i in range(1, len(e.v) + 1) ]),
+                            (a, b) -> a + b) AS dist
+                   FROM e CROSS JOIN c0 c),
+            a1 AS (SELECT vec_id, cl FROM d1
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+            x1 AS (SELECT a.cl, e.vec_id, UNNEST(range(0, len(e.v))) AS pos, UNNEST(e.v) AS val
+                   FROM a1 a JOIN e USING (vec_id)),
+            g1 AS (SELECT cl, pos, list(val ORDER BY vec_id) AS vs FROM x1 GROUP BY cl, pos),
+            p1 AS (SELECT cl, pos,
+                          list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / len(vs) AS cv
+                   FROM g1),
+            c1 AS (SELECT cl, list(cv ORDER BY pos) AS cent FROM p1 GROUP BY cl),
+            d2 AS (SELECT e.vec_id, c.cl,
+                          list_reduce(list_prepend(0.0,
+                            [ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                              for i in range(1, len(e.v) + 1) ]),
+                            (a, b) -> a + b) AS dist
+                   FROM e CROSS JOIN c1 c),
+            a2 AS (SELECT vec_id, cl FROM d2
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+            x2 AS (SELECT a.cl, e.vec_id, UNNEST(range(0, len(e.v))) AS pos, UNNEST(e.v) AS val
+                   FROM a2 a JOIN e USING (vec_id)),
+            g2 AS (SELECT cl, pos, list(val ORDER BY vec_id) AS vs FROM x2 GROUP BY cl, pos),
+            p2 AS (SELECT cl, pos,
+                          list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / len(vs) AS cv
+                   FROM g2),
+            c2 AS (SELECT cl, list(cv ORDER BY pos) AS cent FROM p2 GROUP BY cl),
+            d3 AS (SELECT e.vec_id, c.cl,
+                          list_reduce(list_prepend(0.0,
+                            [ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                              for i in range(1, len(e.v) + 1) ]),
+                            (a, b) -> a + b) AS dist
+                   FROM e CROSS JOIN c2 c)
+         SELECT vec_id, cl AS cluster FROM d3
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1""",
+
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              x AS (SELECT label, vec_id,
+                           UNNEST(range(0, len(v))) AS pos,
+                           UNNEST(v) AS val
+                    FROM e),
+              g AS (SELECT label, pos, list(val ORDER BY vec_id) AS vs
+                    FROM x GROUP BY label, pos)
+         SELECT label, pos,
+                list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / len(vs) AS centroid
+         FROM g""",
+
+    // zero vectors: scale = 0 and every element NULL (the engine's
+    // try_divide convention) — encoded here instead of relying on the
+    // corpus containing no zero vectors (r4 advice #4)
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              s AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS scale
+                    FROM e)
+         SELECT vec_id, scale,
+                array_to_string(list_transform(v, x ->
+                  coalesce(CAST(CASE WHEN scale = 0 THEN NULL
+                                     ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)
+                                END AS VARCHAR), 'null')), ',') AS q
+         FROM s""",
+
+    // zero-norm vectors score NULL (engine drops them before ranking) —
+    // same explicit convention as the cosine-pair oracles (r4 advice #4)
+    "sim_brute_topk" -> bruteTopkSql,
+
+    // raw dot ranking (MIPS): no norms, no NULL path
+    "sim_mips_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.v, c.v) AS s
+              FROM q JOIN e c ON q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, neighbor_id ASC) AS rank
+              FROM scored)
+       SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5""",
+
+    // identical 32-bit word packing (bit i of word w = sign of element
+    // w*32+i), integer XOR+popcount distance, same (hamming asc, id asc)
+    // rank order
+    "sim_binary_hamming" ->
+      """WITH s AS (SELECT vec_id,
+                [ list_sum([ CASE WHEN embedding[w*32+i+1] > 0
+                             THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                             for i in range(0,32) ])
+                  for w in range(0,2) ] AS sig
+              FROM embeddings),
+            q AS (SELECT * FROM s WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_sum([ bit_count(xor(q.sig[j+1], c.sig[j+1]))
+                                     for j in range(0,2) ]) AS INT) AS hamming
+              FROM q JOIN s c ON q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, hamming,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY hamming ASC, neighbor_id ASC) AS rank
+              FROM scored)
+       SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5""",
+
+    // exhaustive IVF (nprobe = nlist) must equal brute force exactly
+    "sim_ivf_exhaustive" -> bruteTopkSql,
+
+    // composition of the two already-oracled rankings + one exact count/k
+    "sim_lsh_recall" ->
+      s"""WITH b AS ($bruteTopkSql),
+             l AS ($lshTopkSql)
+          SELECT b.query_id,
+                 CAST(count(l.neighbor_id) AS DOUBLE) / 5.0 AS recall
+          FROM b LEFT JOIN l
+            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+          GROUP BY b.query_id""",
+
+    // full LSH replication: seeded hyperplanes interpolated as literals
+    "sim_lsh_topk" -> lshTopkSql,
+
+    // differential invariants (see the queries entries): constants per query
+    "sim_ivf_topk" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
+                5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
+         FROM embeddings WHERE vec_id < 10""",
+
+    // batch path: same invariants — identical scoring expressions, only
+    // the physical probe plan differs
+    "sim_ivf_batch" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
+                5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
+         FROM embeddings WHERE vec_id < 10""",
+
+    "sim_pq_topk" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_distinct,
+                5 AS n_rank_ok, true AS scores_match_recon
+         FROM embeddings WHERE vec_id < 10""",
+
+    // composed IVF+PQ probe: identical invariant constants
+    "sim_ivfpq_topk" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_distinct,
+                5 AS n_rank_ok, true AS scores_match_recon
+         FROM embeddings WHERE vec_id < 10"""
+  )
+}
