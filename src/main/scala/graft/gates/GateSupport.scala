@@ -70,7 +70,11 @@ private[graft] object GateSupport {
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file under $tmpDir"))
     val dest = new java.io.File(s"$stage/$name.parquet")
-    java.nio.file.Files.move(part.toPath, dest.toPath)
+    // REPLACE_EXISTING: gates that stage incrementally (t_stream_restart)
+    // re-write a slice on warm re-executions; content is deterministic so
+    // replacement is value-identical
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
   }
 

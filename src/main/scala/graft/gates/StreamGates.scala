@@ -503,6 +503,54 @@ object StreamGates {
     }),
 
 
+    // §2.8 T6 — SUPERVISION/RESTART, data-checked (was spec-only in
+    // StreamingSpec): the reference's supervised stream restart
+    // (storage.scala Akka supervision; log resume from stored offset,
+    // log/package.scala:56-62) maps onto checkpointed query incarnations.
+    // Incarnation 1 drains what is staged so far (1 slice) to a parquet
+    // file sink and STOPS; the remaining 2 slices land; incarnation 2
+    // starts from the SAME checkpoint and must process ONLY the new
+    // files. The sink's metadata log commits each batch once, so a
+    // restart bug in either direction — re-emitting slice 0 (loss of
+    // offset) or skipping a new slice (over-trusting it) — breaks the
+    // row count or hash against the plain batch-filter oracle.
+    // On warm re-executions in one JVM the stage is already complete and
+    // incarnation 1 drains everything — the final output is identical
+    // either way (that invariance IS exactly-once).
+    "t_stream_restart" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = t(ss, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val stage = stagedFeed(s"restart#$dir", "graft-restart-src") { st =>
+        writeStaged(st, ev.where(pmod(col("event_id"), lit(3)) === 0),
+          "a_slice0", System.currentTimeMillis() - 180000L)
+      }
+      val ckpt = exitManagedTempDir("graft-restart-ckpt").toString
+      val out = exitManagedTempDir("graft-restart-out").toString
+      def incarnation(): Unit = {
+        val src = ss.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = src.where(col("event_type").isin("click", "purchase"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      incarnation() // drains whatever is staged, then terminates
+      (1 to 2).foreach { i => // the stream "keeps arriving" while down
+        // skip when already staged (warm re-executions in one JVM): the
+        // content is a pure function of the input, and re-writing would
+        // only re-time the staging, not the operator
+        if (!new java.io.File(s"$stage/${('a' + i).toChar}_slice$i.parquet").exists())
+          writeStaged(stage, ev.where(pmod(col("event_id"), lit(3)) === i),
+            s"${('a' + i).toChar}_slice$i", System.currentTimeMillis() - (3 - i) * 60000L)
+      }
+      incarnation() // resumes from the checkpoint: new files only
+      ss.read.parquet(out).select("event_id", "user_id", "event_type")
+    }),
+
     // §2.8 T2 — BACKPRESSURE, data-checked (r9 advice #6: was spec-only).
     // The reference's demand-driven paging (storage.scala:149,172-180;
     // CassandraAsyncStage fetchMore) maps onto Structured Streaming
@@ -682,6 +730,12 @@ object StreamGates {
     "t_stream_canonical" ->
       """SELECT user_id, event_type, MIN(event_id) AS min_event_id
          FROM events GROUP BY user_id, event_type""",
+
+    // restart: two checkpointed incarnations over a growing feed must
+    // emit each row exactly once — equal to the batch filter
+    "t_stream_restart" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_type IN ('click', 'purchase')""",
 
     // backpressure: one micro-batch per staged file (mtime order), so the
     // observed per-batch counts are exactly the per-slice cardinalities
