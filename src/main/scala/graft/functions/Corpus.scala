@@ -452,4 +452,44 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("n_grams"),
         sum(col("lw")).as("log_w"))
   }
+
+  /** Deterministic negative sampling for contrastive / retrieval training:
+    * for each query document, the k pseudo-random corpus negatives under a
+    * content hash of the (query, candidate) PAIR, excluding candidates
+    * from the query's own source (the standard in-batch-negatives leakage
+    * guard — a "negative" from the same crawl domain is too often a soft
+    * positive). Reproducible on any cluster layout: the sample is a pure
+    * function of the ids, like [[sampleHashMod]].
+    *
+    * Scale shape: the query set is broadcast (bounded, like the ANN query
+    * side in [[Similarity]]); the corpus streams through ONE projection +
+    * filter and lands in a k-bounded [[TopK]] partial aggregate — map-side
+    * combine ships O(k) per partition per query, never a per-query window
+    * or corpus shuffle. Hash ranks are 32-bit (exact in double).
+    */
+  def negativeSample(
+      corpus: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val tk = udaf(TopK.topK(k))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(sourceCol).as("q_source")))
+    val pairHash = conv(substring(md5(
+        concat(col("query_id").cast("string"), lit(":"),
+          col("neg_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    corpus.select(col(idCol).as("neg_id"), col(sourceCol).as("source"))
+      .join(q, col("source") =!= col("q_source") &&
+        col("neg_id") =!= col("query_id"))
+      // TopK orders score DESC: negate so the SMALLEST hashes win
+      .withColumn("score", -pairHash.cast("double"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("score"), col("neg_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neg_id"),
+        (-col("col.score")).cast("long").as("pair_hash"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -108,6 +108,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — the retrieval-training step after
+    * [[Corpus.negativeSample]]'s random negatives: for each query, the k
+    * MOST SIMILAR corpus vectors with a DIFFERENT label (class/source) —
+    * near-misses that teach a contrastive model the decision boundary,
+    * where random negatives quickly saturate. Same plan family as
+    * [[bruteForceTopK]] (broadcast query side, one corpus pass, k-bounded
+    * TopK partial aggregate); the label predicate rides the join, so no
+    * extra pass or shuffle. Swap the candidate source for an IVF/LSH
+    * probe at cluster scale — the ranking contract is unchanged. */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"), col(labelCol).as("c_label"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("c_label"))
+      .withColumn("score", cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic random hyperplanes (seeded) as a nested literal.
     * Public: the driver-facing oracle replicates the sign-bucket
     * computation in SQL by interpolating these exact plane values as

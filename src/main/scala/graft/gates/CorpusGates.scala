@@ -234,6 +234,19 @@ object CorpusGates {
     }),
 
 
+    // Deterministic negative sampling (contrastive/retrieval training):
+    // k=5 hash-pseudo-random negatives per query doc, same-source
+    // candidates excluded (soft-positive leakage guard). Broadcast query
+    // side + k-bounded TopK partial aggregate — the corpus streams once,
+    // no per-query window. The oracle replays the identical md5 pair
+    // rank.
+    "corpus_negative_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.negativeSample(docs, "doc_id", "source",
+        docs.where(col("doc_id") < 20), k = 5)
+    }),
+
+
     // Leakage-safe split assignment: near-dup clusters (CC over exact
     // Jaccard pairs at t>=0.8) get ONE split decided by the md5 bucket of
     // the cluster representative — near-duplicates can never straddle
@@ -577,6 +590,23 @@ object CorpusGates {
     "corpus_sample_hash" ->
       """SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 1""",
+
+    // identical md5 pair rank: smallest k hashes per query, same-source
+    // candidates excluded, ties by neg_id
+    "corpus_negative_sample" ->
+      """WITH q AS (SELECT doc_id AS query_id, source AS q_source
+                    FROM documents WHERE doc_id < 20),
+              cand AS (SELECT q.query_id, d.doc_id AS neg_id,
+                              CAST(('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || ':' ||
+                                CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS pair_hash
+                       FROM documents d JOIN q
+                         ON d.source <> q.q_source AND d.doc_id <> q.query_id),
+              r AS (SELECT query_id, neg_id, pair_hash,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY pair_hash, neg_id) AS rank
+                    FROM cand)
+         SELECT query_id, neg_id, pair_hash, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5""",
 
     // same min-label clusters via recursive CTE flood (the
     // dedup_cluster_cc machinery, natural pairs only), same md5 split CASE

@@ -67,6 +67,18 @@ object SimGates {
     }),
 
 
+    // Hard-negative mining: top-k cosine among DIFFERENT-label vectors —
+    // the near-miss candidates contrastive training pairs against after
+    // random negatives saturate (corpus_negative_sample's complement).
+    // Same broadcast-queries + k-bounded-TopK plan as sim_brute_topk;
+    // the label exclusion rides the join condition.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
+
     // MIPS (max inner product) top-k — the recommender retrieval mode:
     // raw dot, magnitude kept. Same bit-exact dot convention as the
     // cosine gates, so the oracle ranks list_dot_product directly.
@@ -342,6 +354,25 @@ object SimGates {
     // zero-norm vectors score NULL (engine drops them before ranking) —
     // same explicit convention as the cosine-pair oracles (r4 advice #4)
     "sim_brute_topk" -> bruteTopkSql,
+
+    // brute ranking restricted to different-label candidates
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT * FROM e WHERE vec_id < 10),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CASE WHEN list_dot_product(q.v, q.v) = 0
+                              OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                            ELSE list_dot_product(q.v, c.v) /
+                                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                       END AS s
+                FROM q JOIN e c ON q.vec_id <> c.vec_id AND q.label <> c.label),
+              ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+                FROM scored WHERE s IS NOT NULL)
+         SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
 
     // raw dot ranking (MIPS): no norms, no NULL path
     "sim_mips_topk" ->
