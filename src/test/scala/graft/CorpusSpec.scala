@@ -575,4 +575,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L)._3 > got(3L)._3)            // target-like scores higher
     assert(got(1L)._3 === got(2L)._3)          // identical text ⇒ identical weight
   }
+
+  test("negativeSample: k per query, no same-source, no self, pure hash rank") {
+    import spark.implicits._
+    val docs = table("documents").select(col("doc_id"), col("source"))
+    val queries = docs.where(col("doc_id") < 20)
+    val res = Corpus.negativeSample(docs, "doc_id", "source", queries, k = 5)
+      .cache()
+    try {
+      assert(res.count() === 20L * 5)
+      // rank is dense 1..k per query
+      assert(res.groupBy("query_id").agg(count(lit(1)).as("n"),
+        max("rank").as("mx"), min("rank").as("mn")).collect()
+        .forall(r => r.getLong(1) === 5L && r.getInt(2) === 5 && r.getInt(3) === 1))
+      // never a self-pair, never a same-source negative
+      assert(res.where(col("query_id") === col("neg_id")).count() === 0)
+      val srcs = docs.select(col("doc_id").as("neg_id"), col("source").as("n_src"))
+      val qsrc = docs.select(col("doc_id").as("query_id"), col("source").as("q_src"))
+      assert(res.join(srcs, "neg_id").join(qsrc, "query_id")
+        .where(col("n_src") === col("q_src")).count() === 0)
+      // the chosen set is exactly the k smallest pair hashes (rank == the
+      // hash's position in the full candidate ordering)
+      val full = docs.select(col("doc_id").as("neg_id"), col("source"))
+        .crossJoin(queries.select(col("doc_id").as("query_id"),
+          col("source").as("q_source")))
+        .where(col("source") =!= col("q_source") &&
+          col("neg_id") =!= col("query_id"))
+        .withColumn("h", conv(substring(md5(concat(col("query_id").cast("string"),
+          lit(":"), col("neg_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+      val expected = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("h").asc, col("neg_id").asc)
+        full.withColumn("r", row_number().over(w)).where(col("r") <= 5)
+          .select(col("query_id"), col("neg_id"))
+      }
+      assert(res.select("query_id", "neg_id").except(expected).count() === 0)
+      assert(expected.except(res.select("query_id", "neg_id")).count() === 0)
+    } finally { res.unpersist(); () }
+  }
 }

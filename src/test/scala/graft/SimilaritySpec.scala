@@ -426,4 +426,37 @@ class SimilaritySpec extends AnyFunSuite {
     } yield (q, id, h, i + 1)).toSet
     assert(got === want)
   }
+
+  test("hardNegativesTopK: k per query, label always differs, scores match brute") {
+    val k = 5
+    val res = Similarity.hardNegativesTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k).cache()
+    try {
+      assert(res.count() === 10L * k)
+      assert(res.where(col("query_id") === col("neighbor_id")).count() === 0)
+      // every returned negative has a different label than its query
+      val lbl = emb.select(col("vec_id"), col("label"))
+      assert(res
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+        .where(col("ql") === col("nl")).count() === 0)
+      // hard negatives are the brute top-k FILTERED to different labels:
+      // every (query, neighbor) pair here must out-rank or equal any
+      // same-ranked brute pair restricted the same way — check subset
+      // against an independently computed filtered ranking
+      val brute = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 50)
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+        .where(col("ql") =!= col("nl"))
+      val bruteTop = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        brute.withColumn("r", row_number().over(w)).where(col("r") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      assert(res.select("query_id", "neighbor_id").except(bruteTop).count() === 0)
+    } finally { res.unpersist(); () }
+  }
 }
