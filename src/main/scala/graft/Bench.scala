@@ -69,12 +69,18 @@ object Bench {
     // BENCH_DELTAS for a reader who wants the raw spread.
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def probe(): Unit = {
+      // settle: a preceding query's async wind-down (checkpoint cleanup,
+      // state-store maintenance, GC) is a sub-second burst that would
+      // otherwise land on the probe and read as host contention
+      Thread.sleep(300)
       val t0 = System.nanoTime()
       spark.range(0L, 8000000L, 1L, cpus.toInt)
         .selectExpr("sum(pmod(xxhash64(id), 1000000)) s").collect()
       probes += (System.nanoTime() - t0) / 1e9
     }
-    val PROBE_EVERY = 5
+    // small (partial) runs still need >= 3 probes for the median to be
+    // meaningful — with 2, one biased probe IS the median
+    val PROBE_EVERY = if (selected.size < 15) 2 else 5
     // the probe's OWN first execution pays whole-stage-codegen compilation
     // (~0.2-0.3s on a ~0.1s workload — its plan constants differ from the
     // calibration query's, so the generated class is distinct): measured
