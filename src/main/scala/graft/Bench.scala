@@ -79,14 +79,23 @@ object Bench {
       probes += (System.nanoTime() - t0) / 1e9
     }
     // small (partial) runs still need >= 3 probes for the median to be
-    // meaningful — with 2, one biased probe IS the median
-    val PROBE_EVERY = if (selected.size < 15) 2 else 5
+    // meaningful — with 2, one biased probe IS the median (and the
+    // median/min ratio degenerates to max/min, the exact single-spike
+    // false positive min-of-3 passes exist to avoid), so tiny selections
+    // probe around every query
+    val PROBE_EVERY = if (selected.size <= 4) 1
+      else if (selected.size < 15) 2 else 5
     // the probe's OWN first execution pays whole-stage-codegen compilation
     // (~0.2-0.3s on a ~0.1s workload — its plan constants differ from the
     // calibration query's, so the generated class is distinct): measured
     // probe-0 was structurally 3-4x inflated, flagging idle machines as
     // contended. Pay the compile once, discard the timing.
     probe(); probes.clear()
+    // guarantee >= 3 measured probes even for a 1-query selection — the
+    // in-loop schedule yields ceil(n/PROBE_EVERY) + 1 probes, which is 2
+    // when n = 1; top up before the loop so the median is never max/min
+    val expectedProbes = (selected.size + PROBE_EVERY - 1) / PROBE_EVERY + 1
+    (expectedProbes until 3).foreach(_ => probe())
     // Stable (sorted) execution order: Map iteration order shifts when
     // entries are added, which moves one-time JIT/codegen warmup between
     // queries and makes per-query times incomparable across rounds.
@@ -168,8 +177,13 @@ object Bench {
     // baseline from a dirty run are all noise).
     val contaminated = noise > 2.0
     val partial = only.isDefined
-    val outFile = if (contaminated || partial)
-      new java.io.File(s"BENCH_CONTENDED_$sfTag.json") else prevFile
+    // side-file naming says WHY the run didn't replace the baseline: a
+    // clean partial run's timings are trusted (they merge below) and land
+    // in BENCH_PARTIAL; the CONTENDED name is reserved for noise > 2 runs
+    val outFile =
+      if (contaminated) new java.io.File(s"BENCH_CONTENDED_$sfTag.json")
+      else if (partial) new java.io.File(s"BENCH_PARTIAL_$sfTag.json")
+      else prevFile
     if (contaminated)
       System.err.println(f"[bench] NOISE ${noise}%.2fx > 2x: baseline " +
         s"$prevFile left untouched; this run's timings -> $outFile; " +

@@ -453,6 +453,142 @@ object Corpus {
         sum(col("lw")).as("log_w"))
   }
 
+  /** Symbol wrapping used by the BPE segmentation encoding: every symbol
+    * is wrapped as OPEN||sym||CLOSE (U+001F / U+001E — control chars no
+    * corpus text contains), so merging the adjacent pair (l, r) is a plain
+    * `replace(seg, OPEN l CLOSE OPEN r CLOSE, OPEN lr CLOSE)`. TWO
+    * distinct wrappers matter: with a single shared delimiter, adjacent
+    * pair occurrences share the middle delimiter char, so replace's
+    * resume-after-match scan skips every second merge in a run ("wewewe"
+    * would become we,w,ewe). With disjoint full-symbol matches, replace's
+    * left-to-right non-overlapping scan IS canonical greedy BPE merge
+    * application — identically in Spark and DuckDB (both resume after the
+    * replaced region), proven adversarially in BpeSpec. */
+  val BpeOpen = ""
+  val BpeClose = ""
+
+  /** Subword BPE merge training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units" — public literature):
+    * learn `numMerges` byte-pair merges from the corpus, most-frequent
+    * adjacent symbol pair first, ties broken by (left ASC, right ASC) so
+    * the merge list is a deterministic pure function of the corpus.
+    *
+    * Scale shape — the shape every production tokenizer trainer
+    * (SentencePiece, HF tokenizers) uses: the ONLY corpus-sized work is
+    * the distributed word-frequency histogram (one partial-aggregated
+    * groupBy); the merge loop then runs over the histogram, which is
+    * vocabulary-bounded, not corpus-bounded — capped at the `maxWords`
+    * most frequent word types (TakeOrderedAndProject: per-partition heaps,
+    * k-bounded driver state, the IVF-centroid discipline). A 100 TB crawl
+    * has billions of word TYPES but the frequency mass is Zipf: the top
+    * 100k-1M types carry ~all pair statistics, which is why the cap is the
+    * standard practice and not an approximation knob that moves results on
+    * realistic data. Merges within words only; no end-of-word marker (the
+    * whitespace-pretokenized variant — word boundaries are never crossed).
+    *
+    * Returns one row per merge: (rank 1..N, left, right, merged = left||right,
+    * pair_cnt), in merge order. Stops early if no pair occurs twice. */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 1000000): DataFrame = {
+    require(numMerges > 0, s"bpeTrain: numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    val hist: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // word type -> current symbol segmentation (chars initially)
+    var segs: Array[(Array[String], Long)] =
+      hist.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // most frequent pair; ties by (left ASC, right ASC) — symbols are
+        // corpus text (ASCII here), where Java UTF-16 and DuckDB UTF-8
+        // binary orders agree
+        val ((l, r), pc) = counts.minBy { case ((a, b), c) =>
+          (-c, a, b) }(Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String))
+        merges += ((rank, l, r, l + r, pc))
+        segs = segs.map { case (s, c) =>
+          if (s.length < 2) (s, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                out += l + r; i += 2 // greedy left-to-right, non-overlapping
+              } else { out += s(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "merged", "pair_cnt")
+  }
+
+  /** BPE encoding against a trained merge list: each word is wrapped into
+    * the [[BpeSep]]-delimited character form and the merges are applied in
+    * rank order as chained `replace` calls — applying merge k to a fresh
+    * word after merges 1..k-1 reproduces exactly the training-time
+    * segmentation (each training iteration applies its merge once, in
+    * order), and words never seen in training still encode (down to
+    * characters plus whatever learned merges apply).
+    *
+    * Map-only: the merge list (numMerges rows, tokenizer-budget-bounded)
+    * is collected and inlined as literals into ONE whole-stage-codegen'd
+    * expression — no join, no shuffle, no state; the corpus streams
+    * through a single projection at any scale. Output: (doc_id,
+    * n_subtokens, subtokens array<string> in document order). */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms: Array[(String, String)] = merges
+      .orderBy(col("rank").asc)
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val (o, c) = (BpeOpen, BpeClose)
+    def encodeWord(w: Column): Column = {
+      // Spark's split keeps trailing empties (Java Pattern.split limit -1)
+      // — filter them so the wrapped form has no spurious empty symbol
+      val chars = filter(split(w, ""), ch => length(ch) > 0)
+      val seg0 = array_join(transform(chars, ch => concat(lit(o), ch, lit(c))), "")
+      val segN = ms.foldLeft(seg0) { case (seg, (l, r)) =>
+        org.apache.spark.sql.functions.replace(
+          seg, lit(o + l + c + o + r + c), lit(o + l + r + c))
+      }
+      filter(split(org.apache.spark.sql.functions.replace(segN, lit(o), lit("")),
+        c), x => length(x) > 0)
+    }
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    docs
+      .select(col(idCol).as("doc_id"),
+        flatten(transform(words, encodeWord(_))).as("subtokens"))
+      .where(size(col("subtokens")) > 0)
+      .select(col("doc_id"), size(col("subtokens")).cast("long").as("n_subtokens"),
+        col("subtokens"))
+  }
+
   /** Deterministic negative sampling for contrastive / retrieval training:
     * for each query document, the k pseudo-random corpus negatives under a
     * content hash of the (query, candidate) PAIR, excluding candidates

@@ -106,6 +106,11 @@ object CountMin {
         Seq(expression(term)), rowSeed(r)))
       element_at(sketch, (pmod(h, lit(width)) + lit(r * width) + lit(1)).cast("int"))
     }
-    if (cells.lengthCompare(1) == 0) cells.head else least(cells: _*)
+    val est = if (cells.lengthCompare(1) == 0) cells.head else least(cells: _*)
+    // hash(NULL, seed) returns the seed unchanged, so a null term would probe
+    // an arbitrary (valid) cell and yield a garbage count; the JVM-side
+    // CountMin.estimate NPEs instead. Surface null-in -> null-out.
+    org.apache.spark.sql.functions.when(term.isNull,
+      lit(null).cast("long")).otherwise(est)
   }
 }

@@ -19,6 +19,62 @@ import graft.gates.GateSupport._
   */
 object CorpusGates {
 
+  /** Merge budget for the BPE gates — one knob for the Spark side and the
+    * generated oracle unroll. */
+  private val bpeN = 20
+
+  /** The unrolled BPE training chain: w0 = word histogram with every
+    * symbol wrapped chr(31)||sym||chr(30) (Corpus.BpeOpen/BpeClose — the
+    * two-char wrapping makes replace's left-to-right non-overlapping scan
+    * EXACTLY canonical greedy merge application: adjacent pair occurrences
+    * never share a character, see Corpus.BpeOpen scaladoc). Each iteration
+    * i adds
+    *   p{i} (pair counts over w{i-1}'s unwrapped symbol lists),
+    *   b{i} (the argmax pair, ties by the chr(31)-joined pair string —
+    *         equal to (left ASC, right ASC) because chr(31) sorts below
+    *         every printable char),
+    *   w{i} (the wrapped-pair replace).
+    * Shared by both BPE oracles so the replayed merge list is one string.
+    * Every CTE is MATERIALIZED: DuckDB would otherwise inline the chain,
+    * multiplying the parquet scan per iteration past the fd limit. */
+  private def bpeChainSql(n: Int): String = {
+    val base =
+      """w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+                array_to_string(list_transform(string_split(w, ''), ch -> chr(31) || ch || chr(30)), '') AS seg
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0 GROUP BY w)"""
+    val iters = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+              SELECT cnt, unnest([sym[j] || chr(31) || sym[j+1] for j in range(1, len(sym))]) AS pair
+              FROM (SELECT cnt, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sym FROM w${i - 1})
+            ) GROUP BY pair),
+          b$i AS MATERIALIZED (SELECT string_split(pair, chr(31))[1] AS l, string_split(pair, chr(31))[2] AS r, pc
+                  FROM p$i ORDER BY pc DESC, pair ASC LIMIT 1),
+          w$i AS MATERIALIZED (SELECT w, cnt,
+                         replace(seg, chr(31) || l || chr(30) || chr(31) || r || chr(30),
+                                 chr(31) || l || r || chr(30)) AS seg
+                  FROM w${i - 1}, b$i)"""
+    }
+    (base +: iters).mkString(",\n")
+  }
+
+  private def bpeTrainOracleSql(n: Int): String = {
+    val rows = (1 to n).map(i =>
+      s"""SELECT CAST($i AS INT) AS rank, l AS lhs, r AS rhs, l || r AS merged, pc AS pair_cnt FROM b$i""")
+    s"WITH ${bpeChainSql(n)}\n${rows.mkString("\nUNION ALL\n")}"
+  }
+
+  private def bpeEncodeOracleSql(n: Int): String =
+    s"""WITH ${bpeChainSql(n)},
+        fin AS MATERIALIZED (SELECT w, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sub FROM w$n),
+        sdoc AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tk AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM sdoc),
+        tf AS MATERIALIZED (SELECT doc_id, pos, w FROM tk WHERE length(w) > 0),
+        j AS MATERIALIZED (SELECT tf.doc_id, tf.pos, f.sub FROM tf JOIN fin f ON tf.w = f.w)
+      SELECT doc_id, CAST(SUM(len(sub)) AS BIGINT) AS n_subtokens,
+             array_to_string(flatten(list(sub ORDER BY pos)), ' ') AS subtokens
+      FROM j GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- LLM-data-pipeline extensions (north star; SURVEY.md §7.2 M6) ----
@@ -381,6 +437,38 @@ object CorpusGates {
     }),
 
 
+    // Subword BPE merge training (Sennrich et al. 2016): 20 most-frequent
+    // adjacent-pair merges over the corpus word histogram, ties by
+    // (left ASC, right ASC) — a deterministic pure function of the corpus.
+    // The only corpus-sized work is the distributed word-frequency count;
+    // the merge loop runs over the vocabulary-bounded histogram (the
+    // SentencePiece/HF-trainer shape). The oracle replays all 20
+    // iterations as unrolled CTEs: pair-count → argmax → delimiter-guarded
+    // greedy replace, so any drift in counting, tie-break, or merge
+    // application breaks the hash.
+    "corpus_bpe_train" -> ((s, dir) => {
+      Corpus.bpeTrain(t(s, dir, "documents"), "text", numMerges = bpeN)
+        .select(col("rank"), col("left").as("lhs"), col("right").as("rhs"),
+          col("merged"), col("pair_cnt"))
+    }),
+
+
+    // BPE encoding with the learned merges: chained delimiter-guarded
+    // replaces inlined as ONE codegen'd map-only expression — no join, no
+    // shuffle; the corpus streams through a single projection. The oracle
+    // carries each word type's segmentation through the same 20 unrolled
+    // iterations and joins it back onto the corpus word stream — identical
+    // because applying merges 1..N in rank order to a fresh word IS the
+    // training-time segmentation.
+    "corpus_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = bpeN)
+      Corpus.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_subtokens"),
+          array_join(col("subtokens"), " ").as("subtokens"))
+    }),
+
+
     // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood ratio of the trusted-source target distribution
     // (source = 'src0') vs the raw corpus — the data-selection score a
@@ -394,6 +482,9 @@ object CorpusGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_bpe_train" -> bpeTrainOracleSql(bpeN),
+    "corpus_bpe_encode" -> bpeEncodeOracleSql(bpeN),
+
     "pipe_clean_corpus" ->
       """WITH b AS (SELECT doc_id, text,
                 length(text) AS n_chars,

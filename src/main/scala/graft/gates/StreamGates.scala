@@ -705,10 +705,64 @@ object StreamGates {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       ss.table(sink)
+    }),
+
+
+    // S3/S4-streaming over the CONNECTOR (round-10 verdict #7): offset
+    // resume against the STORE, not the file source — the reference's
+    // partitioned-log cursor resume (log/package.scala:56-62) as a DSv2
+    // MicroBatchStream whose offset is the row index into the collection.
+    // Two incarnations share one checkpoint: incarnation 1 starts at the
+    // reader's startOffset=50 (the S3 "skip the replayed prefix"
+    // semantic) and drains the registered slice; the log then "keeps
+    // arriving while the stream is down" (append); incarnation 2 resumes
+    // from the CHECKPOINTED offset and must deliver exactly the appended
+    // rows — a re-read of old offsets or a skipped append breaks the
+    // row count / hash against the batch oracle.
+    "s19_stream_mem_resume" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val feed = t(ss, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .where(pmod(col("event_id"), lit(5)) < 2)
+      val coll = "evresume" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val slice1 = feed.where(pmod(col("event_id"), lit(3)) =!= 2).orderBy("event_id")
+      val slice2 = feed.where(pmod(col("event_id"), lit(3)) === 2).orderBy("event_id")
+      val ckpt = exitManagedTempDir("graft-memresume-ckpt").toString
+      val out = exitManagedTempDir("graft-memresume-out").toString
+      def incarnation(): Unit = {
+        val src = ss.readStream.format("graft.sources.mem.GraftMemSource")
+          .option("collection", coll).option("startOffset", "50").load()
+        val q = src.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // register RESETS the collection each execution (fresh ckpt/out too,
+      // so warm re-executions replay the same two-incarnation lifecycle)
+      graft.sources.mem.MemStore.register(coll, slice1)
+      incarnation() // drains offsets [50, len(slice1))
+      graft.sources.mem.MemStore.append(coll, slice2)
+      incarnation() // resumes from the checkpoint: appended offsets only
+      ss.read.parquet(out).select("event_id", "user_id", "event_type")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // offset semantics replayed in SQL: slice-1 rows past the startOffset
+    // (its registration order is event_id ASC, so offset == rank) plus
+    // every appended slice-2 row
+    "s19_stream_mem_resume" ->
+      """WITH f AS (SELECT event_id, user_id, event_type FROM events
+                    WHERE event_id % 5 < 2),
+              s1 AS (SELECT event_id, user_id, event_type,
+                            ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+                     FROM f WHERE event_id % 3 <> 2)
+         SELECT event_id, user_id, event_type FROM s1 WHERE rn > 50
+         UNION ALL
+         SELECT event_id, user_id, event_type FROM f WHERE event_id % 3 = 2""",
+
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 

@@ -64,8 +64,30 @@ object MemStore {
   final case class SlowFetch(delayMs: Long) extends FailureMode
   val failureModes = TrieMap[String, FailureMode]()
 
+  /** Last limit / top-n each collection scan applied store-side —
+    * instrumentation proving the reference's cursor-side `sort/limit`
+    * (storage.scala:320-324) reached the store, like `lastPushed`. */
+  val lastLimit = TrieMap[String, Int]()
+  val lastTopN = TrieMap[String, (Seq[(String, Boolean)], Int)]()
+
+  /** Rows actually served by the store across the most recent scan of the
+    * collection (reset per scan) — lets specs assert the store really
+    * pruned under a pushed limit instead of serving everything. */
+  val served = TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+
   def register(name: String, df: DataFrame): Unit =
     collections(name) = (df.schema, df.collect())
+
+  /** Append rows to an existing collection — the "data keeps arriving"
+    * half of the streaming offset-resume contract (reference S3/S4:
+    * log/package.scala:56-62 resumes the store cursor at an offset). */
+  def append(name: String, df: DataFrame): Unit = {
+    val (schema, rows) = collections.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown collection '$name'"))
+    require(df.schema == schema,
+      s"append schema mismatch for '$name': ${df.schema.simpleString} vs ${schema.simpleString}")
+    collections(name) = (schema, rows ++ df.collect())
+  }
 
   def schemaOf(name: String): StructType =
     collections.getOrElse(name,
@@ -95,6 +117,10 @@ object MemStore {
       case IsNull(a) => v(a) == null
       case IsNotNull(a) => v(a) != null
       case And(l, r) => eval(row, schema, l) && eval(row, schema, r)
+      // $or / $not evaluate store-side like the reference's Mongo query
+      // compiler (mongo/package.scala:109-115 builds the $or document)
+      case Or(l, r) => eval(row, schema, l) || eval(row, schema, r)
+      case Not(c) => !eval(row, schema, c)
       case _ => true // unsupported filters are never pushed (see pushFilters)
     }
   }
@@ -103,8 +129,34 @@ object MemStore {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
         _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull => true
     case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
     case _ => false
   }
+
+  /** Store-side row ordering for a pushed top-n: (field, descending)
+    * pairs, nulls first on ASC / last on DESC (Spark's default null
+    * ordering, the only shape [[MemScanBuilder.pushTopN]] accepts). */
+  def ordering(schema: StructType, keys: Seq[(String, Boolean)]): Ordering[Row] =
+    (x: Row, y: Row) => {
+      var result = 0
+      val it = keys.iterator
+      while (result == 0 && it.hasNext) {
+        val (f, desc) = it.next()
+        val i = schema.fieldIndex(f)
+        val (a, b) = (x.get(i), y.get(i))
+        val c = (a, b) match {
+          case (null, null) => 0
+          case (null, _) => -1 // nulls first in ASC terms...
+          case (_, null) => 1
+          case (a: Number, b: Number) =>
+            java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+          case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
+        }
+        result = if (desc) -c else c // ...so DESC flips them last
+      }
+      result
+    }
 }
 
 class GraftMemSource extends TableProvider {
@@ -122,7 +174,7 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
   override def name(): String = s"graft-mem:$collection"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // O4/T7 — query-scoped cursor options, mirroring the reference's
     // builder surface (channel/package.scala:241 maxTimeMS, :276
@@ -135,7 +187,8 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
     val maxTimeMs =
       Option(options.get("maxTimeMS")).map(_.toLong).filter(_ > 0)
     val readPreference = options.getOrDefault("readPreference", "primary")
-    new MemScanBuilder(collection, schema, maxTimeMs, readPreference)
+    val startOffset = options.getOrDefault("startOffset", "0").toLong
+    new MemScanBuilder(collection, schema, maxTimeMs, readPreference, startOffset)
   }
 }
 
@@ -143,11 +196,15 @@ class MemScanBuilder(
     collection: String,
     fullSchema: StructType,
     maxTimeMs: Option[Long],
-    readPreference: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    readPreference: String,
+    startOffset: Long)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
+  private var topNKeys: Seq[(String, Boolean)] = Nil
 
   /** Accept what the store can evaluate; hand the rest back to Spark
     * (Catalyst keeps a residual Filter node for those). */
@@ -160,8 +217,44 @@ class MemScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** The reference pushes `sort/skip/limit` into the store cursor
+    * (storage.scala:320-324); DSv2's contract for that is
+    * SupportsPushDownLimit/TopN. PARTIALLY pushed: each of the store's
+    * partitions (≈ a shard cursor) serves at most `limit` rows — Spark
+    * keeps the global limit/sort on top, so results are exact while the
+    * store prunes what it ships. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    // accept only plain column orderings with Spark's DEFAULT null
+    // ordering (nulls first when ASC, nulls last when DESC) — anything
+    // else stays Spark-side
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          val desc = o.direction() == SortDirection.DESCENDING
+          val defaultNulls =
+            if (desc) o.nullOrdering() == NullOrdering.NULLS_LAST
+            else o.nullOrdering() == NullOrdering.NULLS_FIRST
+          if (defaultNulls) Some((ref.fieldNames()(0), desc)) else None
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) false
+    else {
+      topNKeys = keys.flatten
+      limit = Some(n)
+      true
+    }
+  }
+
   override def build(): Scan =
-    new MemScan(collection, fullSchema, required, pushed, maxTimeMs, readPreference)
+    new MemScan(collection, fullSchema, required, pushed, maxTimeMs,
+      readPreference, limit, topNKeys, startOffset)
 }
 
 class MemScan(
@@ -170,32 +263,114 @@ class MemScan(
     required: StructType,
     pushed: Array[Filter],
     maxTimeMs: Option[Long],
-    readPreference: String) extends Scan with Batch {
+    readPreference: String,
+    limit: Option[Int],
+    topNKeys: Seq[(String, Boolean)],
+    startOffset: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-mem:$collection PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}" +
       maxTimeMs.map(ms => s", maxTimeMS: $ms").getOrElse("") +
-      s", readPreference: $readPreference"
+      s", readPreference: $readPreference" +
+      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      (if (topNKeys.isEmpty) ""
+       else s", PushedTopN: ${topNKeys.map { case (f, d) =>
+         s"$f ${if (d) "DESC" else "ASC"}" }.mkString(", ")}")
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = MemStore.rowsOf(collection).length
-    val slices = 4 // fixed fan-out; a real connector splits by shard/token range
-    val step = math.max(1, math.ceil(n / slices.toDouble).toInt)
-    (0 until n by step).map(start =>
-      MemInputPartition(collection, start, math.min(n, start + step))
-        .asInstanceOf[InputPartition]).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    MemScan.slicePartitions(collection, 0, MemStore.rowsOf(collection).length)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     MemStore.lastPushed(collection) = pushed.toSeq
     MemStore.lastOptions(collection) =
       maxTimeMs.map(ms => "maxTimeMS" -> ms.toString).toMap +
         ("readPreference" -> readPreference)
-    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs)
+    limit.foreach(MemStore.lastLimit(collection) = _)
+    if (topNKeys.nonEmpty)
+      MemStore.lastTopN(collection) = (topNKeys, limit.getOrElse(Int.MaxValue))
+    MemStore.served(collection) = new java.util.concurrent.atomic.AtomicLong(0L)
+    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit, topNKeys)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MemMicroBatchStream(collection, fullSchema, required, pushed,
+      maxTimeMs, limit, topNKeys, startOffset)
+}
+
+object MemScan {
+  /** Split [start, end) of the collection into up to 4 slices — a fixed
+    * fan-out standing in for a real connector's shard/token-range split. */
+  def slicePartitions(collection: String, start: Int, end: Int): Array[InputPartition] = {
+    val n = end - start
+    val slices = 4
+    val step = math.max(1, math.ceil(n / slices.toDouble).toInt)
+    (start until end by step).map(s =>
+      MemInputPartition(collection, s, math.min(end, s + step))
+        .asInstanceOf[InputPartition]).toArray
+  }
+}
+
+/** Streaming offset resume over the store (reference S3/S4: the partitioned
+  * log's `(key, offset)` cursor resume, log/package.scala:56-62): the
+  * offset IS the row index into the collection, `initialOffset` honors the
+  * reader's `startOffset` option, and each micro-batch serves the
+  * [start, latest) slice through the SAME pushdown pipeline as the batch
+  * reader (filters, projection, per-partition limit). Restart resumes from
+  * the checkpointed offset — exactly-once delivery of appended rows. */
+class MemMicroBatchStream(
+    collection: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    maxTimeMs: Option[Long],
+    limit: Option[Int],
+    topNKeys: Seq[(String, Boolean)],
+    startOffset: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // AvailableNow: pin the end bound ONCE at query start so the run
+  // terminates even if the store keeps growing mid-run
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(MemStore.rowsOf(collection).length.toLong)
+
+  override def initialOffset(): Offset =
+    MemOffset(math.min(startOffset, MemStore.rowsOf(collection).length.toLong))
+  override def latestOffset(): Offset =
+    MemOffset(availableNowEnd.getOrElse(MemStore.rowsOf(collection).length.toLong))
+  // SupportsAdmissionControl entry point (SupportsTriggerAvailableNow
+  // extends it): the store slice is served whole per micro-batch — rate
+  // limiting is the file-source gates' concern, not the cursor's
+  override def latestOffset(
+      start: Offset,
+      readLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset = MemOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    MemScan.slicePartitions(collection,
+      start.asInstanceOf[MemOffset].index.toInt,
+      end.asInstanceOf[MemOffset].index.toInt)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    MemStore.lastPushed(collection) = pushed.toSeq
+    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit, topNKeys)
+  }
+}
+
+case class MemOffset(index: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = index.toString
 }
 
 case class MemInputPartition(collection: String, start: Int, end: Int)
@@ -205,7 +380,9 @@ class MemReaderFactory(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    maxTimeMs: Option[Long]) extends PartitionReaderFactory {
+    maxTimeMs: Option[Long],
+    limit: Option[Int] = None,
+    topNKeys: Seq[(String, Boolean)] = Nil) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
@@ -223,11 +400,24 @@ class MemReaderFactory(
       private val toInternal = ExpressionEncoder(RowEncoder.encoderFor(required))
         .createSerializer()
       private val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
-      private val it = MemStore.rowsOf(p.collection)
-        .slice(p.start, p.end)
-        .iterator
-        .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _))) // store-side
-        .map(r => Row.fromSeq(idx.toIndexedSeq.map(r.get)))          // store-side projection
+      private val it = {
+        val filtered = MemStore.rowsOf(p.collection)
+          .slice(p.start, p.end)
+          .iterator
+          .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _))) // store-side
+        // cursor-side sort/limit (reference storage.scala:320-324): this
+        // shard's cursor orders by the pushed keys and serves at most
+        // `limit` rows; Spark's retained global TopN/limit makes it exact
+        val ordered =
+          if (topNKeys.isEmpty) filtered
+          else filtered.toArray.sorted(MemStore.ordering(fullSchema, topNKeys)).iterator
+        val bounded = limit.fold(ordered)(n => ordered.take(n))
+        bounded
+          .map { r =>
+            MemStore.served.get(p.collection).foreach(_.incrementAndGet())
+            Row.fromSeq(idx.toIndexedSeq.map(r.get)) // store-side projection
+          }
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         mode match {

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.Corpus
+
+/** Subword BPE train/encode (Sennrich et al. 2016 — the round-10 verdict's
+  * item #2): merge-list determinism, the classic hand-computable corpus,
+  * round-trip (concat of subtokens == the word), and OOV encoding. The
+  * chained-replace Spark expression is checked against an independent
+  * in-spec greedy merge application so the delimiter-guarded `replace`
+  * parity (resume-after-replacement, no cross-boundary matches) is proven
+  * on the JVM side too (the DuckDB side is the driver's oracle gate).
+  */
+class BpeSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // the classic BPE teaching corpus: low×3 lower×2 newest×4 widest×1
+  private lazy val tiny = Seq(
+    (0L, "low low low lower lower"),
+    (1L, "newest newest newest newest widest")
+  ).toDF("doc_id", "text")
+
+  // independent greedy merge application (mirrors the BPE definition, not
+  // the implementation): apply each merge once, left-to-right non-overlap
+  private def applyMerges(w: String, ms: Seq[(String, String)]): Seq[String] = {
+    var s: Vector[String] = w.split("").filter(_.nonEmpty).toVector
+    ms.foreach { case (l, r) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      s = out.result()
+    }
+    s
+  }
+
+  test("bpeTrain learns the hand-computed merges on the classic corpus") {
+    val m = Corpus.bpeTrain(tiny, "text", numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // pair counts: we=6 (lower×2 + newest×4) wins round 1; round 2 ties
+    // lo=5 st=5 → left ASC picks (l,o)
+    assert(m(0) === ((1, "w", "e", "we", 6L)))
+    assert(m(1) === ((2, "l", "o", "lo", 5L)))
+    // ranks are dense 1..N and merged = left||right throughout
+    assert(m.map(_._1).toSeq === (1 to 4))
+    assert(m.forall { case (_, l, r, merged, _) => merged == l + r })
+  }
+
+  test("bpeTrain is deterministic and stops when pairs are exhausted") {
+    val a = Corpus.bpeTrain(tiny, "text", numMerges = 6).collect().toSeq
+    val b = Corpus.bpeTrain(tiny, "text", numMerges = 6).collect().toSeq
+    assert(a === b)
+    // single-letter corpus: no adjacent pairs at all -> zero merges
+    val lone = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    assert(Corpus.bpeTrain(lone, "text", numMerges = 3).count() === 0)
+    // one repeated bigram-word: "aa" merges once, then the single symbol
+    // "aa" has no pairs left -> exactly one merge despite numMerges=5
+    val aa = Seq((0L, "aa aa aa")).toDF("doc_id", "text")
+    val mm = Corpus.bpeTrain(aa, "text", numMerges = 5).collect()
+    assert(mm.length === 1 && mm(0).getString(3) === "aa")
+  }
+
+  test("bpeEncode matches independent greedy application and round-trips") {
+    val merges = Corpus.bpeTrain(tiny, "text", numMerges = 5)
+    val ms = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Corpus.bpeEncode(tiny, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSeq
+    val expected = tiny.collect().map { r =>
+      val subs = r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(w => applyMerges(w, ms))
+      (r.getLong(0), subs.length.toLong, subs)
+    }.toSeq
+    assert(enc.sortBy(_._1) === expected.sortBy(_._1))
+    // round-trip: concatenating a doc's subtokens reproduces its words
+    enc.foreach { case (id, _, subs) =>
+      val doc = tiny.where(col("doc_id") === id).head().getString(1)
+      assert(subs.mkString === doc.split(" ").filter(_.nonEmpty).mkString)
+    }
+  }
+
+  test("bpeEncode handles OOV words, greedy overlap, and empty tokens") {
+    val merges = Corpus.bpeTrain(tiny, "text", numMerges = 5)
+    val ms = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // "lowest" never trained; "wewewe" exercises left-to-right greedy
+    // non-overlap on the we-merge; double space yields an empty token
+    val oov = Seq((9L, "lowest  wewewe")).toDF("doc_id", "text")
+    val out = Corpus.bpeEncode(oov, "doc_id", "text", merges).head()
+    val subs = out.getSeq[String](2)
+    assert(subs === "lowest".split(" ").filter(_.nonEmpty).toSeq
+      .flatMap(w => applyMerges(w, ms)) ++
+      Seq("wewewe").flatMap(w => applyMerges(w, ms)))
+    assert(subs.mkString === "lowestwewewe")
+    assert(out.getLong(1) === subs.length.toLong)
+  }
+
+  test("bpe on the documents table: merges exist and encode is total") {
+    val docs = SparkTestSession.table("documents").limit(50)
+    val merges = Corpus.bpeTrain(docs, "text", numMerges = 10)
+    assert(merges.count() === 10)
+    val enc = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+    assert(enc.count() === 50)
+    // n_subtokens strictly less than n_chars (merges fired) but >= n_words
+    val chk = enc.join(docs, Seq("doc_id"))
+      .select(col("n_subtokens"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars"),
+        size(split(col("text"), " ")).as("n_words"))
+      .where(col("n_subtokens") >= col("n_chars") ||
+        col("n_subtokens") < col("n_words"))
+    assert(chk.count() === 0)
+  }
+}

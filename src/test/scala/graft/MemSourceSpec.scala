@@ -152,4 +152,89 @@ class MemSourceSpec extends AnyFunSuite {
       spark.read.format(fmt).option("collection", "nope").load()
     }
   }
+
+  test("$or / $not evaluate store-side (reference mongo/package.scala:109-115)") {
+    MemStore.lastPushed.remove("programmers")
+    val n = load("programmers")
+      .where(col("lang") === 1 || col("lang") === 3).count()
+    val pushed = MemStore.lastPushed.getOrElse("programmers", Nil).map(_.toString)
+    assert(pushed.exists(_.startsWith("Or(")), s"expected Or pushed, got: $pushed")
+    // correctness vs the registered data itself
+    val expected = MemStore.rowsOf("programmers")
+      .count(r => r.getInt(1) == 1 || r.getInt(1) == 3)
+    assert(n === expected)
+    // Not: a store-side negation, not a client-side residual
+    MemStore.lastPushed.remove("programmers")
+    val m = load("programmers").where(!(col("lang") === 2)).count()
+    val pushed2 = MemStore.lastPushed.getOrElse("programmers", Nil).map(_.toString)
+    assert(pushed2.exists(p => p.contains("Not(") || p.contains("!=")),
+      s"expected a negation pushed, got: $pushed2")
+    assert(m === MemStore.rowsOf("programmers").count(_.getInt(1) != 2))
+  }
+
+  test("limit pushdown: the store serves at most limit rows per cursor (reference storage.scala:320-324)") {
+    MemStore.lastLimit.remove("programmers")
+    val got = load("programmers").limit(7).collect()
+    assert(got.length === 7)
+    assert(MemStore.lastLimit.get("programmers").contains(7),
+      s"limit not pushed: ${MemStore.lastLimit.get("programmers")}")
+    // 4 store partitions × ≤7 rows each — far below the 100-row collection
+    val served = MemStore.served.get("programmers").map(_.get()).getOrElse(-1L)
+    assert(served > 0 && served <= 28, s"store served $served rows under limit 7")
+  }
+
+  test("top-n pushdown: cursor-side sort + limit, exact global result") {
+    MemStore.lastTopN.remove("programmers")
+    val got = load("programmers").orderBy(col("name").desc).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val expected = MemStore.rowsOf("programmers").map(_.getString(0))
+      .sorted(Ordering[String].reverse).take(5).toSeq
+    assert(got === expected)
+    val (keys, n) = MemStore.lastTopN.getOrElse("programmers", (Nil, 0))
+    assert(keys === Seq(("name", true)) && n === 5,
+      s"topN not pushed: keys=$keys n=$n")
+    val served = MemStore.served.get("programmers").map(_.get()).getOrElse(-1L)
+    assert(served > 0 && served <= 20, s"store served $served rows under topN 5")
+  }
+
+  test("top-n pushdown declines computed sort keys; result stays exact") {
+    MemStore.lastTopN.remove("programmers")
+    val got = load("programmers").orderBy((col("lang") + 1).desc, col("name"))
+      .limit(3).collect().map(_.getString(0)).toSeq
+    val expected = MemStore.rowsOf("programmers")
+      .map(r => (r.getInt(1), r.getString(0)))
+      .sortBy { case (l, nm) => (-l, nm) }.take(3).map(_._2).toSeq
+    assert(got === expected)
+    assert(!MemStore.lastTopN.contains("programmers"),
+      "computed sort key must not be pushed")
+  }
+
+  test("S3/S4 streaming offset resume over the store: startOffset honored, restart exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val coll = "stream_resume_spec"
+    val part1 = (0 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val part2 = (30 until 45).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    MemStore.register(coll, part1)
+    val ckpt = java.nio.file.Files.createTempDirectory("memresume-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("memresume-out").toString
+    def incarnation(): Unit = {
+      val src = spark.readStream.format(fmt)
+        .option("collection", coll).option("startOffset", "10").load()
+      val q = src.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    incarnation()
+    val first = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+    assert(first.toSeq === (10L until 30L), "startOffset must skip the first 10 rows")
+    MemStore.append(coll, part2) // the log grows while the stream is down
+    incarnation()
+    val all = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+    // exactly-once: appended rows exactly once, no old offsets re-read
+    assert(all.toSeq === (10L until 45L))
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
+  }
 }

@@ -128,6 +128,25 @@ class MqlChannelSpec extends AnyFunSuite {
     }
   }
 
+  test("MQL $or reaches the store as a pushed Or filter (reference $or pushdown, mongo/package.scala:109-115)") {
+    import spark.implicits._
+    import graft.sources.mem.MemStore
+    MemStore.register("or_langs", Seq(
+      (0, "Java", 30), (1, "C++", 20), (2, "ObjectiveC", 10),
+      (3, "Scala", 90), (4, "Groovy", 50))
+      .toDF("index", "name", "popularity_factor"))
+    MemStore.lastPushed.remove("or_langs")
+    val got = Channel.create(spark, sfDir) { b =>
+      b.q("""{ "$or": [ { "index": { "$lte": 1 } },
+                         { "popularity_factor": { "$gt": 80 } } ] }""")
+      b.memCollection("or_langs")
+    }.select("name").collect().map(_.getString(0)).toSet
+    assert(got === Set("Java", "C++", "Scala"))
+    val pushed = MemStore.lastPushed.getOrElse("or_langs", Nil).map(_.toString)
+    assert(pushed.exists(_.startsWith("Or(")),
+      s"$$or must evaluate store-side, got: $pushed")
+  }
+
   test("channel repeat-execution determinism (reference ids ++ ids ++ ids)") {
     def run() = Channel.create(spark, sfDir) { b =>
       b.q("""{ "l_quantity": { "$gte": 49 } }""")
