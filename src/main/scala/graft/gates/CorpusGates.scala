@@ -21,7 +21,7 @@ object CorpusGates {
 
   /** Merge budget for the BPE gates — one knob for the Spark side and the
     * generated oracle unroll. */
-  private val bpeN = 20
+  private[gates] val bpeN = 20
 
   /** The unrolled BPE training chain: w0 = word histogram with every
     * symbol wrapped chr(31)||sym||chr(30) (Corpus.BpeOpen/BpeClose — the
@@ -64,7 +64,7 @@ object CorpusGates {
     s"WITH ${bpeChainSql(n)}\n${rows.mkString("\nUNION ALL\n")}"
   }
 
-  private def bpeEncodeOracleSql(n: Int): String =
+  private[gates] def bpeEncodeOracleSql(n: Int): String =
     s"""WITH ${bpeChainSql(n)},
         fin AS MATERIALIZED (SELECT w, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sub FROM w$n),
         sdoc AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -74,6 +74,29 @@ object CorpusGates {
       SELECT doc_id, CAST(SUM(len(sub)) AS BIGINT) AS n_subtokens,
              array_to_string(flatten(list(sub ORDER BY pos)), ' ') AS subtokens
       FROM j GROUP BY doc_id"""
+
+  /** The BPE encode chain extended with the corpus_pack_budget window:
+    * per-doc subtoken counts feed the same md5-shard greedy bin assignment
+    * the whole-word pipe_pretokenize oracle replays. */
+  private def bpePretokenizeOracleSql(n: Int): String =
+    s"""WITH ${bpeChainSql(n)},
+        fin AS MATERIALIZED (SELECT w, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sub FROM w$n),
+        sdoc AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tk AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM sdoc),
+        tf AS MATERIALIZED (SELECT doc_id, pos, w FROM tk WHERE length(w) > 0),
+        j AS MATERIALIZED (SELECT tf.doc_id, f.sub FROM tf JOIN fin f ON tf.w = f.w),
+        e AS MATERIALIZED (SELECT doc_id, CAST(SUM(len(sub)) AS BIGINT) AS n_tokens FROM j GROUP BY doc_id),
+        d AS MATERIALIZED (SELECT doc_id, n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS INT) AS shard
+             FROM e),
+        r AS MATERIALIZED (SELECT doc_id, shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_before
+             FROM d)
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
+             tok_before % 512 AS bin_offset
+      FROM r"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -469,6 +492,21 @@ object CorpusGates {
     }),
 
 
+    // END-TO-END BPE pretokenization: train merges → subword-encode every
+    // document → pack per-doc subtoken counts into fixed 512-token bins —
+    // the pipe_pretokenize lifecycle with a REAL subword tokenizer in
+    // place of the whole-word vocab. One corpus scan for the histogram,
+    // one map-only encode projection, one windowed pass per shard: the
+    // full pretraining-prep path stays shuffle-minimal end-to-end.
+    "pipe_bpe_pretokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = bpeN)
+      val enc = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+      Corpus.packTokenBudget(enc.select(col("doc_id"), col("n_subtokens")),
+        "doc_id", "n_subtokens", budget = 512L, nShards = 8)
+    }),
+
+
     // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood ratio of the trusted-source target distribution
     // (source = 'src0') vs the raw corpus — the data-selection score a
@@ -484,6 +522,7 @@ object CorpusGates {
   val oracleSql: Map[String, String] = Map(
     "corpus_bpe_train" -> bpeTrainOracleSql(bpeN),
     "corpus_bpe_encode" -> bpeEncodeOracleSql(bpeN),
+    "pipe_bpe_pretokenize" -> bpePretokenizeOracleSql(bpeN),
 
     "pipe_clean_corpus" ->
       """WITH b AS (SELECT doc_id, text,

@@ -746,6 +746,69 @@ object StreamGates {
       graft.sources.mem.MemStore.append(coll, slice2)
       incarnation() // resumes from the checkpoint: appended offsets only
       ss.read.parquet(out).select("event_id", "user_id", "event_type")
+    }),
+
+
+    // Streaming twin of corpus_bpe_encode (the s11/s13 "must converge to
+    // exactly the batch answer" discipline): merges are trained batch-side
+    // (the tokenizer is a build artifact — exactly how production
+    // pipelines ship one), then the encode runs as a STATELESS map-only
+    // projection over the micro-batched corpus — the chained-replace
+    // expression needs no state, no watermark, no shuffle, so the stream
+    // converges to the batch result for any micro-batch slicing.
+    "s20_stream_bpe" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs = t(ss, dir, "documents")
+      val merges = graft.functions.Corpus.bpeTrain(docs, "text",
+        numMerges = CorpusGates.bpeN)
+      val src = ss.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val enc = graft.functions.Corpus.bpeEncode(src, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_subtokens"),
+          array_join(col("subtokens"), " ").as("subtokens"))
+      val sink = "s20_stream_bpe_sink"
+      val q = enc.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+
+    // T2 backpressure STORE-SIDE (the t_stream_backpressure twin on the
+    // connector): the `maxRowsPerTrigger` reader option becomes the
+    // stream's ReadLimit, so AvailableNow drains the collection in
+    // bounded micro-batches of exactly 1000 offsets — the reference's
+    // demand-driven cursor paging (storage.scala:149,172-180) expressed
+    // as DSv2 admission control. foreachBatch observes (batch_id, count);
+    // offsets admit in registration order (event_id ASC), so the oracle
+    // is a plain rank bucketing — one oversized batch (flow control
+    // ignored) or a skipped/reordered slice breaks rows or hash.
+    "t_stream_mem_backpressure" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val feed = t(ss, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .where(pmod(col("event_id"), lit(5)) < 2).orderBy("event_id")
+      val coll = "evbp" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.mem.MemStore.register(coll, feed)
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val src = ss.readStream.format("graft.sources.mem.GraftMemSource")
+        .option("collection", coll).option("maxRowsPerTrigger", "1000").load()
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          seen.add((batchId, batch.count())); ()
+        }
+        .option("checkpointLocation",
+          exitManagedTempDir("graft-membp-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val rows = seen.asScala.toSeq.filter(_._2 > 0).sortBy(_._1)
+      import ss.implicits._
+      rows.toDF("batch_id", "n_rows")
     })
   )
 
@@ -762,6 +825,17 @@ object StreamGates {
          SELECT event_id, user_id, event_type FROM s1 WHERE rn > 50
          UNION ALL
          SELECT event_id, user_id, event_type FROM f WHERE event_id % 3 = 2""",
+
+    // bounded admission in offset order: batch i holds ranks
+    // [i*1000, (i+1)*1000) of the registered feed
+    "t_stream_mem_backpressure" ->
+      """WITH f AS (SELECT event_id FROM events WHERE event_id % 5 < 2),
+              r AS (SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn FROM f)
+         SELECT CAST(rn // 1000 AS BIGINT) AS batch_id, COUNT(*) AS n_rows
+         FROM r GROUP BY 1""",
+
+    // the streaming form must converge to exactly the batch BPE encode
+    "s20_stream_bpe" -> CorpusGates.bpeEncodeOracleSql(CorpusGates.bpeN),
 
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

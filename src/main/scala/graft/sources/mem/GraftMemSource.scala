@@ -64,11 +64,12 @@ object MemStore {
   final case class SlowFetch(delayMs: Long) extends FailureMode
   val failureModes = TrieMap[String, FailureMode]()
 
-  /** Last limit / top-n each collection scan applied store-side —
-    * instrumentation proving the reference's cursor-side `sort/limit`
+  /** Last limit / top-n / skip each collection scan applied store-side —
+    * instrumentation proving the reference's cursor-side `sort/skip/limit`
     * (storage.scala:320-324) reached the store, like `lastPushed`. */
   val lastLimit = TrieMap[String, Int]()
   val lastTopN = TrieMap[String, (Seq[(String, Boolean)], Int)]()
+  val lastOffset = TrieMap[String, Int]()
 
   /** Rows actually served by the store across the most recent scan of the
     * collection (reset per scan) — lets specs assert the store really
@@ -188,7 +189,10 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
       Option(options.get("maxTimeMS")).map(_.toLong).filter(_ > 0)
     val readPreference = options.getOrDefault("readPreference", "primary")
     val startOffset = options.getOrDefault("startOffset", "0").toLong
-    new MemScanBuilder(collection, schema, maxTimeMs, readPreference, startOffset)
+    val maxRowsPerTrigger =
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong).filter(_ > 0)
+    new MemScanBuilder(collection, schema, maxTimeMs, readPreference,
+      startOffset, maxRowsPerTrigger)
   }
 }
 
@@ -197,14 +201,16 @@ class MemScanBuilder(
     fullSchema: StructType,
     maxTimeMs: Option[Long],
     readPreference: String,
-    startOffset: Long)
+    startOffset: Long,
+    maxRowsPerTrigger: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var topNKeys: Seq[(String, Boolean)] = Nil
+  private var offset: Int = 0
 
   /** Accept what the store can evaluate; hand the rest back to Spark
     * (Catalyst keeps a residual Filter node for those). */
@@ -252,9 +258,16 @@ class MemScanBuilder(
     }
   }
 
+  /** The reference's cursor `skip` (storage.scala:320-324). Unlike
+    * limit/topN there is no "partially pushed" escape hatch — accepting
+    * means applying the offset EXACTLY, so [[MemScan]] plans ONE partition
+    * when an offset is pushed (a cursor with skip IS one cursor; the
+    * store's sort/filter/skip then all run globally). */
+  override def pushOffset(n: Int): Boolean = { offset = n; true }
+
   override def build(): Scan =
     new MemScan(collection, fullSchema, required, pushed, maxTimeMs,
-      readPreference, limit, topNKeys, startOffset)
+      readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger)
 }
 
 class MemScan(
@@ -266,7 +279,9 @@ class MemScan(
     readPreference: String,
     limit: Option[Int],
     topNKeys: Seq[(String, Boolean)],
-    startOffset: Long) extends Scan with Batch {
+    offset: Int,
+    startOffset: Long,
+    maxRowsPerTrigger: Option[Long] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -275,13 +290,19 @@ class MemScan(
       maxTimeMs.map(ms => s", maxTimeMS: $ms").getOrElse("") +
       s", readPreference: $readPreference" +
       limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      (if (offset == 0) "" else s", PushedOffset: $offset") +
       (if (topNKeys.isEmpty) ""
        else s", PushedTopN: ${topNKeys.map { case (f, d) =>
          s"$f ${if (d) "DESC" else "ASC"}" }.mkString(", ")}")
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    MemScan.slicePartitions(collection, 0, MemStore.rowsOf(collection).length)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = MemStore.rowsOf(collection).length
+    // a pushed offset must be applied exactly (no partial-push contract),
+    // which requires ONE global cursor — the reference's skip shape anyway
+    if (offset > 0) Array(MemInputPartition(collection, 0, n))
+    else MemScan.slicePartitions(collection, 0, n)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     MemStore.lastPushed(collection) = pushed.toSeq
@@ -289,16 +310,20 @@ class MemScan(
       maxTimeMs.map(ms => "maxTimeMS" -> ms.toString).toMap +
         ("readPreference" -> readPreference)
     limit.foreach(MemStore.lastLimit(collection) = _)
+    if (offset > 0) MemStore.lastOffset(collection) = offset
     if (topNKeys.nonEmpty)
       MemStore.lastTopN(collection) = (topNKeys, limit.getOrElse(Int.MaxValue))
     MemStore.served(collection) = new java.util.concurrent.atomic.AtomicLong(0L)
-    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit, topNKeys)
+    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit,
+      topNKeys, offset)
   }
 
+  // the pushed OFFSET never reaches the stream path (streaming plans have
+  // no Offset operator); the stream's own resume position is startOffset
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MemMicroBatchStream(collection, fullSchema, required, pushed,
-      maxTimeMs, limit, topNKeys, startOffset)
+      maxTimeMs, limit, topNKeys, startOffset, maxRowsPerTrigger)
 }
 
 object MemScan {
@@ -329,11 +354,12 @@ class MemMicroBatchStream(
     maxTimeMs: Option[Long],
     limit: Option[Int],
     topNKeys: Seq[(String, Boolean)],
-    startOffset: Long)
+    startOffset: Long,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
   // AvailableNow: pin the end bound ONCE at query start so the run
   // terminates even if the store keeps growing mid-run
@@ -346,13 +372,23 @@ class MemMicroBatchStream(
     MemOffset(math.min(startOffset, MemStore.rowsOf(collection).length.toLong))
   override def latestOffset(): Offset =
     MemOffset(availableNowEnd.getOrElse(MemStore.rowsOf(collection).length.toLong))
-  // SupportsAdmissionControl entry point (SupportsTriggerAvailableNow
-  // extends it): the store slice is served whole per micro-batch — rate
-  // limiting is the file-source gates' concern, not the cursor's
-  override def latestOffset(
-      start: Offset,
-      readLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+  // SupportsAdmissionControl (SupportsTriggerAvailableNow extends it):
+  // the `maxRowsPerTrigger` reader option becomes the default ReadLimit —
+  // T2 backpressure STORE-SIDE, the demand-driven paging of the
+  // reference's async stages (storage.scala:149,172-180): each
+  // micro-batch admits at most that many offsets, and AvailableNow loops
+  // bounded batches until the pinned end bound is drained.
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val end = latestOffset().asInstanceOf[MemOffset].index
+    readLimit match {
+      case mr: ReadMaxRows =>
+        MemOffset(math.min(end, start.asInstanceOf[MemOffset].index + mr.maxRows()))
+      case _ => MemOffset(end)
+    }
+  }
   override def deserializeOffset(json: String): Offset = MemOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -382,7 +418,8 @@ class MemReaderFactory(
     pushed: Array[Filter],
     maxTimeMs: Option[Long],
     limit: Option[Int] = None,
-    topNKeys: Seq[(String, Boolean)] = Nil) extends PartitionReaderFactory {
+    topNKeys: Seq[(String, Boolean)] = Nil,
+    offset: Int = 0) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
@@ -411,7 +448,10 @@ class MemReaderFactory(
         val ordered =
           if (topNKeys.isEmpty) filtered
           else filtered.toArray.sorted(MemStore.ordering(fullSchema, topNKeys)).iterator
-        val bounded = limit.fold(ordered)(n => ordered.take(n))
+        // cursor skip: exact-push contract, runs on the single global
+        // cursor MemScan plans whenever an offset was accepted
+        val skipped = if (offset > 0) ordered.drop(offset) else ordered
+        val bounded = limit.fold(skipped)(n => skipped.take(n))
         bounded
           .map { r =>
             MemStore.served.get(p.collection).foreach(_.incrementAndGet())

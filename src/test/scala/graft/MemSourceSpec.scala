@@ -209,6 +209,33 @@ class MemSourceSpec extends AnyFunSuite {
       "computed sort key must not be pushed")
   }
 
+  test("offset (skip) pushdown: one global cursor, exact paging with sort+limit") {
+    // plain skip: the store applies it exactly (no partial-push contract
+    // for offset), so the scan collapses to one cursor partition
+    MemStore.lastOffset.remove("programmers")
+    val skipped = load("programmers").offset(90)
+    assert(skipped.count() === 10)
+    assert(MemStore.lastOffset.get("programmers").contains(90),
+      s"offset not pushed: ${MemStore.lastOffset.get("programmers")}")
+    assert(skipped.rdd.getNumPartitions === 1,
+      "a pushed offset requires the single-cursor plan")
+    // the reference's full cursor triple sort+skip+limit as one page:
+    // the SORT and LIMIT reach the cursor (pushed topN); the skip stays
+    // Spark-side here BY DESIGN — DSv2 only pushes an offset past a
+    // FULLY-pushed sort (no partial-push contract for offset), and our
+    // topN is partially pushed so each shard cursor can prune in
+    // parallel. Result is exact either way.
+    MemStore.lastOffset.remove("programmers")
+    MemStore.lastTopN.remove("programmers")
+    val page = load("programmers").orderBy(col("name")).offset(3).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val expected = MemStore.rowsOf("programmers").map(_.getString(0))
+      .sorted.slice(3, 8).toSeq
+    assert(page === expected)
+    val (keys, _) = MemStore.lastTopN.getOrElse("programmers", (Nil, 0))
+    assert(keys === Seq(("name", false)), s"paging sort must reach the cursor: $keys")
+  }
+
   test("S3/S4 streaming offset resume over the store: startOffset honored, restart exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
