@@ -789,9 +789,11 @@ object StreamGates {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // 20% feed: micro-batch count (= feed/1000) stays bench-honest at
+      // sf0.1 (~20 bounded batches) while sf0.01 still yields 2 batches
       val feed = t(ss, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .where(pmod(col("event_id"), lit(5)) < 2).orderBy("event_id")
+        .where(pmod(col("event_id"), lit(5)) < 1).orderBy("event_id")
       val coll = "evbp" + dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.sources.mem.MemStore.register(coll, feed)
       val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
@@ -829,7 +831,7 @@ object StreamGates {
     // bounded admission in offset order: batch i holds ranks
     // [i*1000, (i+1)*1000) of the registered feed
     "t_stream_mem_backpressure" ->
-      """WITH f AS (SELECT event_id FROM events WHERE event_id % 5 < 2),
+      """WITH f AS (SELECT event_id FROM events WHERE event_id % 5 < 1),
               r AS (SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn FROM f)
          SELECT CAST(rn // 1000 AS BIGINT) AS batch_id, COUNT(*) AS n_rows
          FROM r GROUP BY 1""",
