@@ -76,6 +76,15 @@ object MemStore {
     * pruned under a pushed limit instead of serving everything. */
   val served = TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
 
+  /** Runtime (DPP) filters per (collection, scanId): `Scan.filter` runs
+    * AFTER `createReaderFactory` in BatchScanExec's lazy evaluation
+    * order, so the factory cannot capture them by value — readers consult
+    * this channel at `createReader` time (executed after the dynamic
+    * subquery resolves). Keyed by scan identity so a stale entry from a
+    * previous query can never leak into a new scan. In-process only, like
+    * the rest of the store. */
+  val runtimeFilters = TrieMap[(String, String), Seq[Filter]]()
+
   def register(name: String, df: DataFrame): Unit =
     collections(name) = (df.schema, df.collect())
 
@@ -191,8 +200,16 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
     val startOffset = options.getOrDefault("startOffset", "0").toLong
     val maxRowsPerTrigger =
       Option(options.get("maxRowsPerTrigger")).map(_.toLong).filter(_ > 0)
+    // O5 clustering order, declared: "col[ desc][,col...]" — the caller's
+    // promise that the collection is registered in this order (a real
+    // store guarantees it by construction: Cassandra clustering columns)
+    val orderedBy: Seq[(String, Boolean)] =
+      Option(options.get("orderedBy")).toSeq.flatMap(_.split(",")).map { s =>
+        val parts = s.trim.split("\\s+")
+        (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
+      }
     new MemScanBuilder(collection, schema, maxTimeMs, readPreference,
-      startOffset, maxRowsPerTrigger)
+      startOffset, maxRowsPerTrigger, orderedBy)
   }
 }
 
@@ -202,7 +219,8 @@ class MemScanBuilder(
     maxTimeMs: Option[Long],
     readPreference: String,
     startOffset: Long,
-    maxRowsPerTrigger: Option[Long])
+    maxRowsPerTrigger: Option[Long],
+    orderedBy: Seq[(String, Boolean)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset {
 
@@ -267,7 +285,8 @@ class MemScanBuilder(
 
   override def build(): Scan =
     new MemScan(collection, fullSchema, required, pushed, maxTimeMs,
-      readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger)
+      readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger,
+      orderedBy)
 }
 
 class MemScan(
@@ -281,7 +300,57 @@ class MemScan(
     topNKeys: Seq[(String, Boolean)],
     offset: Int,
     startOffset: Long,
-    maxRowsPerTrigger: Option[Long] = None) extends Scan with Batch {
+    maxRowsPerTrigger: Option[Long] = None,
+    orderedBy: Seq[(String, Boolean)] = Nil)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportOrdering with SupportsRuntimeFiltering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection}
+
+  /** O5 — the declared clustering order, reported per partition: the
+    * store's range-slice cursors each serve rows in registration order,
+    * so a whole-collection order holds within every slice. Spark elides
+    * per-partition sorts on it (plan-asserted in MemSourceSpec); a GLOBAL
+    * orderBy still range-exchanges unless the scan is the single-cursor
+    * form, exactly as a real clustered store behaves. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderedBy.map { case (f, desc) =>
+      Expressions.sort(Expressions.column(f),
+        if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING)
+    }.toArray
+
+  /** Runtime (DPP-style) filtering: at execution time Spark hands the
+    * scan the join side's actual keys (e.g. an IN list from a broadcast
+    * dimension); the store evaluates them cursor-side like any pushed
+    * filter — the connector analog of dynamic partition pruning, and the
+    * 100 TB lever that keeps a fact-scan from reading rows a selective
+    * join will drop anyway. */
+  // only columns surviving projection pruning: Spark resolves these
+  // against the scan OUTPUT, so a pruned-away column here is an
+  // AnalysisException at planning
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val accepted = filters.filter(MemStore.supported)
+    MemStore.runtimeFilters((collection, scanId)) = accepted.toSeq
+  }
+
+  private val scanId = java.util.UUID.randomUUID().toString
+
+  /** Store-reported statistics — without these Spark assumes
+    * `defaultSizeInBytes` (effectively infinite) for a DSv2 relation and
+    * will never broadcast a connector-backed dimension table; with them,
+    * join planning (and AQE) treat the store like any sized relation. A
+    * real connector serves these from collection metadata
+    * (collStats/system tables); row width is estimated from the pruned
+    * read schema. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = MemStore.rowsOf(collection).length.toLong
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * math.max(1, required.defaultSize).toLong)
+  }
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -315,7 +384,7 @@ class MemScan(
       MemStore.lastTopN(collection) = (topNKeys, limit.getOrElse(Int.MaxValue))
     MemStore.served(collection) = new java.util.concurrent.atomic.AtomicLong(0L)
     new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit,
-      topNKeys, offset)
+      topNKeys, offset, Some(scanId))
   }
 
   // the pushed OFFSET never reaches the stream path (streaming plans have
@@ -419,10 +488,18 @@ class MemReaderFactory(
     maxTimeMs: Option[Long],
     limit: Option[Int] = None,
     topNKeys: Seq[(String, Boolean)] = Nil,
-    offset: Int = 0) extends PartitionReaderFactory {
+    offset: Int = 0,
+    scanId: Option[String] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
+    // runtime (DPP) filters land after factory construction — pick them
+    // up here (createReader runs once the dynamic subquery has resolved)
+    val runtime = scanId
+      .flatMap(id => MemStore.runtimeFilters.get((p.collection, id)))
+      .getOrElse(Nil)
+    val allPushed = pushed ++ runtime
+    if (runtime.nonEmpty) MemStore.lastPushed(p.collection) = allPushed.toSeq
     val mode = MemStore.failureModes.get(p.collection)
     if (mode.contains(MemStore.CursorError))
       throw new java.io.IOException(
@@ -441,7 +518,7 @@ class MemReaderFactory(
         val filtered = MemStore.rowsOf(p.collection)
           .slice(p.start, p.end)
           .iterator
-          .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _))) // store-side
+          .filter(r => allPushed.forall(MemStore.eval(r, fullSchema, _))) // store-side
         // cursor-side sort/limit (reference storage.scala:320-324): this
         // shard's cursor orders by the pushed keys and serves at most
         // `limit` rows; Spark's retained global TopN/limit makes it exact

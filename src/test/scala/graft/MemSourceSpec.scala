@@ -236,6 +236,59 @@ class MemSourceSpec extends AnyFunSuite {
     assert(keys === Seq(("name", false)), s"paging sort must reach the cursor: $keys")
   }
 
+  test("store-reported statistics let Spark broadcast a connector dimension") {
+    import spark.implicits._
+    MemStore.register("stats_dim", (0 until 20).map(i => (i, s"d$i")).toDF("dk", "dv"))
+    val fact = spark.range(0L, 20000L).select((col("id") % 20).cast("int").as("fk"))
+    val joined = fact.join(load("stats_dim"), col("fk") === col("dk"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"20-row store relation with reported stats must broadcast:\n${plan.take(1200)}")
+    assert(joined.count() === 20000L)
+  }
+
+  test("O5 declared clustering order elides the per-partition sort") {
+    import spark.implicits._
+    val sorted = (0 until 100).map(i => (f"k$i%03d", i)).toDF("name", "v")
+    MemStore.register("clustered", sorted)
+    val ordered = spark.read.format(fmt).option("collection", "clustered")
+      .option("orderedBy", "name").load()
+      .sortWithinPartitions("name")
+    val planOrdered = ordered.queryExecution.executedPlan.toString
+    assert(!planOrdered.contains("Sort "),
+      s"declared clustering order must elide the sort:\n${planOrdered.take(1200)}")
+    // rows really are served in order within each cursor
+    assert(ordered.collect().map(_.getString(0)).toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true })
+    // without the declaration the sort stays
+    val undeclared = load("clustered").sortWithinPartitions("name")
+    assert(undeclared.queryExecution.executedPlan.toString.contains("Sort "),
+      "undeclared order must keep the sort")
+  }
+
+  test("runtime (DPP-style) filtering reaches the store at execution") {
+    import spark.implicits._
+    MemStore.register("rt_fact",
+      (0 until 1000).map(i => (i % 50, s"p$i")).toDF("k", "payload"))
+    MemStore.register("rt_dim",
+      (0 until 50).map(i => (i, s"b${i % 10}")).toDF("dk", "bucket"))
+    MemStore.lastPushed.remove("rt_fact")
+    // selective dim filter + equi-join: Spark injects the dim's keys into
+    // the fact scan at execution (SupportsRuntimeFiltering). The dim
+    // predicate must NOT be store-pushable (endsWith is outside
+    // MemStore.supported): a fully absorbed filter leaves no Filter node
+    // for the DPP rule's selectivity check — same reason file-source DPP
+    // keys off post-scan dim filters.
+    val n = load("rt_fact")
+      .join(load("rt_dim").where(col("bucket").endsWith("3")),
+        col("k") === col("dk"))
+      .count()
+    assert(n === 100, s"5 dim keys x 20 fact rows each, got $n")
+    val pushed = MemStore.lastPushed.getOrElse("rt_fact", Nil).map(_.toString)
+    assert(pushed.exists(f => f.startsWith("In(") || f.contains("k")),
+      s"expected a runtime key filter store-side, got: $pushed")
+  }
+
   test("S3/S4 streaming offset resume over the store: startOffset honored, restart exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
