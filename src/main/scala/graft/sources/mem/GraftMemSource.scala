@@ -76,6 +76,10 @@ object MemStore {
     * pruned under a pushed limit instead of serving everything. */
   val served = TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
 
+  /** Aggregate specs a scan pushed store-side (instrumentation, like
+    * `lastPushed`): (group columns, rendered agg functions). */
+  val lastAgg = TrieMap[String, (Seq[String], Seq[String])]()
+
   /** Runtime (DPP) filters per (collection, scanId): `Scan.filter` runs
     * AFTER `createReaderFactory` in BatchScanExec's lazy evaluation
     * order, so the factory cannot capture them by value — readers consult
@@ -169,6 +173,43 @@ object MemStore {
     }
 }
 
+/** A cursor-side aggregate: the store computes PARTIAL aggregates per
+  * shard cursor (the Mongo aggregation-pipeline shape); Spark's retained
+  * final aggregation merges the partials, so results are exact under any
+  * sharding. */
+sealed trait MemAgg { def resultType(schema: StructType): org.apache.spark.sql.types.DataType }
+object MemAgg {
+  import org.apache.spark.sql.types._
+  case object CountAll extends MemAgg {
+    def resultType(s: StructType): DataType = LongType
+  }
+  final case class CountCol(col: String) extends MemAgg {
+    def resultType(s: StructType): DataType = LongType
+  }
+  final case class MinCol(col: String) extends MemAgg {
+    def resultType(s: StructType): DataType = s(col).dataType
+  }
+  final case class MaxCol(col: String) extends MemAgg {
+    def resultType(s: StructType): DataType = s(col).dataType
+  }
+  final case class SumCol(col: String) extends MemAgg {
+    // Spark's sum result types: integral -> long, fractional -> double
+    def resultType(s: StructType): DataType = s(col).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case FloatType | DoubleType => DoubleType
+      case dt => dt
+    }
+  }
+
+  def render(a: MemAgg): String = a match {
+    case CountAll => "count(*)"
+    case CountCol(c) => s"count($c)"
+    case MinCol(c) => s"min($c)"
+    case MaxCol(c) => s"max($c)"
+    case SumCol(c) => s"sum($c)"
+  }
+}
+
 class GraftMemSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     MemStore.schemaOf(options.get("collection"))
@@ -222,13 +263,56 @@ class MemScanBuilder(
     maxRowsPerTrigger: Option[Long],
     orderedBy: Seq[(String, Boolean)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset {
+    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var topNKeys: Seq[(String, Boolean)] = Nil
   private var offset: Int = 0
+  private var aggPushed: Option[(Seq[String], Seq[MemAgg])] = None
+
+  /** Cursor-side aggregation, PARTIAL (the scalable shape: each shard
+    * cursor ships one partial row per group instead of its raw rows, and
+    * Spark's retained final aggregate merges them — exact under any
+    * sharding, the same contract as map-side combine). Complete pushdown
+    * is declined so correctness never depends on the store seeing all
+    * shards. Supported: group-by on plain columns; count(*)/count(col)/
+    * min/max/sum(col) without DISTINCT — anything else falls back to the
+    * row-serving path. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (limit.isDefined || offset > 0 || topNKeys.nonEmpty) return false
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val groups = agg.groupByExpressions().toSeq.map(ref)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(MemAgg.CountAll)
+      case c: Count if !c.isDistinct => ref(c.column()).map(MemAgg.CountCol)
+      case m: Min => ref(m.column()).map(MemAgg.MinCol)
+      case m: Max => ref(m.column()).map(MemAgg.MaxCol)
+      case s: Sum if !s.isDistinct =>
+        ref(s.column()).filter { c =>
+          import org.apache.spark.sql.types._
+          Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+            .contains(fullSchema(c).dataType)
+        }.map(MemAgg.SumCol)
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    aggPushed = Some((groups.flatten, funcs.flatten))
+    true
+  }
 
   /** Accept what the store can evaluate; hand the rest back to Spark
     * (Catalyst keeps a residual Filter node for those). */
@@ -247,7 +331,10 @@ class MemScanBuilder(
     * partitions (≈ a shard cursor) serves at most `limit` rows — Spark
     * keeps the global limit/sort on top, so results are exact while the
     * store prunes what it ships. */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    // truncating PARTIAL aggregates would be wrong — row-level cursor
+    // limits only apply on the row-serving path
+    if (aggPushed.isDefined) false else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   override def pushTopN(
@@ -268,7 +355,7 @@ class MemScanBuilder(
         case _ => None
       }
     }
-    if (keys.exists(_.isEmpty)) false
+    if (keys.exists(_.isEmpty) || aggPushed.isDefined) false
     else {
       topNKeys = keys.flatten
       limit = Some(n)
@@ -281,12 +368,13 @@ class MemScanBuilder(
     * means applying the offset EXACTLY, so [[MemScan]] plans ONE partition
     * when an offset is pushed (a cursor with skip IS one cursor; the
     * store's sort/filter/skip then all run globally). */
-  override def pushOffset(n: Int): Boolean = { offset = n; true }
+  override def pushOffset(n: Int): Boolean =
+    if (aggPushed.isDefined) false else { offset = n; true }
 
   override def build(): Scan =
     new MemScan(collection, fullSchema, required, pushed, maxTimeMs,
       readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger,
-      orderedBy)
+      orderedBy, aggPushed)
 }
 
 class MemScan(
@@ -301,9 +389,22 @@ class MemScan(
     offset: Int,
     startOffset: Long,
     maxRowsPerTrigger: Option[Long] = None,
-    orderedBy: Seq[(String, Boolean)] = Nil)
+    orderedBy: Seq[(String, Boolean)] = Nil,
+    agg: Option[(Seq[String], Seq[MemAgg])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering {
+
+  /** Output schema of a pushed aggregation: group columns (their stored
+    * types) then one column per aggregate in its Spark result type —
+    * matched positionally by the engine's rewritten final aggregate. */
+  private lazy val aggSchema: Option[StructType] = agg.map { case (groups, funcs) =>
+    StructType(
+      groups.map(g => fullSchema(g).copy(name = s"group_$g")) ++
+        funcs.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.types.StructField(
+            s"agg_$i", f.resultType(fullSchema), nullable = true)
+        })
+  }
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection}
 
@@ -352,7 +453,7 @@ class MemScan(
       java.util.OptionalLong.of(n * math.max(1, required.defaultSize).toLong)
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggSchema.getOrElse(required)
   override def description(): String =
     s"graft-mem:$collection PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}" +
@@ -362,7 +463,11 @@ class MemScan(
       (if (offset == 0) "" else s", PushedOffset: $offset") +
       (if (topNKeys.isEmpty) ""
        else s", PushedTopN: ${topNKeys.map { case (f, d) =>
-         s"$f ${if (d) "DESC" else "ASC"}" }.mkString(", ")}")
+         s"$f ${if (d) "DESC" else "ASC"}" }.mkString(", ")}") +
+      agg.map { case (g, fs) =>
+        s", PushedAggregates: [${fs.map(MemAgg.render).mkString(", ")}]" +
+          (if (g.isEmpty) "" else s", PushedGroupBy: [${g.mkString(", ")}]")
+      }.getOrElse("")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -383,8 +488,14 @@ class MemScan(
     if (topNKeys.nonEmpty)
       MemStore.lastTopN(collection) = (topNKeys, limit.getOrElse(Int.MaxValue))
     MemStore.served(collection) = new java.util.concurrent.atomic.AtomicLong(0L)
-    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit,
-      topNKeys, offset, Some(scanId))
+    agg match {
+      case Some((groups, funcs)) =>
+        MemStore.lastAgg(collection) = (groups, funcs.map(MemAgg.render))
+        new MemAggReaderFactory(fullSchema, aggSchema.get, pushed, groups, funcs)
+      case None =>
+        new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit,
+          topNKeys, offset, Some(scanId))
+    }
   }
 
   // the pushed OFFSET never reaches the stream path (streaming plans have
@@ -476,6 +587,74 @@ class MemMicroBatchStream(
 case class MemOffset(index: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = index.toString
+}
+
+/** Partial-aggregate cursor: each store slice groups its FILTERED rows and
+  * ships one partial row per group (count/min/max/sum partials) — the
+  * map-side-combine contract; Spark's retained final aggregate merges
+  * partials across cursors, so results are exact under any sharding. A
+  * GLOBAL aggregation (no group columns) emits exactly one partial row
+  * even for an empty slice: the engine's final merge is a SUM over
+  * partial counts, and an all-empty store must still yield count = 0,
+  * not NULL. */
+class MemAggReaderFactory(
+    fullSchema: StructType,
+    aggSchema: StructType,
+    pushed: Array[Filter],
+    groups: Seq[String],
+    funcs: Seq[MemAgg]) extends PartitionReaderFactory {
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (a: Number, b: Number) =>
+      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
+  }
+
+  private def aggVals(rs: Seq[Row]): Seq[Any] = funcs.map {
+    case MemAgg.CountAll => rs.length.toLong
+    case MemAgg.CountCol(c) =>
+      val i = fullSchema.fieldIndex(c); rs.count(_.get(i) != null).toLong
+    case MemAgg.MinCol(c) =>
+      val i = fullSchema.fieldIndex(c)
+      val vs = rs.map(_.get(i)).filter(_ != null)
+      if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+    case MemAgg.MaxCol(c) =>
+      val i = fullSchema.fieldIndex(c)
+      val vs = rs.map(_.get(i)).filter(_ != null)
+      if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+    case s @ MemAgg.SumCol(c) =>
+      val i = fullSchema.fieldIndex(c)
+      val vs = rs.map(_.get(i)).filter(_ != null).map(_.asInstanceOf[Number])
+      if (vs.isEmpty) null
+      else if (s.resultType(fullSchema) == org.apache.spark.sql.types.LongType)
+        Long.box(vs.map(_.longValue()).sum)
+      else Double.box(vs.map(_.doubleValue()).sum)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MemInputPartition]
+    val rows = MemStore.rowsOf(p.collection)
+      .slice(p.start, p.end)
+      .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _)))
+      .toSeq
+    val gIdx = groups.map(fullSchema.fieldIndex)
+    val partials: Iterator[Row] =
+      if (groups.isEmpty) Iterator(Row.fromSeq(aggVals(rows)))
+      else rows.groupBy(r => gIdx.map(r.get)).iterator
+        .map { case (k, rs) => Row.fromSeq(k ++ aggVals(rs)) }
+    val toInternal = ExpressionEncoder(RowEncoder.encoderFor(aggSchema))
+      .createSerializer()
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (partials.hasNext) {
+          MemStore.served.get(p.collection).foreach(_.incrementAndGet())
+          current = toInternal(partials.next()).copy(); true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class MemInputPartition(collection: String, start: Int, end: Int)

@@ -289,6 +289,48 @@ class MemSourceSpec extends AnyFunSuite {
       s"expected a runtime key filter store-side, got: $pushed")
   }
 
+  test("aggregate pushdown: partial group-by served cursor-side, exact merge") {
+    MemStore.lastAgg.remove("programmers")
+    val raw = MemStore.rowsOf("programmers").map(r => (r.getInt(1), r.getString(0)))
+    val expected = raw.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).max) }
+    val gotTriples = load("programmers").groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("name")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(gotTriples === expected)
+    val (g, fs) = MemStore.lastAgg.getOrElse("programmers", (Nil, Nil))
+    assert(g === Seq("lang") && fs.exists(_.startsWith("count")) &&
+      fs.exists(_.startsWith("max")), s"agg not pushed: groups=$g funcs=$fs")
+    // the store shipped partials (≤ 4 slices × 5 langs), not 100 rows
+    val served = MemStore.served.get("programmers").map(_.get()).getOrElse(-1L)
+    assert(served > 0 && served <= 20, s"store served $served partial rows")
+  }
+
+  test("aggregate pushdown: global aggregates, empty-store count is 0 not NULL") {
+    import spark.implicits._
+    MemStore.lastAgg.remove("programmers")
+    val row = load("programmers")
+      .agg(count(lit(1)).as("n"), sum(col("lang")).as("s"), min(col("name")).as("mn"))
+      .head()
+    val raw = MemStore.rowsOf("programmers")
+    assert(row.getLong(0) === raw.length.toLong)
+    assert(row.getLong(1) === raw.map(_.getInt(1).toLong).sum)
+    assert(row.getString(2) === raw.map(_.getString(0)).min)
+    assert(MemStore.lastAgg.contains("programmers"))
+    // empty store: a pushed global count must still be 0 (each cursor
+    // ships one partial row even when its slice is empty)
+    MemStore.register("agg_empty", Seq.empty[(Int, String)].toDF("id", "v"))
+    val e = spark.read.format(fmt).option("collection", "agg_empty").load()
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn")).head()
+    assert(e.getLong(0) === 0L && e.isNullAt(1))
+    // DISTINCT declines pushdown but stays exact via the row path
+    MemStore.lastAgg.remove("programmers")
+    val d = load("programmers").agg(countDistinct(col("lang"))).head().getLong(0)
+    assert(d === 5L)
+    assert(!MemStore.lastAgg.contains("programmers"),
+      "distinct aggregates must not push")
+  }
+
   test("S3/S4 streaming offset resume over the store: startOffset honored, restart exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
