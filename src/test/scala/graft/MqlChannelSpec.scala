@@ -147,6 +147,47 @@ class MqlChannelSpec extends AnyFunSuite {
       s"$$or must evaluate store-side, got: $pushed")
   }
 
+  test("channel sort+limit reaches the store CURSOR through the builder (reference storage.scala:320-324)") {
+    import spark.implicits._
+    import graft.sources.mem.MemStore
+    MemStore.register("cursor_langs", Seq(
+      (0, "Java", 30), (1, "C++", 20), (2, "ObjectiveC", 10),
+      (3, "Scala", 90), (4, "Groovy", 50))
+      .toDF("index", "name", "popularity_factor"))
+    MemStore.lastTopN.remove("cursor_langs")
+    val got = Channel.create(spark, sfDir) { b =>
+      b.q("""{ "popularity_factor": { "$gte": 20 } }""")
+      b.memCollection("cursor_langs")
+      b.sort("popularity_factor" -> graft.dsl.Order.Descending)
+      b.limit(2)
+    }.select("name").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("Scala", "Groovy"))
+    // the full reference cursor shape arrived store-side: the sort AND
+    // the limit ride the cursor (TopN pushdown), not the client
+    val (keys, n) = MemStore.lastTopN.getOrElse("cursor_langs", (Nil, 0))
+    assert(keys === Seq(("popularity_factor", true)) && n === 2,
+      s"channel sort/limit must reach the cursor: keys=$keys n=$n")
+    val pushed = MemStore.lastPushed.getOrElse("cursor_langs", Nil).map(_.toString)
+    assert(pushed.exists(_.contains("GreaterThanOrEqual")),
+      s"the MQL filter must also ride the cursor: $pushed")
+  }
+
+  test("channel skip pushes to the store cursor on the unsorted path") {
+    import spark.implicits._
+    import graft.sources.mem.MemStore
+    MemStore.register("skip_langs",
+      (0 until 40).map(i => (i, s"lang_$i")).toDF("index", "name"))
+    MemStore.lastOffset.remove("skip_langs")
+    val got = Channel.create(spark, sfDir) { b =>
+      b.q("""{ "index": { "$gte": 0 } }""")
+      b.memCollection("skip_langs")
+      b.skip(30)
+    }.count()
+    assert(got === 10)
+    assert(MemStore.lastOffset.get("skip_langs").contains(30),
+      s"channel skip must reach the cursor: ${MemStore.lastOffset.get("skip_langs")}")
+  }
+
   test("channel repeat-execution determinism (reference ids ++ ids ++ ids)") {
     def run() = Channel.create(spark, sfDir) { b =>
       b.q("""{ "l_quantity": { "$gte": 49 } }""")
