@@ -264,9 +264,31 @@ class MemScanBuilder(
     orderedBy: Seq[(String, Boolean)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownV2Filters {
 
   private var pushed: Array[Filter] = Array.empty
+  private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  /** V2 predicate pushdown — when a ScanBuilder implements this, Spark
+    * prefers it over the V1 `pushFilters` path. The store's evaluator
+    * speaks V1 Filters, so each predicate converts through Spark's own
+    * `PredicateUtils.toV1`; anything that doesn't convert to a supported
+    * V1 form stays Spark-side as a residual — identical accept set to the
+    * V1 path, one evaluator. */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    import org.apache.spark.sql.GraftPredicateBridge
+    val (sup, unsup) = predicates.partition { p =>
+      GraftPredicateBridge.toV1(p).exists(MemStore.supported(_))
+    }
+    pushedV2 = sup
+    pushed = sup.flatMap(p => GraftPredicateBridge.toV1(p))
+    unsup
+  }
+  override def pushedPredicates(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushedV2
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var topNKeys: Seq[(String, Boolean)] = Nil
