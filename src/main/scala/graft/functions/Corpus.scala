@@ -567,6 +567,14 @@ object Corpus {
       .orderBy(col("rank").asc)
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1)))
+    // each merge is one nested replace in a single expression tree; past
+    // ~2k the generated plan (and any engine replaying it) degrades —
+    // production-size merge lists (32k+) belong in a trie/automaton
+    // encoder, not a chained-replace expression. Fail loudly rather than
+    // let codegen fall over mid-job.
+    require(ms.length <= 2048,
+      s"bpeEncode: merge list of ${ms.length} exceeds the chained-replace " +
+        "expression budget (2048); use a smaller numMerges")
     val (o, c) = (BpeOpen, BpeClose)
     def encodeWord(w: Column): Column = {
       // Spark's split keeps trailing empties (Java Pattern.split limit -1)

@@ -101,6 +101,45 @@ class BpeSpec extends AnyFunSuite {
     assert(out.getLong(1) === subs.length.toLong)
   }
 
+  test("property: encode == independent greedy application on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet maximizes repeated pairs (the regime where greedy
+    // order and overlap handling can diverge); each case runs Spark jobs,
+    // so few-but-dense cases (the DslPropertySpec discipline)
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 8).flatMap(w =>
+        Gen.listOfN(w, word).map(_.mkString(" ")))))
+    val prop = Prop.forAll(corpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = Corpus.bpeTrain(df, "text", numMerges = 6)
+      val ms = merges.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = Corpus.bpeEncode(df, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val words = t.split(" ").filter(_.nonEmpty).toSeq
+        val expected = words.flatMap(w => applyMerges(w, ms))
+        if (words.isEmpty) !enc.contains(i.toLong)
+        else enc(i.toLong) == expected && expected.mkString == words.mkString
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"bpe property failed: ${res.status}")
+  }
+
+  test("bpeEncode refuses merge lists past the chained-replace budget") {
+    import org.apache.spark.sql.functions.lit
+    val fake = (1 to 2049).map(i => (i, s"x$i", "y", s"x${i}y", 1L))
+      .toDF("rank", "left", "right", "merged", "pair_cnt")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.bpeEncode(tiny, "doc_id", "text", fake)
+    }
+    assert(e.getMessage.contains("2048"))
+  }
+
   test("bpe on the documents table: merges exist and encode is total") {
     val docs = SparkTestSession.table("documents").limit(50)
     val merges = Corpus.bpeTrain(docs, "text", numMerges = 10)
