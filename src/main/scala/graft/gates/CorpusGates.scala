@@ -98,6 +98,30 @@ object CorpusGates {
              tok_before % 512 AS bin_offset
       FROM r"""
 
+  /** The BPE encode chain reduced to per-source fertility sums: exact
+    * long sums, one double division per ratio — IEEE-identical across
+    * engines since both divide the same exact operands. */
+  private def bpeFertilityOracleSql(n: Int): String =
+    s"""WITH ${bpeChainSql(n)},
+        fin AS MATERIALIZED (SELECT w, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sub FROM w$n),
+        sdoc AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tk AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM sdoc),
+        tf AS MATERIALIZED (SELECT doc_id, pos, w FROM tk WHERE length(w) > 0),
+        j AS MATERIALIZED (SELECT tf.doc_id, f.sub FROM tf JOIN fin f ON tf.w = f.w),
+        e AS MATERIALIZED (SELECT doc_id, CAST(SUM(len(sub)) AS BIGINT) AS n_subtokens FROM j GROUP BY doc_id),
+        m AS MATERIALIZED (SELECT d.source,
+               CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS n_chars,
+               e.n_subtokens
+             FROM documents d JOIN e ON d.doc_id = e.doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_subtokens) AS BIGINT) AS subtokens,
+             CAST(SUM(n_words) AS BIGINT) AS words,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(n_subtokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility,
+             CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_subtokens) AS DOUBLE) AS chars_per_subtoken
+      FROM m GROUP BY source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- LLM-data-pipeline extensions (north star; SURVEY.md §7.2 M6) ----
@@ -492,6 +516,60 @@ object CorpusGates {
     }),
 
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    // literature): per LANGUAGE, documents split into head/middle/tail
+    // perplexity terciles — the quality-stratification step CCNet applies
+    // before keeping head+middle. Signals compose from already-proven
+    // operators (langId + the audit-form unigram cross-entropy); the
+    // tercile is an integer ntile over a per-language window — parallel
+    // across languages (CCNet's own deployment shards by language file; a
+    // single dominant language would bound the stage, in which case the
+    // approx-percentile threshold form replaces the exact window).
+    "corpus_ccnet_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val xent = TextAnalysis.unigramCrossEntropyAudit(docs, "doc_id", "text")
+      val lang = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("xent").asc, col("doc_id").asc)
+      xent.join(lang, Seq("doc_id"))
+        .withColumn("tercile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("xent"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
+
+    // Tokenizer fertility report: per source, subtokens-per-word and
+    // chars-per-subtoken over the trained BPE — the standard
+    // tokenizer-evaluation metric (a fertility spike on one source means
+    // the tokenizer underfits its distribution). Exact long sums per
+    // source (partial-aggregated), ONE double division per ratio — both
+    // engines divide the same exact sums, so the doubles are
+    // IEEE-identical.
+    "corpus_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = bpeN)
+      val enc = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+      val base = docs.select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
+      enc.join(base, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_subtokens")).as("subtokens"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("n_docs"), col("subtokens"), col("words"),
+          col("chars"),
+          (col("subtokens").cast("double") / col("words").cast("double"))
+            .as("fertility"),
+          (col("chars").cast("double") / col("subtokens").cast("double"))
+            .as("chars_per_subtoken"))
+    }),
+
+
     // END-TO-END BPE pretokenization: train merges → subword-encode every
     // document → pack per-doc subtoken counts into fixed 512-token bins —
     // the pipe_pretokenize lifecycle with a REAL subword tokenizer in
@@ -523,6 +601,46 @@ object CorpusGates {
     "corpus_bpe_train" -> bpeTrainOracleSql(bpeN),
     "corpus_bpe_encode" -> bpeEncodeOracleSql(bpeN),
     "pipe_bpe_pretokenize" -> bpePretokenizeOracleSql(bpeN),
+    "corpus_bpe_fertility" -> bpeFertilityOracleSql(bpeN),
+
+    // the text_perplexity xent CTE + the stratified-sample langid CASE,
+    // then the same per-language (xent, doc_id) tercile
+    "corpus_ccnet_buckets" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           tok AS (SELECT doc_id,
+                          unnest(range(1, len(ws) + 1)) AS pos,
+                          unnest(ws) AS w
+                   FROM s),
+           vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+           tot AS (SELECT COUNT(*) AS total FROM tok),
+           lp AS (SELECT doc_id, pos,
+                         -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS lp
+                  FROM tok JOIN vocab USING (w) CROSS JOIN tot),
+           g AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id),
+           x AS (SELECT doc_id,
+                        list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps) AS xent
+                 FROM g),
+           h AS (SELECT doc_id, text,
+                len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b')) AS de,
+                len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|de|que|pour)\b')) AS fr,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|un|una|que|de|por)\b')) AS es
+              FROM documents),
+           l AS (SELECT doc_id,
+                CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+                     WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+                     WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+                     WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+                     ELSE 'und' END AS lang
+              FROM h),
+           tcl AS (SELECT x.doc_id, l.lang, x.xent,
+                          ntile(3) OVER (PARTITION BY l.lang
+                                         ORDER BY x.xent ASC, x.doc_id ASC) AS t
+                   FROM x JOIN l USING (doc_id))
+         SELECT doc_id, lang, xent,
+                CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+         FROM tcl""",
 
     "pipe_clean_corpus" ->
       """WITH b AS (SELECT doc_id, text,
