@@ -85,4 +85,36 @@ object Channel {
     }
     q(source)
   }
+
+  /** STREAMING channel — the reference's channels are observables at heart
+    * (the DB query runs inside a scalaz-stream/Rx stream,
+    * channel/package.scala:265-319); this is that surface on Structured
+    * Streaming: the same builder validation, the same MQL predicate, but
+    * the source is the connector's MicroBatchStream, so the query is a
+    * continuous cursor with offset resume (`startOffset` = the reference's
+    * "resume the log from here"; checkpointed restarts are exactly-once —
+    * the s19/t_stream_restart machinery). Sort/limit/skip and maxTimeMS
+    * are batch-cursor concepts and are rejected fail-fast, like the
+    * reference's build() validation rejects inconsistent settings. */
+  def stream(spark: SparkSession, startOffset: Long = 0L)
+      (f: MutableBuilder => Unit): DataFrame = {
+    val b = new MutableBuilder
+    f(b)
+    b.parseError.foreach(e => throw new MqlParseException(e))
+    if (b.pred.isEmpty)
+      throw new IllegalArgumentException("Query is not set")
+    val mem = b.memCollectionName.getOrElse(
+      throw new IllegalArgumentException(
+        "Streaming channels read the connector: memCollection is not set"))
+    if (b.sortKeys.nonEmpty || b.limitN.isDefined || b.skipN.isDefined ||
+        b.maxTimeMs.isDefined)
+      throw new IllegalArgumentException(
+        "sort/limit/skip/maxTimeMS are cursor options; a streaming channel " +
+          "is an unbounded cursor (use startOffset to resume)")
+    var r = spark.readStream.format("graft.sources.mem.GraftMemSource")
+      .option("collection", mem)
+      .option("startOffset", startOffset.toString)
+    b.readPref.foreach(p => r = r.option("readPreference", p))
+    r.load().where(b.pred.get.column)
+  }
 }

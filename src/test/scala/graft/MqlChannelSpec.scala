@@ -188,6 +188,44 @@ class MqlChannelSpec extends AnyFunSuite {
       s"channel skip must reach the cursor: ${MemStore.lastOffset.get("skip_langs")}")
   }
 
+  test("streaming channel: MQL-filtered connector stream with offset resume") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.mem.MemStore
+    MemStore.register("stream_ch",
+      (0 until 40).map(i => (i, i % 4)).toDF("id", "grp"))
+    val ckpt = java.nio.file.Files.createTempDirectory("chstream-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("chstream-out").toString
+    def incarnation(): Unit = {
+      val src = Channel.stream(spark, startOffset = 8L) { b =>
+        b.q("""{ "grp": { "$in": [1, 3] } }""")
+        b.memCollection("stream_ch")
+      }
+      val q = src.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    incarnation()
+    val first = spark.read.parquet(out).select("id").collect().map(_.getInt(0)).sorted
+    assert(first.toSeq === (8 until 40).filter(i => i % 4 == 1 || i % 4 == 3),
+      "startOffset skips the replayed prefix; the MQL filter applies")
+    MemStore.append("stream_ch", (40 until 60).map(i => (i, i % 4)).toDF("id", "grp"))
+    incarnation()
+    val all = spark.read.parquet(out).select("id").collect().map(_.getInt(0)).sorted
+    assert(all.toSeq === (8 until 60).filter(i => i % 4 == 1 || i % 4 == 3),
+      "restart must deliver exactly the appended matches")
+    // batch-cursor options are rejected fail-fast on a streaming channel
+    val e = intercept[IllegalArgumentException] {
+      Channel.stream(spark) { b =>
+        b.q("""{ "grp": 1 }"""); b.memCollection("stream_ch"); b.limit(5)
+      }
+    }
+    assert(e.getMessage.contains("unbounded cursor"))
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
+  }
+
   test("channel repeat-execution determinism (reference ids ++ ids ++ ids)") {
     def run() = Channel.create(spark, sfDir) { b =>
       b.q("""{ "l_quantity": { "$gte": 49 } }""")
