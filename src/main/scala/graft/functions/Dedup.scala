@@ -540,6 +540,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — Broder's containment coefficient
+    * C(A in B) = |A∩B| / |A| on word-shingle sets: flags the inclusion
+    * dedup case symmetric Jaccard structurally misses (a short document
+    * quoted whole inside a long one has tiny Jaccard but containment ~1 —
+    * the dominant shape of eval-set contamination and boilerplate
+    * inclusion). Same machinery as [[ngramJaccardPairs]]: one persisted
+    * shingle pass, hash-keyed exact equi-self-join for intersections,
+    * per-pair division — both directions emitted, thresholded on the
+    * larger one. Scale posture identical to the Jaccard form (see
+    * [[jaccardPrefixPairs]] for the candidate-pruned discipline when
+    * boilerplate shingles dominate). */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val inter = exploded.alias("a").join(exploded.alias("b"),
+        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("cont_a_in_b",
+        col("inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b_in_a",
+        col("inter").cast("double") / col("sz_b").cast("double"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** Prefix-filtered exact Jaccard pairs — the AllPairs/PPJoin candidate
     * discipline (Bayardo et al. 2007, Xiao et al. 2011; public
     * literature). Same output as [[ngramJaccardPairs]] — every pair with

@@ -69,6 +69,28 @@ object DedupGates {
 
 
     // Exact n-gram Jaccard near-dup pairs (SQL-oracle-able exact path).
+    // Asymmetric containment pairs (Broder): |A∩B|/|A| flags the
+    // short-doc-quoted-in-long-doc inclusion that symmetric Jaccard
+    // structurally misses — the dominant eval-contamination shape. Same
+    // one-shingle-pass + hash-keyed intersection machinery as the Jaccard
+    // form; both directions emitted, thresholded on the larger.
+    // The corpus's natural near-dups are symmetric, so the gate PLANTS
+    // the asymmetric case (the containment operator's reason to exist):
+    // for doc_id < 10 a derived fragment doc (first 12 words, id+100000)
+    // is unioned in — its shingles are a subset of the parent's, so
+    // containment(fragment in parent) = 1.0 while Jaccard stays tiny.
+    // Any regression that breaks the asymmetric direction loses those
+    // rows and the hash.
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val fragments = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+      graft.functions.Dedup.containmentPairs(docs.unionByName(fragments),
+        "doc_id", "text", shingleLen = 3, threshold = 0.8)
+    }),
+
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, threshold = 0.8)
@@ -324,6 +346,32 @@ object DedupGates {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
                 string_agg(para, chr(10) ORDER BY pos) AS text
          FROM kept GROUP BY doc_id""",
+
+    // same shingle sets; containment divides the intersection by EACH
+    // side's size, keeping pairs where the larger direction clears the bar
+    "dedup_containment" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+           FROM documents WHERE doc_id < 10),
+              s AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+              t AS (SELECT doc_id,
+                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w)-1) ]) AS sh
+                    FROM s WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(a.sh) AS DOUBLE) AS cont_a_in_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(b.sh) AS DOUBLE) AS cont_b_in_a
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE greatest(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                          CAST(len(a.sh) AS DOUBLE),
+                        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                          CAST(len(b.sh) AS DOUBLE)) >= 0.8""",
 
     "dedup_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

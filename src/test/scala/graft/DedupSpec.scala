@@ -316,4 +316,33 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want && got.contains((100L, 101L)))
   }
+
+  test("containment catches inclusion pairs symmetric Jaccard misses") {
+    import spark.implicits._
+    // a short quote fully contained in a long host doc: containment 1.0,
+    // Jaccard tiny — the eval-contamination shape
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = s"$quote one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val corpus = Seq(1L -> host, 2L -> quote,
+      3L -> "unrelated words entirely different content here now").toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(cont.keySet === Set((1L, 2L)))
+    // direction: the QUOTE (smaller set, doc 2 = the b side) is contained
+    assert(cont((1L, 2L))._2 === 1.0)
+    assert(cont((1L, 2L))._1 < 0.5)
+    // symmetric Jaccard at the same bar finds nothing
+    assert(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.9).count() === 0)
+    // and containment equals a brute-force set recompute
+    val sh = corpus.collect().map { r =>
+      val w = r.getString(1).split(" ")
+      r.getLong(0) -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val inter = sh(1L).intersect(sh(2L)).size
+    assert(cont((1L, 2L)) ===
+      ((inter.toDouble / sh(1L).size, inter.toDouble / sh(2L).size)))
+  }
 }
