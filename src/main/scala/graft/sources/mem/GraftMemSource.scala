@@ -80,6 +80,9 @@ object MemStore {
     * `lastPushed`): (group columns, rendered agg functions). */
   val lastAgg = TrieMap[String, (Seq[String], Seq[String])]()
 
+  /** Table-sample pushed store-side: (lowerBound, upperBound, seed). */
+  val lastSample = TrieMap[String, (Double, Double, Long)]()
+
   /** Runtime (DPP) filters per (collection, scanId): `Scan.filter` runs
     * AFTER `createReaderFactory` in BatchScanExec's lazy evaluation
     * order, so the factory cannot capture them by value — readers consult
@@ -264,7 +267,8 @@ class MemScanBuilder(
     orderedBy: Seq[(String, Boolean)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset
-    with SupportsPushDownAggregates with SupportsPushDownV2Filters {
+    with SupportsPushDownAggregates with SupportsPushDownV2Filters
+    with SupportsPushDownTableSample {
 
   private var pushed: Array[Filter] = Array.empty
   private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -294,6 +298,19 @@ class MemScanBuilder(
   private var topNKeys: Seq[(String, Boolean)] = Nil
   private var offset: Int = 0
   private var aggPushed: Option[(Seq[String], Seq[MemAgg])] = None
+  private var sample: Option[(Double, Double, Long)] = None
+
+  /** Bernoulli TABLESAMPLE served by the cursor — the store rolls a
+    * seeded uniform per row and ships only the [lower, upper) fraction
+    * (how a real connector samples server-side instead of shipping the
+    * collection and discarding client-side). Sampling WITH replacement
+    * has no cursor analog and is declined. Runs BEFORE aggregation in
+    * the pushdown rule, so the two compose (sampled partial aggregates). */
+  override def pushTableSample(
+      lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean =
+    if (withReplacement) false
+    else { sample = Some((lowerBound, upperBound, seed)); true }
 
   /** Cursor-side aggregation, PARTIAL (the scalable shape: each shard
     * cursor ships one partial row per group instead of its raw rows, and
@@ -396,7 +413,7 @@ class MemScanBuilder(
   override def build(): Scan =
     new MemScan(collection, fullSchema, required, pushed, maxTimeMs,
       readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger,
-      orderedBy, aggPushed)
+      orderedBy, aggPushed, sample)
 }
 
 class MemScan(
@@ -412,7 +429,8 @@ class MemScan(
     startOffset: Long,
     maxRowsPerTrigger: Option[Long] = None,
     orderedBy: Seq[(String, Boolean)] = Nil,
-    agg: Option[(Seq[String], Seq[MemAgg])] = None)
+    agg: Option[(Seq[String], Seq[MemAgg])] = None,
+    sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering {
 
@@ -510,13 +528,15 @@ class MemScan(
     if (topNKeys.nonEmpty)
       MemStore.lastTopN(collection) = (topNKeys, limit.getOrElse(Int.MaxValue))
     MemStore.served(collection) = new java.util.concurrent.atomic.AtomicLong(0L)
+    sample.foreach(MemStore.lastSample(collection) = _)
     agg match {
       case Some((groups, funcs)) =>
         MemStore.lastAgg(collection) = (groups, funcs.map(MemAgg.render))
-        new MemAggReaderFactory(fullSchema, aggSchema.get, pushed, groups, funcs)
+        new MemAggReaderFactory(fullSchema, aggSchema.get, pushed, groups, funcs,
+          sample)
       case None =>
         new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit,
-          topNKeys, offset, Some(scanId))
+          topNKeys, offset, Some(scanId), sample)
     }
   }
 
@@ -624,7 +644,8 @@ class MemAggReaderFactory(
     aggSchema: StructType,
     pushed: Array[Filter],
     groups: Seq[String],
-    funcs: Seq[MemAgg]) extends PartitionReaderFactory {
+    funcs: Seq[MemAgg],
+    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (a: Number, b: Number) =>
@@ -655,8 +676,14 @@ class MemAggReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
-    val rows = MemStore.rowsOf(p.collection)
-      .slice(p.start, p.end)
+    val sliced = MemStore.rowsOf(p.collection).slice(p.start, p.end)
+    val sampled = sample match {
+      case Some((lo, hi, seed)) =>
+        val rng = new java.util.Random(seed + p.start)
+        sliced.filter { _ => val u = rng.nextDouble(); u >= lo && u < hi }
+      case None => sliced
+    }
+    val rows = sampled
       .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _)))
       .toSeq
     val gIdx = groups.map(fullSchema.fieldIndex)
@@ -690,7 +717,8 @@ class MemReaderFactory(
     limit: Option[Int] = None,
     topNKeys: Seq[(String, Boolean)] = Nil,
     offset: Int = 0,
-    scanId: Option[String] = None) extends PartitionReaderFactory {
+    scanId: Option[String] = None,
+    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
@@ -716,8 +744,17 @@ class MemReaderFactory(
         .createSerializer()
       private val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
       private val it = {
-        val filtered = MemStore.rowsOf(p.collection)
-          .slice(p.start, p.end)
+        val sliced = MemStore.rowsOf(p.collection).slice(p.start, p.end)
+        // pushed TABLESAMPLE: a seeded per-cursor Bernoulli roll — the
+        // store ships only the sampled fraction (deterministic per
+        // (seed, slice), like a server-side $sample)
+        val sampled = sample match {
+          case Some((lo, hi, seed)) =>
+            val rng = new java.util.Random(seed + p.start)
+            sliced.filter { _ => val u = rng.nextDouble(); u >= lo && u < hi }
+          case None => sliced
+        }
+        val filtered = sampled
           .iterator
           .filter(r => allPushed.forall(MemStore.eval(r, fullSchema, _))) // store-side
         // cursor-side sort/limit (reference storage.scala:320-324): this

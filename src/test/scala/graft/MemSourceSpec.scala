@@ -331,6 +331,39 @@ class MemSourceSpec extends AnyFunSuite {
       "distinct aggregates must not push")
   }
 
+  test("table-sample pushdown: the cursor ships only the sampled fraction") {
+    import spark.implicits._
+    MemStore.register("sample_big",
+      (0 until 2000).map(i => (i, s"row$i")).toDF("id", "v"))
+    MemStore.lastSample.remove("sample_big")
+    val rows = spark.read.format(fmt).option("collection", "sample_big").load()
+      .sample(withReplacement = false, 0.2, seed = 7L).collect()
+    val n = rows.length.toLong
+    // Bernoulli(0.2) over 2000 rows: well inside ±5 sigma
+    assert(n > 280 && n < 520, s"sampled count $n far from 400")
+    val (lo, hi, _) = MemStore.lastSample.getOrElse("sample_big", (-1.0, -1.0, 0L))
+    assert(lo === 0.0 && hi === 0.2, s"sample not pushed: ($lo, $hi)")
+    // the STORE served only the sampled rows, not 2000
+    val served = MemStore.served.get("sample_big").map(_.get()).getOrElse(-1L)
+    assert(served === n, s"store served $served, emitted $n")
+    // determinism: same seed, same rows
+    val again = spark.read.format(fmt).option("collection", "sample_big").load()
+      .sample(withReplacement = false, 0.2, seed = 7L).collect()
+    assert(again.map(_.getInt(0)).toSeq === rows.map(_.getInt(0)).toSeq)
+    // sample COMPOSES with aggregate pushdown: count() over the sample
+    // ships per-cursor partial counts (4 rows), not the sampled rows
+    val cnt = spark.read.format(fmt).option("collection", "sample_big").load()
+      .sample(withReplacement = false, 0.2, seed = 7L).count()
+    assert(cnt === n)
+    val servedAgg = MemStore.served.get("sample_big").map(_.get()).getOrElse(-1L)
+    assert(servedAgg <= 4, s"sampled count should ship partials, served $servedAgg")
+    // with-replacement has no cursor analog: declines, result still valid
+    MemStore.lastSample.remove("sample_big")
+    spark.read.format(fmt).option("collection", "sample_big").load()
+      .sample(withReplacement = true, 0.2, seed = 7L).count()
+    assert(!MemStore.lastSample.contains("sample_big"))
+  }
+
   test("S3/S4 streaming offset resume over the store: startOffset honored, restart exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
