@@ -95,6 +95,13 @@ object MemStore {
   def register(name: String, df: DataFrame): Unit =
     collections(name) = (df.schema, df.collect())
 
+  /** Internal registration of store-computed derived relations (the
+    * store-side join result materialized at scan time). */
+  private[mem] def registerRaw(name: String, schema: StructType, rows: Array[Row]): Unit =
+    collections(name) = (schema, rows)
+
+  private[mem] def hasCollection(name: String): Boolean = collections.contains(name)
+
   /** Append rows to an existing collection — the "data keeps arriving"
     * half of the streaming offset-resume contract (reference S3/S4:
     * log/package.scala:56-62 resumes the store cursor at an offset). */
@@ -213,6 +220,57 @@ object MemAgg {
   }
 }
 
+/** Join-condition conjuncts the store can evaluate: column-to-column
+  * equality (the shape V1 Filters cannot express — they are
+  * column-vs-literal only) plus any V1-convertible residue. */
+sealed trait MemJoinCond
+object MemJoinCond {
+  final case class ColEqCol(a: String, b: String) extends MemJoinCond
+  final case class V1(f: Filter) extends MemJoinCond
+
+  /** Parse a pushed V2 join Predicate into store-evaluable conjuncts;
+    * None when any conjunct is outside the supported shapes. */
+  def parse(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Seq[MemJoinCond]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    p match {
+      case and: org.apache.spark.sql.connector.expressions.filter.And =>
+        for (l <- parse(and.left()); r <- parse(and.right())) yield l ++ r
+      case _ if p.name() == "=" =>
+        p.children() match {
+          case Array(a: NamedReference, b: NamedReference)
+              if a.fieldNames().length == 1 && b.fieldNames().length == 1 =>
+            Some(Seq(ColEqCol(a.fieldNames()(0), b.fieldNames()(0))))
+          case _ =>
+            org.apache.spark.sql.GraftPredicateBridge.toV1(p)
+              .filter(MemStore.supported(_)).map(f => Seq(V1(f)))
+        }
+      case _ =>
+        org.apache.spark.sql.GraftPredicateBridge.toV1(p)
+          .filter(MemStore.supported(_)).map(f => Seq(V1(f)))
+    }
+  }
+
+  def eval(row: Row, schema: StructType, c: MemJoinCond): Boolean = c match {
+    case ColEqCol(a, b) =>
+      val (x, y) = (row.get(schema.fieldIndex(a)), row.get(schema.fieldIndex(b)))
+      x != null && y != null && x == y // inner-join equality: nulls never match
+    case V1(f) => MemStore.eval(row, schema, f)
+  }
+}
+
+/** A pushed store-side join: each side's pre-join cursor filters, the
+  * aliased output projection per side, and the join-condition conjuncts
+  * evaluated over the joined (aliased) schema. */
+final case class MemJoinSpec(
+    leftCollection: String,
+    leftPre: Array[Filter],
+    leftProj: Seq[(String, String)],
+    rightCollection: String,
+    rightPre: Array[Filter],
+    rightProj: Seq[(String, String)],
+    cond: Seq[MemJoinCond])
+
 class GraftMemSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     MemStore.schemaOf(options.get("collection"))
@@ -258,7 +316,7 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
 }
 
 class MemScanBuilder(
-    collection: String,
+    private val collection: String,
     fullSchema: StructType,
     maxTimeMs: Option[Long],
     readPreference: String,
@@ -268,7 +326,7 @@ class MemScanBuilder(
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset
     with SupportsPushDownAggregates with SupportsPushDownV2Filters
-    with SupportsPushDownTableSample {
+    with SupportsPushDownTableSample with SupportsPushDownJoin {
 
   private var pushed: Array[Filter] = Array.empty
   private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -299,6 +357,63 @@ class MemScanBuilder(
   private var offset: Int = 0
   private var aggPushed: Option[(Seq[String], Seq[MemAgg])] = None
   private var sample: Option[(Double, Double, Long)] = None
+  private var joinSpec: Option[MemJoinSpec] = None
+  // the builder's working schema: the base collection's until a join is
+  // pushed, the aliased joined schema after
+  private var curSchema: StructType = fullSchema
+
+  /** Store-side JOIN pushdown (Spark 4's SupportsPushDownJoin, behind
+    * spark.sql.optimizer.datasourceV2JoinPushdown): two collections of the
+    * SAME store join natively (the $lookup / DB-side-join analog) and
+    * Spark's join node disappears — the scan serves joined rows. Single
+    * level, INNER only, equi/supported conditions only; each side's
+    * already-pushed filters fold in as pre-join cursor filters. The test
+    * double materializes the join hash-free (nested loop) at scan time —
+    * a real connector hands the pipeline to the store's native join. */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: MemScanBuilder =>
+        joinSpec.isEmpty && o.joinSpec.isEmpty &&
+          aggPushed.isEmpty && o.aggPushed.isEmpty &&
+          sample.isEmpty && o.sample.isEmpty &&
+          limit.isEmpty && o.limit.isEmpty && offset == 0 && o.offset == 0
+      case _ => false
+    }
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.join.JoinType
+    if (joinType != JoinType.INNER_JOIN) return false
+    val o = other.asInstanceOf[MemScanBuilder]
+    def proj(req: Array[SupportsPushDownJoin.ColumnWithAlias],
+        schema: StructType): Option[(Seq[(String, String)], Seq[org.apache.spark.sql.types.StructField])] = {
+      val cols = req.toSeq.map { cwa =>
+        val out = Option(cwa.alias).getOrElse(cwa.colName)
+        (cwa.colName, out)
+      }
+      if (cols.forall { case (c, _) => schema.fieldNames.contains(c) })
+        Some((cols, cols.map { case (c, out) => schema(c).copy(name = out) }))
+      else None
+    }
+    (proj(leftRequired, curSchema), proj(rightRequired, o.curSchema)) match {
+      case (Some((lCols, lFields)), Some((rCols, rFields))) =>
+        val joinedSchema = StructType(lFields ++ rFields)
+        val cond = Option(condition).map(MemJoinCond.parse).getOrElse(Some(Nil))
+        if (cond.isEmpty) return false
+        joinSpec = Some(MemJoinSpec(
+          collection, pushed, lCols, o.collection, o.pushed, rCols, cond.get))
+        curSchema = joinedSchema
+        required = joinedSchema
+        pushed = Array.empty // post-join filters start fresh
+        pushedV2 = Array.empty
+        true
+      case _ => false
+    }
+  }
 
   /** Bernoulli TABLESAMPLE served by the cursor — the store rolls a
     * seeded uniform per row and ships only the [lower, upper) fraction
@@ -344,7 +459,7 @@ class MemScanBuilder(
         ref(s.column()).filter { c =>
           import org.apache.spark.sql.types._
           Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
-            .contains(fullSchema(c).dataType)
+            .contains(curSchema(c).dataType)
         }.map(MemAgg.SumCol)
       case _ => None
     }
@@ -411,9 +526,9 @@ class MemScanBuilder(
     if (aggPushed.isDefined) false else { offset = n; true }
 
   override def build(): Scan =
-    new MemScan(collection, fullSchema, required, pushed, maxTimeMs,
+    new MemScan(collection, curSchema, required, pushed, maxTimeMs,
       readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger,
-      orderedBy, aggPushed, sample)
+      orderedBy, aggPushed, sample, joinSpec)
 }
 
 class MemScan(
@@ -430,9 +545,38 @@ class MemScan(
     maxRowsPerTrigger: Option[Long] = None,
     orderedBy: Seq[(String, Boolean)] = Nil,
     agg: Option[(Seq[String], Seq[MemAgg])] = None,
-    sample: Option[(Double, Double, Long)] = None)
+    sample: Option[(Double, Double, Long)] = None,
+    joinSpec: Option[MemJoinSpec] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering {
+
+  /** The collection the readers serve: the base one, or the store-side
+    * join result materialized ONCE per scan under a derived name (the
+    * test-double stand-in for a store's native join execution; derived
+    * relations are in-process only, like the store itself). */
+  private lazy val sourceCollection: String = joinSpec match {
+    case None => collection
+    case Some(js) =>
+      val name = s"${js.leftCollection}#join#$scanId"
+      if (!MemStore.hasCollection(name)) {
+        val lSchema = MemStore.schemaOf(js.leftCollection)
+        val rSchema = MemStore.schemaOf(js.rightCollection)
+        val lRows = MemStore.rowsOf(js.leftCollection)
+          .filter(r => js.leftPre.forall(MemStore.eval(r, lSchema, _)))
+        val rRows = MemStore.rowsOf(js.rightCollection)
+          .filter(r => js.rightPre.forall(MemStore.eval(r, rSchema, _)))
+        val lIdx = js.leftProj.map { case (c, _) => lSchema.fieldIndex(c) }
+        val rIdx = js.rightProj.map { case (c, _) => rSchema.fieldIndex(c) }
+        val joined = for {
+          a <- lRows
+          b <- rRows
+          row = Row.fromSeq(lIdx.map(a.get).toIndexedSeq ++ rIdx.map(b.get))
+          if js.cond.forall(MemJoinCond.eval(row, fullSchema, _))
+        } yield row
+        MemStore.registerRaw(name, fullSchema, joined)
+      }
+      name
+  }
 
   /** Output schema of a pushed aggregation: group columns (their stored
     * types) then one column per aggregate in its Spark result type —
@@ -487,7 +631,10 @@ class MemScan(
     * (collStats/system tables); row width is estimated from the pruned
     * read schema. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = MemStore.rowsOf(collection).length.toLong
+    // for a pushed join, estimate from the left side WITHOUT materializing
+    // the join at planning time (statistics are estimates)
+    private val n = MemStore.rowsOf(
+      joinSpec.map(_.leftCollection).getOrElse(collection)).length.toLong
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * math.max(1, required.defaultSize).toLong)
@@ -511,11 +658,11 @@ class MemScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = MemStore.rowsOf(collection).length
+    val n = MemStore.rowsOf(sourceCollection).length
     // a pushed offset must be applied exactly (no partial-push contract),
     // which requires ONE global cursor — the reference's skip shape anyway
-    if (offset > 0) Array(MemInputPartition(collection, 0, n))
-    else MemScan.slicePartitions(collection, 0, n)
+    if (offset > 0) Array(MemInputPartition(sourceCollection, 0, n))
+    else MemScan.slicePartitions(sourceCollection, 0, n)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -541,7 +688,8 @@ class MemScan(
   }
 
   // the pushed OFFSET never reaches the stream path (streaming plans have
-  // no Offset operator); the stream's own resume position is startOffset
+  // no Offset operator); the stream's own resume position is startOffset.
+  // A pushed JOIN never reaches it either (join pushdown is a batch rule)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MemMicroBatchStream(collection, fullSchema, required, pushed,

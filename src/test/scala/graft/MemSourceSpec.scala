@@ -364,6 +364,40 @@ class MemSourceSpec extends AnyFunSuite {
     assert(!MemStore.lastSample.contains("sample_big"))
   }
 
+  test("join pushdown: two collections join INSIDE the store, no Spark join node") {
+    import spark.implicits._
+    MemStore.register("jp_langs", Seq(
+      (0, "Java", 30), (1, "C++", 20), (2, "ObjectiveC", 10),
+      (3, "Scala", 90), (4, "Groovy", 50))
+      .toDF("index", "lname", "popularity_factor"))
+    MemStore.register("jp_devs",
+      (1 to 100).map(i => (s"dev_$i", i % 5)).toDF("dname", "lang"))
+    val prev = spark.conf.getOption("spark.sql.optimizer.datasourceV2JoinPushdown")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      val langs = load("jp_langs").where(col("popularity_factor") >= 20)
+      val devs = load("jp_devs")
+      val joined = devs.join(langs, col("lang") === col("index"))
+        .select(col("dname"), col("lname"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // client-side recompute from the registered rows
+      val keep = MemStore.rowsOf("jp_langs")
+        .filter(_.getInt(2) >= 20).map(r => r.getInt(0) -> r.getString(1)).toMap
+      val expected = MemStore.rowsOf("jp_devs")
+        .flatMap(r => keep.get(r.getInt(1)).map(l => (r.getString(0), l))).toSet
+      val got = joined.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === expected && got.nonEmpty)
+      // the join disappeared from the Spark plan: ONE scan serves it
+      assert(!plan.contains("Join"),
+        s"pushed join must leave no Spark join node:\n${plan.take(1200)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", v)
+        case None => spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+      }
+    }
+  }
+
   test("S3/S4 streaming offset resume over the store: startOffset honored, restart exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
