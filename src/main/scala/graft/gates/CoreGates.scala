@@ -131,6 +131,33 @@ object CoreGates {
     }),
 
 
+    // The reference's FULL cursor contract through the CONNECTOR,
+    // data-checked (spec-only until r11): an MQL filter + sort + skip +
+    // limit channel over a registered store collection — the result rides
+    // the connector's pushed filter, cursor TopN, and skip, so a pushdown
+    // bug that corrupts ordering, pagination, or filtering breaks the
+    // hash, not just a spec assertion. Collection = a 5% lineitem slice
+    // registered once per (JVM, dir); (l_orderkey, l_linenumber) is a
+    // unique total order, so the page is deterministic in both engines.
+    "p19_channel_mem_cursor" -> ((s, dir) => {
+      val coll = "li_cursor" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      stageCache.getOrElseUpdate(s"memli#$dir", {
+        graft.sources.mem.MemStore.register(coll,
+          t(s, dir, "lineitem")
+            .where(pmod(col("l_orderkey"), lit(20)) === 0)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        coll
+      })
+      graft.channel.Channel.create(s, dir) { b =>
+        b.q("""{ "l_quantity": { "$gte": 30 } }""")
+        b.memCollection(coll)
+        b.sort("l_orderkey" -> Order.Ascending, "l_linenumber" -> Order.Ascending)
+        b.skip(5)
+        b.limit(200)
+      }
+    }),
+
+
     // P11+ — MQL `$not`/`$exists`, BEYOND the reference parser's own TODO
     // (mqlparser/package.scala:98). No table carries nulls, so the gate
     // derives a null-bearing column (NULL lang for doc_id % 7 == 0 — the
@@ -1125,6 +1152,12 @@ object CoreGates {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_quantity >= 45 OR (l_returnflag IN ('A') AND l_quantity < 5)
          ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 3""",
+
+    // the same slice, filter, total order, and page in DuckDB
+    "p19_channel_mem_cursor" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_orderkey % 20 = 0 AND l_quantity >= 30
+         ORDER BY l_orderkey, l_linenumber LIMIT 200 OFFSET 5""",
 
     // $exists ⇒ IS [NOT] NULL, $not ⇒ three-valued NOT (see the gate)
     "p17_mql_not_exists" ->
