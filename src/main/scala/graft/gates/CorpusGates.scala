@@ -122,6 +122,21 @@ object CorpusGates {
              CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_subtokens) AS DOUBLE) AS chars_per_subtoken
       FROM m GROUP BY source"""
 
+  /** The encode chain's per-word-occurrence symbol stream, counted and
+    * ranked like the corpus_vocab oracle. */
+  private def bpeVocabOracleSql(n: Int): String =
+    s"""WITH ${bpeChainSql(n)},
+        fin AS MATERIALIZED (SELECT w, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sub FROM w$n),
+        sdoc AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tk AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM sdoc),
+        tf AS MATERIALIZED (SELECT doc_id, pos, w FROM tk WHERE length(w) > 0),
+        j AS MATERIALIZED (SELECT tf.doc_id, f.sub FROM tf JOIN fin f ON tf.w = f.w),
+        occ AS MATERIALIZED (SELECT unnest(sub) AS sym FROM j),
+        v AS MATERIALIZED (SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY sym)
+      SELECT sym, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) AS BIGINT) AS token_id
+      FROM v"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- LLM-data-pipeline extensions (north star; SURVEY.md §7.2 M6) ----
@@ -540,6 +555,25 @@ object CorpusGates {
     }),
 
 
+    // BPE vocabulary export — the tokenizer ARTIFACT a pipeline ships:
+    // every subword symbol observed in the encoded corpus with its
+    // occurrence count and a deterministic dense id by (count DESC,
+    // symbol ASC) rank (buildVocab's ordinal discipline: range-sort +
+    // per-partition offsets, no global window; id 0 stays reserved).
+    // One encode pass + one partial-aggregated count; the symbol table
+    // is tokenizer-budget-bounded by construction.
+    "corpus_bpe_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = bpeN)
+      val syms = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+        .select(explode(col("subtokens")).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Joins
+        .zipWithOrdinal(syms.orderBy(col("cnt").desc, col("sym").asc), "token_id")
+        .withColumn("token_id", col("token_id") + lit(1L))
+    }),
+
+
     // Tokenizer fertility report: per source, subtokens-per-word and
     // chars-per-subtoken over the trained BPE — the standard
     // tokenizer-evaluation metric (a fertility spike on one source means
@@ -602,6 +636,7 @@ object CorpusGates {
     "corpus_bpe_encode" -> bpeEncodeOracleSql(bpeN),
     "pipe_bpe_pretokenize" -> bpePretokenizeOracleSql(bpeN),
     "corpus_bpe_fertility" -> bpeFertilityOracleSql(bpeN),
+    "corpus_bpe_vocab" -> bpeVocabOracleSql(bpeN),
 
     // the text_perplexity xent CTE + the stratified-sample langid CASE,
     // then the same per-language (xent, doc_id) tercile
