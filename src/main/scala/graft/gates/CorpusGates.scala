@@ -38,11 +38,18 @@ object CorpusGates {
     * Every CTE is MATERIALIZED: DuckDB would otherwise inline the chain,
     * multiplying the parquet scan per iteration past the fd limit. */
   private def bpeChainSql(n: Int): String = {
+    // the histogram cap MIRRORS Corpus.bpeTrain's maxWords default
+    // (ORDER BY cnt DESC, w ASC LIMIT 1000000) so the two engines train on
+    // the same word-type table even if a corpus ever exceeds the cap
+    // (ADVICE r11 #3); the tie-break also assumes the corpus is ASCII,
+    // where Java UTF-16 and DuckDB UTF-8 binary orders agree — the
+    // testdata documents table is ASCII by construction (TESTDATA.md)
     val base =
       """w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
                 array_to_string(list_transform(string_split(w, ''), ch -> chr(31) || ch || chr(30)), '') AS seg
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           WHERE length(w) > 0 GROUP BY w)"""
+           WHERE length(w) > 0 GROUP BY w
+           ORDER BY cnt DESC, w ASC LIMIT 1000000)"""
     val iters = (1 to n).map { i =>
       s"""p$i AS MATERIALIZED (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
               SELECT cnt, unnest([sym[j] || chr(31) || sym[j+1] for j in range(1, len(sym))]) AS pair

@@ -92,13 +92,39 @@ object MemStore {
     * the rest of the store. */
   val runtimeFilters = TrieMap[(String, String), Seq[Filter]]()
 
+  // Scan-scoped state (derived join results, runtime-filter entries) has no
+  // completion callback in the DSv2 Batch contract, so it cannot be evicted
+  // "on scan close" — instead both stores are BOUNDED FIFO (ADVICE r11 #4:
+  // every pushed-join/DPP query used to leak a materialized join result and
+  // filter entries for the JVM lifetime of a bench/test session). A scan
+  // only reads its own entry right after writing it, so evicting the oldest
+  // beyond the cap never touches a live scan.
+  private val MaxScanScoped = 64
+  private val derivedOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val runtimeOrder = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  private[mem] def recordRuntimeFilters(key: (String, String), fs: Seq[Filter]): Unit = {
+    if (runtimeFilters.putIfAbsent(key, fs).isEmpty) runtimeOrder.add(key)
+    else runtimeFilters(key) = fs
+    while (runtimeOrder.size > MaxScanScoped) {
+      val old = runtimeOrder.poll()
+      if (old != null) runtimeFilters.remove(old)
+    }
+  }
+
   def register(name: String, df: DataFrame): Unit =
     collections(name) = (df.schema, df.collect())
 
   /** Internal registration of store-computed derived relations (the
-    * store-side join result materialized at scan time). */
-  private[mem] def registerRaw(name: String, schema: StructType, rows: Array[Row]): Unit =
-    collections(name) = (schema, rows)
+    * store-side join result materialized at scan time) — bounded FIFO,
+    * see [[recordRuntimeFilters]]. */
+  private[mem] def registerRaw(name: String, schema: StructType, rows: Array[Row]): Unit = {
+    if (collections.putIfAbsent(name, (schema, rows)).isEmpty) derivedOrder.add(name)
+    while (derivedOrder.size > MaxScanScoped) {
+      val old = derivedOrder.poll()
+      if (old != null) collections.remove(old)
+    }
+  }
 
   private[mem] def hasCollection(name: String): Boolean = collections.contains(name)
 
@@ -119,35 +145,87 @@ object MemStore {
 
   def rowsOf(name: String): Array[Row] = collections(name)._2
 
-  /** Store-side filter evaluation — the "native query" of the fake store. */
-  def eval(row: Row, schema: StructType, f: Filter): Boolean = {
+  /** Exact cross-type numeric comparison. Widening everything to double
+    * (the former comparator) collapses distinct longs above 2^53 — under a
+    * partially-pushed TopN each cursor prunes to `limit` rows, so a row in
+    * the global top-N could be dropped before Spark's retained global sort
+    * (ADVICE r11). Integral/integral compares as long; float/double as
+    * double; the mixed case goes through BigDecimal (exact for any
+    * long-vs-finite-double pair). */
+  private[mem] def numCmp(a: Number, b: Number): Int = {
+    def integral(n: Number): Boolean = n match {
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+          _: java.lang.Long => true
+      case _ => false
+    }
+    def fractional(n: Number): Boolean = n match {
+      case _: java.lang.Float | _: java.lang.Double => true
+      case _ => false
+    }
+    def nan(n: Number): Boolean = fractional(n) && n.doubleValue().isNaN
+    if (integral(a) && integral(b))
+      java.lang.Long.compare(a.longValue(), b.longValue())
+    else if ((fractional(a) && fractional(b)) || nan(a) || nan(b))
+      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    else new java.math.BigDecimal(a.toString)
+      .compareTo(new java.math.BigDecimal(b.toString))
+  }
+
+  /** Store-side filter evaluation — the "native query" of the fake store.
+    * THREE-VALUED (SQL) logic: `None` = UNKNOWN. A pushed filter is fully
+    * removed from Spark's residual, so the store must reproduce SQL
+    * semantics exactly — with two-valued eval, Not(EqualTo(a, x)) on a
+    * NULL attribute served rows `a =!= x` / NOT IN would have filtered
+    * (ADVICE r11). A row is served only when the filter is Some(true). */
+  def eval3(row: Row, schema: StructType, f: Filter): Option[Boolean] = {
     def v(attr: String): Any = row.get(schema.fieldIndex(attr))
-    def cmp(attr: String, x: Any): Int = {
+    def cmp(attr: String, x: Any)(keep: Int => Boolean): Option[Boolean] = {
       val a = v(attr)
-      (a, x) match {
-        case (a: Number, x: Number) =>
-          java.lang.Double.compare(a.doubleValue(), x.doubleValue())
+      if (a == null || x == null) None
+      else Some(keep((a, x) match {
+        case (a: Number, x: Number) => numCmp(a, x)
         case (a: String, x: String) => a.compareTo(x)
         case (a: Comparable[Any] @unchecked, x) => a.compareTo(x)
-      }
+      }))
     }
     f match {
-      case EqualTo(a, x) => v(a) == x
-      case GreaterThan(a, x) => v(a) != null && cmp(a, x) > 0
-      case GreaterThanOrEqual(a, x) => v(a) != null && cmp(a, x) >= 0
-      case LessThan(a, x) => v(a) != null && cmp(a, x) < 0
-      case LessThanOrEqual(a, x) => v(a) != null && cmp(a, x) <= 0
-      case In(a, xs) => xs.contains(v(a))
-      case IsNull(a) => v(a) == null
-      case IsNotNull(a) => v(a) != null
-      case And(l, r) => eval(row, schema, l) && eval(row, schema, r)
+      case EqualTo(a, x) =>
+        val av = v(a)
+        if (av == null || x == null) None else Some(av == x)
+      case GreaterThan(a, x) => cmp(a, x)(_ > 0)
+      case GreaterThanOrEqual(a, x) => cmp(a, x)(_ >= 0)
+      case LessThan(a, x) => cmp(a, x)(_ < 0)
+      case LessThanOrEqual(a, x) => cmp(a, x)(_ <= 0)
+      case In(a, xs) =>
+        val av = v(a)
+        if (av == null) None // SQL: NULL IN (...) is UNKNOWN
+        else if (xs.contains(av)) Some(true)
+        else if (xs.contains(null)) None // ... IN (x, NULL) misses as UNKNOWN
+        else Some(false)
+      case IsNull(a) => Some(v(a) == null)
+      case IsNotNull(a) => Some(v(a) != null)
+      case And(l, r) =>
+        (eval3(row, schema, l), eval3(row, schema, r)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None // Kleene AND: true ∧ unknown = unknown
+        }
       // $or / $not evaluate store-side like the reference's Mongo query
       // compiler (mongo/package.scala:109-115 builds the $or document)
-      case Or(l, r) => eval(row, schema, l) || eval(row, schema, r)
-      case Not(c) => !eval(row, schema, c)
-      case _ => true // unsupported filters are never pushed (see pushFilters)
+      case Or(l, r) =>
+        (eval3(row, schema, l), eval3(row, schema, r)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None // Kleene OR: false ∨ unknown = unknown
+        }
+      case Not(c) => eval3(row, schema, c).map(!_) // NOT unknown = unknown
+      case _ => Some(true) // unsupported filters are never pushed (see pushFilters)
     }
   }
+
+  /** Two-valued view of [[eval3]]: serve the row only on definite TRUE. */
+  def eval(row: Row, schema: StructType, f: Filter): Boolean =
+    eval3(row, schema, f).contains(true)
 
   def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
@@ -173,8 +251,7 @@ object MemStore {
           case (null, null) => 0
           case (null, _) => -1 // nulls first in ASC terms...
           case (_, null) => 1
-          case (a: Number, b: Number) =>
-            java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+          case (a: Number, b: Number) => numCmp(a, b) // exact for big longs
           case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
         }
         result = if (desc) -c else c // ...so DESC flips them last
@@ -618,7 +695,7 @@ class MemScan(
 
   override def filter(filters: Array[Filter]): Unit = {
     val accepted = filters.filter(MemStore.supported)
-    MemStore.runtimeFilters((collection, scanId)) = accepted.toSeq
+    MemStore.recordRuntimeFilters((collection, scanId), accepted.toSeq)
   }
 
   private val scanId = java.util.UUID.randomUUID().toString
@@ -796,8 +873,7 @@ class MemAggReaderFactory(
     sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (a: Number, b: Number) =>
-      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case (a: Number, b: Number) => MemStore.numCmp(a, b) // exact for big longs
     case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
   }
 

@@ -426,4 +426,55 @@ class MemSourceSpec extends AnyFunSuite {
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(ckpt))
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
   }
+
+  test("pushed Not / NOT IN over a NULLABLE column keep SQL three-valued logic (ADVICE r11)") {
+    // rows with NULL rating: col =!= v and NOT IN must FILTER them (SQL
+    // UNKNOWN), which two-valued store eval got wrong (Not(false) = true)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rating",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row("a", Int.box(1)),
+      org.apache.spark.sql.Row("b", Int.box(2)),
+      org.apache.spark.sql.Row("c", null),
+      org.apache.spark.sql.Row("d", Int.box(3)),
+      org.apache.spark.sql.Row("e", null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+    MemStore.register("nullable_ratings", df)
+    df.createOrReplaceTempView("nullable_ratings_oracle")
+
+    def viaStore(cond: org.apache.spark.sql.Column): Set[String] = {
+      MemStore.lastPushed.remove("nullable_ratings")
+      load("nullable_ratings").where(cond)
+        .select("name").collect().map(_.getString(0)).toSet
+    }
+    // col =!= v compiles to Not(EqualTo): NULL rows must NOT be served
+    assert(viaStore(col("rating") =!= 2) === Set("a", "d"))
+    val pushed = MemStore.lastPushed.getOrElse("nullable_ratings", Nil).map(_.toString)
+    assert(pushed.exists(p => p.contains("Not(") || p.contains("!=")),
+      s"negation should be fully pushed, got: $pushed")
+    // NOT IN: UNKNOWN for NULL attribute — only definite non-members pass
+    assert(viaStore(!col("rating").isin(1, 3)) === Set("b"))
+    // and the positive forms still see exactly the non-null matches
+    assert(viaStore(col("rating").isin(1, 3)) === Set("a", "d"))
+    assert(viaStore(not(col("rating") < 3)) === Set("d"))
+  }
+
+  test("pushed TopN orders bigints above 2^53 exactly (ADVICE r11)") {
+    import spark.implicits._
+    // doubles collapse adjacent longs here: (base+1).toDouble == base.toDouble
+    val base = (1L << 53) + 2L
+    val ids = Seq(base + 1L, base, base + 3L, base - 7L, base + 2L)
+    MemStore.register("big_ids",
+      ids.zipWithIndex.map { case (v, i) => (v, s"r$i") }.toDF("id", "tag"))
+    val got = load("big_ids").orderBy(col("id").desc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === ids.sorted(Ordering[Long].reverse).take(3),
+      s"store-side TopN must compare longs exactly, got $got")
+    val (keys, n) = MemStore.lastTopN.getOrElse("big_ids", (Nil, 0))
+    assert(keys === Seq(("id", true)) && n === 3, "TopN should be pushed")
+  }
 }
