@@ -545,13 +545,95 @@ object Dedup {
     * dedup case symmetric Jaccard structurally misses (a short document
     * quoted whole inside a long one has tiny Jaccard but containment ~1 —
     * the dominant shape of eval-set contamination and boilerplate
-    * inclusion). Same machinery as [[ngramJaccardPairs]]: one persisted
-    * shingle pass, hash-keyed exact equi-self-join for intersections,
-    * per-pair division — both directions emitted, thresholded on the
-    * larger one. Scale posture identical to the Jaccard form (see
-    * [[jaccardPrefixPairs]] for the candidate-pruned discipline when
-    * boilerplate shingles dominate). */
+    * inclusion). Both directions emitted, thresholded on the larger one.
+    *
+    * Candidate generation is PREFIX-FILTERED (r11 verdict #2 — the former
+    * full shingle self-join was the repo's one plan-level scale-killer: a
+    * boilerplate shingle shared by 10^5 docs yields 10^10 candidate rows).
+    * A pair passes iff |A∩B| >= t·min(|A|,|B|), so the SMALLER side S must
+    * share at least ceil(t·|S|) shingles with the other side — its first
+    * |S| − ceil(t·|S|) + 1 shingles under the global (df asc, shingle asc)
+    * order cannot all be missed. Candidates therefore join every doc's
+    * PREFIX against the full shingle stream (either side of a qualifying
+    * pair could be the smaller one, and each contributes its own prefix),
+    * and every candidate is verified EXACTLY against the persisted shingle
+    * arrays — the filter is lossless, same discipline as
+    * [[jaccardPrefixPairs]]. Common (boilerplate) shingles land at the END
+    * of the frequency order and drop out of every long document's prefix.
+    *
+    * `maxDocFreq`: additionally drop shingles appearing in more than this
+    * many documents from candidate generation — the [[ngramJaccardPairs]]
+    * heavy-hitter escape hatch for corpora where even (1−t)-length
+    * prefixes of template-heavy docs still reach boilerplate. Verification
+    * stays exact on the FULL shingle arrays, so capped results are a
+    * subset of the exact answer with bit-identical containment values —
+    * a recall/cost dial with no false positives. None = exact. */
   def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val explodedAll = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    // distinct-doc frequency per shingle = occurrence count (shingles are
+    // distinct within a doc by construction)
+    val dfCounts = explodedAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // the optional heavy-hitter cap prunes BOTH sides of candidate
+    // generation (broadcast the heavy set, anti-join — ngramJaccardPairs'
+    // discipline: broadcasting the complement would ship the vocabulary)
+    val exploded = maxDocFreq match {
+      case Some(cap) =>
+        val heavy = dfCounts.where(col("df") > cap).select("s")
+        explodedAll.join(broadcast(heavy), Seq("s"), "left_anti")
+      case None => explodedAll
+    }
+    // prefix membership: position within the doc under the global
+    // (df asc, shingle asc) order; per-doc window — thousands of small
+    // partitions, never one reducer. ceil(t*sz - 1e-9): the epsilon only
+    // ever LENGTHENS the prefix (a 1-ulp wobble can add a candidate —
+    // harmless, verification is exact — but never lose one).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = exploded.join(dfCounts, "s")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
+    val full = exploded.select(col("doc_id"), col("s"))
+      .withColumn("h", xxhash64(col("s")))
+    // prefix ⋈ full (not prefix ⋈ prefix: only the SMALLER side's prefix
+    // is guaranteed to hit, and either side may be the smaller one)
+    val cand = prefix.alias("a").join(full.alias("b"),
+        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("cont_a_in_b",
+        col("inter").cast("double") / size(col("sh_a")).cast("double"))
+      .withColumn("cont_b_in_a",
+        col("inter").cast("double") / size(col("sh_b")).cast("double"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
+  /** The pre-r12 full-self-join containment form — kept as the
+    * differential-testing oracle for [[containmentPairs]] (DedupSpec
+    * asserts equality across thresholds). Quadratic in the heaviest
+    * shingle's document frequency; do not use at scale. */
+  private[graft] def containmentPairsBrute(
       docs: DataFrame,
       idCol: String,
       textCol: String,

@@ -345,4 +345,65 @@ class DedupSpec extends AnyFunSuite {
     assert(cont((1L, 2L)) ===
       ((inter.toDouble / sh(1L).size, inter.toDouble / sh(2L).size)))
   }
+
+  test("prefix-filtered containment equals the brute self-join at t in {0.6, 0.8, 0.9}") {
+    import spark.implicits._
+    // boilerplate-heavy corpus + planted inclusions of different strengths:
+    // full quotes, partial overlaps, and unrelated docs — exercises pairs
+    // on both sides of each threshold so losslessness is actually tested
+    val boiler = "all rights reserved contact us for more information today"
+    val uniq = (0L until 25L).map(i =>
+      (i, s"$boiler body$i text$i filler$i words$i here$i end$i"))
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      200L -> s"$quote one two three four five six seven eight nine ten",
+      201L -> quote, // full inclusion: containment 1.0
+      202L -> "alpha beta gamma delta other words here now today friend",
+      203L -> s"$boiler extra tail words") // boilerplate-only overlap
+    val corpus = (uniq ++ planted).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.8, 0.9)) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9), math.round(r.getDouble(4) * 1e9))
+      val got = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = t)
+        .collect().map(key).toSet
+      val want = Dedup.containmentPairsBrute(corpus, "doc_id", "text", threshold = t)
+        .collect().map(key).toSet
+      assert(got === want, s"prefix-filtered containment drifted at t=$t")
+      assert(got.exists { case (a, b, _, _, _) => a == 200L && b == 201L },
+        s"planted full inclusion must survive at t=$t")
+    }
+  }
+
+  test("containment maxDocFreq cap: subset of exact with identical values, drops boilerplate-only pairs") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us for more information today"
+    // ONLY-boilerplate short docs: every pair among them has containment
+    // 1.0 through heavy shingles alone — the cap must drop those pairs
+    // while keeping the rare-shingle inclusion pair intact
+    val boilerOnly = (300L until 310L).map(i => (i, s"$boiler tail$i"))
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      400L -> s"$quote one two three four five six seven eight nine ten",
+      401L -> quote)
+    val corpus = (boilerOnly ++ planted).toDF("doc_id", "text")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.8)
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.8,
+      maxDocFreq = Some(5))
+    val (exactKeys, cappedKeys) = (keys(exact), keys(capped))
+    assert(cappedKeys.subsetOf(exactKeys), "cap must never add pairs")
+    assert(cappedKeys.contains((400L, 401L)), "rare-shingle inclusion must survive the cap")
+    assert(exactKeys.exists { case (a, _) => a >= 300L && a < 310L },
+      "exact mode should see the boilerplate-only pairs")
+    assert(!cappedKeys.exists { case (a, _) => a >= 300L && a < 310L },
+      "capped mode must drop pairs connected only through heavy shingles")
+    // surviving pairs carry EXACT containment values (full-array verify)
+    val cv = capped.collect().map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ev = exact.collect().map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    cv.foreach { case (k, v) => assert(ev(k) === v, s"capped values drifted for $k") }
+  }
 }
