@@ -466,6 +466,56 @@ object Corpus {
     * replaced region), proven adversarially in BpeSpec. */
   val BpeOpen = ""
   val BpeClose = ""
+  /** End-of-word sentinel for BYTE-LEVEL BPE (Sennrich's `</w>` as one
+    * dedicated symbol): appended after each word's byte symbols so merges
+    * can learn word-final variants and any byte sequence round-trips.
+    * U+0002 -- outside the byte alphabet (see [[byteAlphabet]]), below
+    * every ASCII char so the (left ASC, right ASC) tie-break agrees
+    * between Java UTF-16 and DuckDB UTF-8 binary order. */
+  val BpeEow = "\u0002"
+
+  /** GPT-2's byte->unicode bijection (public: openai/gpt-2 encoder.py
+    * bytes_to_unicode): printable bytes map to themselves, the rest shift
+    * into U+0100.. -- every byte becomes ONE visible char, so the
+    * char-level merge machinery works verbatim over byte symbols and
+    * pure-printable-ASCII corpora are byte-for-char identical to the
+    * char-level mode (which is what lets the DuckDB chain oracle replay
+    * the byte gate). */
+  private[graft] val byteAlphabet: Array[Char] = {
+    val direct = (('!' to '~') ++ ('\u00a1' to '\u00ac') ++ ('\u00ae' to '\u00ff')).toSet
+    val out = new Array[Char](256)
+    var shift = 0
+    (0 until 256).foreach { b =>
+      if (direct(b.toChar)) out(b) = b.toChar
+      else { out(b) = (256 + shift).toChar; shift += 1 }
+    }
+    out
+  }
+  private[graft] lazy val byteAlphabetInv: Map[Char, Byte] =
+    byteAlphabet.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** A word's byte-level symbol sequence: UTF-8 bytes through
+    * [[byteAlphabet]], then the [[BpeEow]] sentinel. */
+  private[graft] def byteSymbols(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length + 1)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = byteAlphabet(bytes(i) & 0xff).toString; i += 1
+    }
+    out(bytes.length) = BpeEow
+    out
+  }
+
+  /** Inverse of the byte-level encoding for ONE word's concatenated
+    * subtokens: strip the sentinel, map alphabet chars back to bytes,
+    * decode UTF-8 -- the round-trip proof that byte-level BPE is lossless
+    * on arbitrary input (BpeSpec: emoji/CJK). */
+  def bpeByteDecode(subtokens: Seq[String]): String = {
+    val chars = subtokens.mkString.filterNot(_ == BpeEow.head)
+    new String(chars.map(byteAlphabetInv).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Subword BPE merge training (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units" — public literature):
@@ -492,7 +542,8 @@ object Corpus {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxWords: Int = 1000000): DataFrame = {
+      maxWords: Int = 1000000,
+      byteLevel: Boolean = false): DataFrame = {
     require(numMerges > 0, s"bpeTrain: numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
     val hist: Array[(String, Long)] = docs
@@ -501,9 +552,12 @@ object Corpus {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // word type -> current symbol segmentation (chars initially)
+    // word type -> current symbol segmentation: chars initially, or the
+    // byte alphabet + end-of-word sentinel in byte-level (GPT-2-class)
+    // mode — the merge machinery below is representation-agnostic
     var segs: Array[(Array[String], Long)] =
-      hist.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+      if (byteLevel) hist.map { case (w, c) => (byteSymbols(w), c) }
+      else hist.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -545,36 +599,39 @@ object Corpus {
     merges.result().toDF("rank", "left", "right", "merged", "pair_cnt")
   }
 
-  /** BPE encoding against a trained merge list: each word is wrapped into
-    * the [[BpeSep]]-delimited character form and the merges are applied in
-    * rank order as chained `replace` calls — applying merge k to a fresh
-    * word after merges 1..k-1 reproduces exactly the training-time
-    * segmentation (each training iteration applies its merge once, in
-    * order), and words never seen in training still encode (down to
-    * characters plus whatever learned merges apply).
+  /** BPE encoding against a trained merge list. Two physical paths, one
+    * semantics (sequential merge replay — applying merges 1..N in rank
+    * order, each greedily left-to-right, reproduces exactly the
+    * training-time segmentation; words never seen in training still
+    * encode down to characters/bytes plus whatever learned merges apply):
     *
-    * Map-only: the merge list (numMerges rows, tokenizer-budget-bounded)
-    * is collected and inlined as literals into ONE whole-stage-codegen'd
-    * expression — no join, no shuffle, no state; the corpus streams
-    * through a single projection at any scale. Output: (doc_id,
-    * n_subtokens, subtokens array<string> in document order). */
+    *  - merge lists ≤ 2048, char mode: the merges inline as chained
+    *    `replace` calls in ONE whole-stage-codegen'd expression — no
+    *    join, no shuffle, no state (and the form the DuckDB oracle
+    *    replays);
+    *  - larger lists (production tokenizers ship 32k+) or byte-level
+    *    mode: [[bpeEncodeSeq]], the broadcast-merge-table matcher over
+    *    `mapPartitions` — a 32k-rule greedy matcher is not a Catalyst
+    *    expression (the multimodal-codec precedent), but the plan shape
+    *    is the same: map-only, zero shuffle, corpus streams through once.
+    *
+    * Both paths are differentially proven equal in BpeSpec.
+    * Output: (doc_id, n_subtokens, subtokens array<string> in document
+    * order). `byteLevel` encodes over [[byteSymbols]] (UTF-8 bytes +
+    * end-of-word sentinel) with merges from
+    * `bpeTrain(..., byteLevel = true)`. */
   def bpeEncode(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame,
+      byteLevel: Boolean = false): DataFrame = {
     val ms: Array[(String, String)] = merges
       .orderBy(col("rank").asc)
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1)))
-    // each merge is one nested replace in a single expression tree; past
-    // ~2k the generated plan (and any engine replaying it) degrades —
-    // production-size merge lists (32k+) belong in a trie/automaton
-    // encoder, not a chained-replace expression. Fail loudly rather than
-    // let codegen fall over mid-job.
-    require(ms.length <= 2048,
-      s"bpeEncode: merge list of ${ms.length} exceeds the chained-replace " +
-        "expression budget (2048); use a smaller numMerges")
+    if (byteLevel || ms.length > 2048)
+      return bpeEncodeSeq(docs, idCol, textCol, ms, byteLevel)
     val (o, c) = (BpeOpen, BpeClose)
     def encodeWord(w: Column): Column = {
       // Spark's split keeps trailing empties (Java Pattern.split limit -1)
@@ -595,6 +652,113 @@ object Corpus {
       .where(size(col("subtokens")) > 0)
       .select(col("doc_id"), size(col("subtokens")).cast("long").as("n_subtokens"),
         col("subtokens"))
+  }
+
+  /** The production-size BPE encode path: SEQUENTIAL MERGE REPLAY as a
+    * greedy matcher over `mapPartitions` with the merge table broadcast
+    * in the task closure (numMerges rows — tokenizer-budget-bounded by
+    * definition, a 32k vocab is ~1 MB).
+    *
+    * Semantics are identical to the chained-replace form by construction:
+    * per word, repeatedly find the LOWEST-rank merge not yet passed whose
+    * pair occurs in the current symbol sequence and apply it greedily
+    * left-to-right — skipping absent merges is free, so this IS "apply
+    * merges 1..N in order" in O(word²) instead of O(N·word). Newly-formed
+    * pairs matching an already-passed rank are NOT revisited, exactly like
+    * the replace chain (and the trainer's own per-iteration application).
+    *
+    * Scale shape: map-only, zero shuffle, no driver round-trips after the
+    * one vocabulary-bounded merge collect; a per-partition WORD-TYPE cache
+    * (bounded, Zipf-friendly: the head stays hot across documents) makes
+    * the amortized cost per token O(1) on natural language. */
+  private[graft] def bpeEncodeSeq(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ms: Array[(String, String)],
+      byteLevel: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = docs.select(col(idCol).as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val outSchema = StructType(Seq(
+      src.schema("doc_id"),
+      StructField("n_subtokens", LongType, nullable = false),
+      StructField("subtokens", ArrayType(StringType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val sep = BpeOpen // never occurs inside a symbol — the wrap invariant
+    src.mapPartitions { it =>
+      val n = ms.length
+      val lArr = new Array[String](n + 1)
+      val rArr = new Array[String](n + 1)
+      val ranks = new java.util.HashMap[String, Integer](n * 2)
+      var k = 0
+      while (k < n) {
+        lArr(k + 1) = ms(k)._1; rArr(k + 1) = ms(k)._2
+        ranks.put(ms(k)._1 + sep + ms(k)._2, Integer.valueOf(k + 1))
+        k += 1
+      }
+      def applySeq(word: String): Array[String] = {
+        var syms: Array[String] =
+          if (byteLevel) byteSymbols(word)
+          else word.split("").filter(_.nonEmpty)
+        var next = 1 // lowest rank still applicable (sequential replay)
+        var done = syms.length < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.get(syms(i) + sep + syms(i + 1))
+            if (r != null && r.intValue >= next && r.intValue < best)
+              best = r.intValue
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val l = lArr(best); val rr = rArr(best); val m = l + rr
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rr) {
+                out += m; j += 2 // greedy left-to-right, non-overlapping
+              } else { out += syms(j); j += 1 }
+            }
+            syms = out.toArray
+            next = best + 1
+            done = syms.length < 2
+          }
+        }
+        syms
+      }
+      val cache = new java.util.HashMap[String, Array[String]]()
+      it.flatMap { row =>
+        val text = row.getString(1)
+        if (text == null) Iterator.empty
+        else {
+          val words = text.split(" ")
+          val sub = scala.collection.mutable.ArrayBuffer.empty[String]
+          var wi = 0
+          while (wi < words.length) {
+            val w = words(wi)
+            if (w.nonEmpty) {
+              var s = cache.get(w)
+              if (s == null) {
+                s = applySeq(w)
+                // bounded: a pathological all-distinct partition cannot
+                // grow the cache unboundedly; after a clear the Zipf head
+                // refills within a few documents
+                if (cache.size >= 200000) cache.clear()
+                cache.put(w, s)
+              }
+              sub ++= s
+            }
+            wi += 1
+          }
+          if (sub.isEmpty) Iterator.empty
+          else Iterator.single(
+            org.apache.spark.sql.Row(row.get(0), sub.length.toLong, sub.toSeq))
+        }
+      }
+    }(enc)
   }
 
   /** Deterministic negative sampling for contrastive / retrieval training:

@@ -37,16 +37,22 @@ object CorpusGates {
     * Shared by both BPE oracles so the replayed merge list is one string.
     * Every CTE is MATERIALIZED: DuckDB would otherwise inline the chain,
     * multiplying the parquet scan per iteration past the fd limit. */
-  private def bpeChainSql(n: Int): String = {
+  private def bpeChainSql(n: Int, byteLevel: Boolean = false): String = {
     // the histogram cap MIRRORS Corpus.bpeTrain's maxWords default
     // (ORDER BY cnt DESC, w ASC LIMIT 1000000) so the two engines train on
     // the same word-type table even if a corpus ever exceeds the cap
     // (ADVICE r11 #3); the tie-break also assumes the corpus is ASCII,
     // where Java UTF-16 and DuckDB UTF-8 binary orders agree — the
-    // testdata documents table is ASCII by construction (TESTDATA.md)
+    // testdata documents table is ASCII by construction (TESTDATA.md).
+    // byteLevel: over printable ASCII the GPT-2 byte alphabet is the
+    // IDENTITY map, so the byte-level chain is the char chain plus the
+    // wrapped chr(2) end-of-word sentinel appended to every seg — the
+    // multibyte/non-printable cases (where bytes ≠ chars) are proven
+    // JVM-side in BpeSpec's UTF-8 round-trip, not oracle-expressible.
+    val eow = if (byteLevel) " || chr(31) || chr(2) || chr(30)" else ""
     val base =
-      """w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
-                array_to_string(list_transform(string_split(w, ''), ch -> chr(31) || ch || chr(30)), '') AS seg
+      s"""w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+                array_to_string(list_transform(string_split(w, ''), ch -> chr(31) || ch || chr(30)), '')$eow AS seg
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE length(w) > 0 GROUP BY w
            ORDER BY cnt DESC, w ASC LIMIT 1000000)"""
@@ -71,8 +77,8 @@ object CorpusGates {
     s"WITH ${bpeChainSql(n)}\n${rows.mkString("\nUNION ALL\n")}"
   }
 
-  private[gates] def bpeEncodeOracleSql(n: Int): String =
-    s"""WITH ${bpeChainSql(n)},
+  private[gates] def bpeEncodeOracleSql(n: Int, byteLevel: Boolean = false): String =
+    s"""WITH ${bpeChainSql(n, byteLevel)},
         fin AS MATERIALIZED (SELECT w, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sub FROM w$n),
         sdoc AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         tk AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM sdoc),
@@ -538,6 +544,22 @@ object CorpusGates {
     }),
 
 
+    // BYTE-LEVEL BPE (GPT-2-class): symbols are UTF-8 bytes through the
+    // byte→unicode alphabet plus a chr(2) end-of-word sentinel, so merges
+    // learn word-final variants and ANY input round-trips (BpeSpec proves
+    // emoji/CJK; this ASCII corpus is where bytes == chars and the DuckDB
+    // chain replays identically). Encode runs the mapPartitions sequential
+    // matcher — the production-size path — so this gate also oracle-checks
+    // that engine against the SQL replay end-to-end.
+    "corpus_bpe_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = bpeN, byteLevel = true)
+      Corpus.bpeEncode(docs, "doc_id", "text", merges, byteLevel = true)
+        .select(col("doc_id"), col("n_subtokens"),
+          array_join(col("subtokens"), " ").as("subtokens"))
+    }),
+
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     // literature): per LANGUAGE, documents split into head/middle/tail
     // perplexity terciles — the quality-stratification step CCNet applies
@@ -641,6 +663,7 @@ object CorpusGates {
   val oracleSql: Map[String, String] = Map(
     "corpus_bpe_train" -> bpeTrainOracleSql(bpeN),
     "corpus_bpe_encode" -> bpeEncodeOracleSql(bpeN),
+    "corpus_bpe_bytes" -> bpeEncodeOracleSql(bpeN, byteLevel = true),
     "pipe_bpe_pretokenize" -> bpePretokenizeOracleSql(bpeN),
     "corpus_bpe_fertility" -> bpeFertilityOracleSql(bpeN),
     "corpus_bpe_vocab" -> bpeVocabOracleSql(bpeN),

@@ -130,14 +130,103 @@ class BpeSpec extends AnyFunSuite {
     assert(res.passed, s"bpe property failed: ${res.status}")
   }
 
-  test("bpeEncode refuses merge lists past the chained-replace budget") {
-    import org.apache.spark.sql.functions.lit
+  test("past the chained-replace budget bpeEncode switches to the sequential matcher") {
+    // r11 encode hard-failed here; now the >2048 path dispatches to the
+    // mapPartitions matcher. None of these synthetic merges is applicable,
+    // so the output must be the plain character split.
     val fake = (1 to 2049).map(i => (i, s"x$i", "y", s"x${i}y", 1L))
       .toDF("rank", "left", "right", "merged", "pair_cnt")
-    val e = intercept[IllegalArgumentException] {
-      Corpus.bpeEncode(tiny, "doc_id", "text", fake)
+    val enc = Corpus.bpeEncode(tiny, "doc_id", "text", fake)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    val want = tiny.collect().map { r =>
+      r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+          .flatMap(_.split("").filter(_.nonEmpty))
+    }.toMap
+    assert(enc === want)
+  }
+
+  test("sequential matcher == chained-replace encode on the documents corpus") {
+    val docs = SparkTestSession.table("documents").limit(200)
+    val merges = Corpus.bpeTrain(docs, "text", numMerges = 20)
+    val ms = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val chained = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSet
+    val seq = Corpus.bpeEncodeSeq(docs, "doc_id", "text", ms, byteLevel = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSet
+    assert(seq === chained,
+      "the two physical encode paths must agree symbol-for-symbol")
+  }
+
+  test("32k-merge synthetic encode: matcher equals direct sequential replay") {
+    // a production-size merge list without a production-size training run:
+    // all 676 char pairs (level 1), then pairings of the level-1 symbols,
+    // 33000 rules total — far past any chained-replace budget
+    val alpha = ('a' to 'z').map(_.toString)
+    val lvl1 = for (x <- alpha; y <- alpha) yield (x, y)
+    val l1syms = lvl1.map { case (x, y) => x + y }
+    val lvl2 = for (x <- l1syms; y <- l1syms) yield (x, y)
+    val rules = (lvl1 ++ lvl2).take(33000)
+    val merges = rules.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, l + r, 1L) }
+      .toDF("rank", "left", "right", "merged", "pair_cnt")
+    assert(merges.count() === 33000L)
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until 5).map(_ =>
+        (0 until (4 + rnd.nextInt(9)))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" "))
     }
-    assert(e.getMessage.contains("2048"))
+    val df = texts.toDF("doc_id", "text")
+    val enc = Corpus.bpeEncode(df, "doc_id", "text", merges) // auto: seq path
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    // ground truth: the definitionally-correct O(N·len) replay of ALL
+    // 33000 merges in rank order (applyMerges), word by word
+    texts.foreach { case (id, t) =>
+      val words = t.split(" ").filter(_.nonEmpty).toSeq
+      val expected = words.flatMap(w => applyMerges(w, rules))
+      assert(enc(id) === expected, s"doc $id drifted under 33k merges")
+      assert(expected.mkString === words.mkString, "round-trip")
+    }
+  }
+
+  test("byte-level bpe round-trips arbitrary UTF-8 (emoji/CJK) via the EOW sentinel") {
+    val texts = Seq(
+      (0L, "héllo wörld héllo naïve"),
+      (1L, "日本語 テスト 日本語 漢字"),
+      (2L, "mixed ascii und 中文 🎉🎉 emoji 🎉"),
+      (3L, "héllo 日本語 🎉 ascii"))
+    val df = texts.toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(df, "text", numMerges = 40, byteLevel = true)
+    assert(merges.count() > 0)
+    val enc = Corpus.bpeEncode(df, "doc_id", "text", merges, byteLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    texts.foreach { case (id, t) =>
+      val sub = enc(id)
+      // the sentinel is always word-FINAL: merges never cross words, so it
+      // can only be the last char of a symbol — split the subtoken stream
+      // into words at sentinel-ending symbols and decode each
+      val wordGroups = sub.foldLeft(Vector(Vector.empty[String])) { (acc, s) =>
+        val cur = acc.init :+ (acc.last :+ s)
+        if (s.endsWith(Corpus.BpeEow)) cur :+ Vector.empty else cur
+      }.filter(_.nonEmpty)
+      val decoded = wordGroups.map(Corpus.bpeByteDecode)
+      assert(decoded === t.split(" ").filter(_.nonEmpty).toSeq,
+        s"doc $id must round-trip byte-exactly")
+      // every sentinel is word-final inside its symbol
+      sub.foreach(s => assert(!s.dropRight(1).contains(Corpus.BpeEow.head),
+        s"sentinel must never be symbol-internal: ${s.toList}"))
+    }
+    // on pure printable ASCII the byte alphabet is the identity, so the
+    // byte-level encode differs from char-level ONLY by the sentinel
+    val ascii = Seq((0L, "low low low lower lower newest newest"))
+      .toDF("doc_id", "text")
+    val bm = Corpus.bpeTrain(ascii, "text", numMerges = 5, byteLevel = true)
+    val be = Corpus.bpeEncode(ascii, "doc_id", "text", bm, byteLevel = true)
+      .collect().head.getSeq[String](2)
+    assert(be.mkString.filterNot(_ == Corpus.BpeEow.head) ===
+      "low low low lower lower newest newest".replace(" ", ""))
   }
 
   test("bpe on the documents table: merges exist and encode is total") {
