@@ -1116,10 +1116,32 @@ object CoreGates {
           ((dec(sum(col("qty_c"))) / lit(100)).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
+    }),
+
+
+    // r12 StoreClient seam, data-checked: the SAME connector pushdown
+    // pipeline (filters, projection, cursor TopN) served by the READ-ONLY
+    // PARQUET-BACKED client instead of MemStore — the in-repo second
+    // StoreClient implementation. A seam leak (any reader still calling
+    // MemStore for data) would serve the wrong collection or none; the
+    // oracle hash checks the rows themselves. (c_acctbal DESC, c_custkey)
+    // is a unique order, so the page is deterministic in both engines.
+    "s21_client_parquet" -> ((s, dir) => {
+      s.read.format("graft.sources.mem.GraftMemSource")
+        .option("collection", "customer")
+        .option("client", "parquet").option("path", dir)
+        .load()
+        .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 100.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc).limit(50)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s21_client_parquet" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 100.0
+         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50""",
     "s1_scan_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
          WHERE l_quantity >= 30.0 AND l_returnflag = 'A'""",

@@ -348,18 +348,105 @@ final case class MemJoinSpec(
     rightProj: Seq[(String, String)],
     cond: Seq[MemJoinCond])
 
+/** The connector's DATA-PLANE seam (r11 verdict #4): every read the scan
+  * pipeline performs against the backing store goes through this trait, so
+  * "swap MemStore for a real client" is true by construction — a MongoDB/
+  * Cassandra implementation supplies schema, count, and slice cursors and
+  * the whole pushdown pipeline (filters, projection, limit/topN/offset,
+  * sample, partial aggregates, pushed joins, DPP, streaming offsets) works
+  * unchanged on top. The store-side EVALUATION of pushed operators lives in
+  * the shared readers (a real connector would instead compile them into the
+  * native query — the seam point is the same either way). Instrumentation
+  * (MemStore.lastPushed/served/failureModes/runtimeFilters) stays global
+  * test-harness state, not part of the client contract. */
+trait StoreClient extends Serializable {
+  def hasCollection(name: String): Boolean
+  def schemaOf(name: String): StructType
+  def rowCount(name: String): Int
+  /** Serve the [start, end) slice of the collection's stable cursor order. */
+  def rows(name: String, start: Int, end: Int): Iterator[Row]
+  /** Register a store-computed derived relation (pushed-join result). */
+  def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit
+}
+
+object StoreClient {
+  /** Resolve the client from reader options: `client=mem` (default, the
+    * embedded test store) or `client=parquet` + `path=<dir>` (read-only
+    * parquet-backed — the in-repo second implementation proving the seam). */
+  def resolve(get: String => String): StoreClient =
+    Option(get("client")).getOrElse("mem") match {
+      case "mem" => MemStoreClient
+      case "parquet" =>
+        val path = Option(get("path")).getOrElse(throw new IllegalArgumentException(
+          "client=parquet requires option 'path'"))
+        new ParquetStoreClient(path)
+      case other => throw new IllegalArgumentException(
+        s"unknown store client '$other' (supported: mem, parquet)")
+    }
+}
+
+/** The embedded in-process store as a [[StoreClient]] — plays the
+  * reference's embedded test databases (mongo-java-server/cassandra-unit,
+  * SURVEY.md §5). */
+object MemStoreClient extends StoreClient {
+  def hasCollection(name: String): Boolean = MemStore.hasCollection(name)
+  def schemaOf(name: String): StructType = MemStore.schemaOf(name)
+  def rowCount(name: String): Int = MemStore.rowsOf(name).length
+  def rows(name: String, start: Int, end: Int): Iterator[Row] =
+    MemStore.rowsOf(name).iterator.slice(start, end)
+  def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit =
+    MemStore.registerRaw(name, schema, rows)
+}
+
+/** Read-only parquet-backed [[StoreClient]]: each collection is
+  * `<path>/<name>.parquet`, loaded once per JVM and sliced like any other
+  * cursor. In a real deployment each partition reader would open its own
+  * connection/cursor instead of a JVM cache — the cache stands in for the
+  * server exactly like MemStore does, and everything above the seam is the
+  * code a wire client would reuse. Derived (pushed-join) relations
+  * delegate to the bounded MemStore derived cache ('#join#' names cannot
+  * collide with file-backed collections). */
+class ParquetStoreClient(path: String) extends StoreClient {
+  private def isDerived(name: String) = name.contains("#join#")
+  private def load(name: String): (StructType, Array[Row]) =
+    ParquetStoreClient.cache.getOrElseUpdate((path, name), {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.read.parquet(s"$path/$name.parquet")
+      (df.schema, df.collect())
+    })
+  def hasCollection(name: String): Boolean =
+    if (isDerived(name)) MemStore.hasCollection(name)
+    else new java.io.File(s"$path/$name.parquet").exists()
+  def schemaOf(name: String): StructType =
+    if (isDerived(name)) MemStore.schemaOf(name) else load(name)._1
+  def rowCount(name: String): Int =
+    if (isDerived(name)) MemStore.rowsOf(name).length else load(name)._2.length
+  def rows(name: String, start: Int, end: Int): Iterator[Row] =
+    if (isDerived(name)) MemStore.rowsOf(name).iterator.slice(start, end)
+    else load(name)._2.iterator.slice(start, end)
+  def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit =
+    MemStore.registerRaw(name, schema, rows)
+}
+
+object ParquetStoreClient {
+  private[mem] val cache =
+    TrieMap[(String, String), (StructType, Array[Row])]()
+}
+
 class GraftMemSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MemStore.schemaOf(options.get("collection"))
+    StoreClient.resolve(options.get).schemaOf(options.get("collection"))
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new MemTable(properties.get("collection"), schema)
+    new MemTable(properties.get("collection"), schema,
+      StoreClient.resolve(k => properties.get(k)))
 }
 
-class MemTable(collection: String, schema: StructType) extends Table with SupportsRead {
+class MemTable(collection: String, schema: StructType,
+    client: StoreClient = MemStoreClient) extends Table with SupportsRead {
   override def name(): String = s"graft-mem:$collection"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -388,7 +475,7 @@ class MemTable(collection: String, schema: StructType) extends Table with Suppor
         (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
       }
     new MemScanBuilder(collection, schema, maxTimeMs, readPreference,
-      startOffset, maxRowsPerTrigger, orderedBy)
+      startOffset, maxRowsPerTrigger, orderedBy, client)
   }
 }
 
@@ -399,7 +486,8 @@ class MemScanBuilder(
     readPreference: String,
     startOffset: Long,
     maxRowsPerTrigger: Option[Long],
-    orderedBy: Seq[(String, Boolean)] = Nil)
+    orderedBy: Seq[(String, Boolean)] = Nil,
+    client: StoreClient = MemStoreClient)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset
     with SupportsPushDownAggregates with SupportsPushDownV2Filters
@@ -605,7 +693,7 @@ class MemScanBuilder(
   override def build(): Scan =
     new MemScan(collection, curSchema, required, pushed, maxTimeMs,
       readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger,
-      orderedBy, aggPushed, sample, joinSpec)
+      orderedBy, aggPushed, sample, joinSpec, client)
 }
 
 class MemScan(
@@ -623,7 +711,8 @@ class MemScan(
     orderedBy: Seq[(String, Boolean)] = Nil,
     agg: Option[(Seq[String], Seq[MemAgg])] = None,
     sample: Option[(Double, Double, Long)] = None,
-    joinSpec: Option[MemJoinSpec] = None)
+    joinSpec: Option[MemJoinSpec] = None,
+    client: StoreClient = MemStoreClient)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering {
 
@@ -635,13 +724,13 @@ class MemScan(
     case None => collection
     case Some(js) =>
       val name = s"${js.leftCollection}#join#$scanId"
-      if (!MemStore.hasCollection(name)) {
-        val lSchema = MemStore.schemaOf(js.leftCollection)
-        val rSchema = MemStore.schemaOf(js.rightCollection)
-        val lRows = MemStore.rowsOf(js.leftCollection)
-          .filter(r => js.leftPre.forall(MemStore.eval(r, lSchema, _)))
-        val rRows = MemStore.rowsOf(js.rightCollection)
-          .filter(r => js.rightPre.forall(MemStore.eval(r, rSchema, _)))
+      if (!client.hasCollection(name)) {
+        val lSchema = client.schemaOf(js.leftCollection)
+        val rSchema = client.schemaOf(js.rightCollection)
+        val lRows = client.rows(js.leftCollection, 0, client.rowCount(js.leftCollection))
+          .filter(r => js.leftPre.forall(MemStore.eval(r, lSchema, _))).toArray
+        val rRows = client.rows(js.rightCollection, 0, client.rowCount(js.rightCollection))
+          .filter(r => js.rightPre.forall(MemStore.eval(r, rSchema, _))).toArray
         val lIdx = js.leftProj.map { case (c, _) => lSchema.fieldIndex(c) }
         val rIdx = js.rightProj.map { case (c, _) => rSchema.fieldIndex(c) }
         val joined = for {
@@ -650,7 +739,7 @@ class MemScan(
           row = Row.fromSeq(lIdx.map(a.get).toIndexedSeq ++ rIdx.map(b.get))
           if js.cond.forall(MemJoinCond.eval(row, fullSchema, _))
         } yield row
-        MemStore.registerRaw(name, fullSchema, joined)
+        client.registerDerived(name, fullSchema, joined)
       }
       name
   }
@@ -710,8 +799,8 @@ class MemScan(
   override def estimateStatistics(): Statistics = new Statistics {
     // for a pushed join, estimate from the left side WITHOUT materializing
     // the join at planning time (statistics are estimates)
-    private val n = MemStore.rowsOf(
-      joinSpec.map(_.leftCollection).getOrElse(collection)).length.toLong
+    private val n = client.rowCount(
+      joinSpec.map(_.leftCollection).getOrElse(collection)).toLong
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * math.max(1, required.defaultSize).toLong)
@@ -735,7 +824,7 @@ class MemScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = MemStore.rowsOf(sourceCollection).length
+    val n = client.rowCount(sourceCollection)
     // a pushed offset must be applied exactly (no partial-push contract),
     // which requires ONE global cursor — the reference's skip shape anyway
     if (offset > 0) Array(MemInputPartition(sourceCollection, 0, n))
@@ -757,10 +846,10 @@ class MemScan(
       case Some((groups, funcs)) =>
         MemStore.lastAgg(collection) = (groups, funcs.map(MemAgg.render))
         new MemAggReaderFactory(fullSchema, aggSchema.get, pushed, groups, funcs,
-          sample)
+          sample, client)
       case None =>
         new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit,
-          topNKeys, offset, Some(scanId), sample)
+          topNKeys, offset, Some(scanId), sample, client)
     }
   }
 
@@ -770,7 +859,8 @@ class MemScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MemMicroBatchStream(collection, fullSchema, required, pushed,
-      maxTimeMs, limit, topNKeys, startOffset, maxRowsPerTrigger)
+      maxTimeMs, limit, topNKeys, startOffset, maxRowsPerTrigger,
+      client = client)
 }
 
 object MemScan {
@@ -802,7 +892,8 @@ class MemMicroBatchStream(
     limit: Option[Int],
     topNKeys: Seq[(String, Boolean)],
     startOffset: Long,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    client: StoreClient = MemStoreClient)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -813,12 +904,12 @@ class MemMicroBatchStream(
   @volatile private var availableNowEnd: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(MemStore.rowsOf(collection).length.toLong)
+    availableNowEnd = Some(client.rowCount(collection).toLong)
 
   override def initialOffset(): Offset =
-    MemOffset(math.min(startOffset, MemStore.rowsOf(collection).length.toLong))
+    MemOffset(math.min(startOffset, client.rowCount(collection).toLong))
   override def latestOffset(): Offset =
-    MemOffset(availableNowEnd.getOrElse(MemStore.rowsOf(collection).length.toLong))
+    MemOffset(availableNowEnd.getOrElse(client.rowCount(collection).toLong))
   // SupportsAdmissionControl (SupportsTriggerAvailableNow extends it):
   // the `maxRowsPerTrigger` reader option becomes the default ReadLimit —
   // T2 backpressure STORE-SIDE, the demand-driven paging of the
@@ -847,7 +938,8 @@ class MemMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     MemStore.lastPushed(collection) = pushed.toSeq
-    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit, topNKeys)
+    new MemReaderFactory(fullSchema, required, pushed, maxTimeMs, limit,
+      topNKeys, client = client)
   }
 }
 
@@ -870,7 +962,8 @@ class MemAggReaderFactory(
     pushed: Array[Filter],
     groups: Seq[String],
     funcs: Seq[MemAgg],
-    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
+    sample: Option[(Double, Double, Long)] = None,
+    client: StoreClient = MemStoreClient) extends PartitionReaderFactory {
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (a: Number, b: Number) => MemStore.numCmp(a, b) // exact for big longs
@@ -900,7 +993,7 @@ class MemAggReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
-    val sliced = MemStore.rowsOf(p.collection).slice(p.start, p.end)
+    val sliced = client.rows(p.collection, p.start, p.end).toArray
     val sampled = sample match {
       case Some((lo, hi, seed)) =>
         val rng = new java.util.Random(seed + p.start)
@@ -942,7 +1035,8 @@ class MemReaderFactory(
     topNKeys: Seq[(String, Boolean)] = Nil,
     offset: Int = 0,
     scanId: Option[String] = None,
-    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
+    sample: Option[(Double, Double, Long)] = None,
+    client: StoreClient = MemStoreClient) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
@@ -968,7 +1062,7 @@ class MemReaderFactory(
         .createSerializer()
       private val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
       private val it = {
-        val sliced = MemStore.rowsOf(p.collection).slice(p.start, p.end)
+        val sliced = client.rows(p.collection, p.start, p.end).toArray
         // pushed TABLESAMPLE: a seeded per-cursor Bernoulli roll — the
         // store ships only the sampled fraction (deterministic per
         // (seed, slice), like a server-side $sample)

@@ -463,6 +463,39 @@ class MemSourceSpec extends AnyFunSuite {
     assert(viaStore(not(col("rating") < 3)) === Set("d"))
   }
 
+  test("StoreClient seam: parquet-backed client runs the same pushdown pipeline") {
+    val dir = SparkTestSession.sfDir
+    def viaClient = spark.read.format(fmt)
+      .option("collection", "nation")
+      .option("client", "parquet").option("path", dir)
+      .load()
+    // full scan equals the direct parquet read
+    val direct = spark.read.parquet(s"$dir/nation.parquet")
+    assert(viaClient.count() === direct.count())
+    // filters still push (instrumentation is client-independent)
+    MemStore.lastPushed.remove("nation")
+    val got = viaClient.where(col("n_regionkey") === 0)
+      .select("n_name").collect().map(_.getString(0)).toSet
+    val want = direct.where(col("n_regionkey") === 0)
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(got === want && got.nonEmpty)
+    val pushed = MemStore.lastPushed.getOrElse("nation", Nil).map(_.toString)
+    assert(pushed.exists(_.contains("n_regionkey")),
+      s"filter must reach the store through the parquet client: $pushed")
+    // cursor TopN prunes through the client too
+    MemStore.lastTopN.remove("nation")
+    val top = viaClient.orderBy(col("n_name")).limit(3)
+      .collect().map(_.getString(1)).toSeq
+    assert(top === direct.collect().map(_.getString(1)).sorted.take(3).toSeq)
+    assert(MemStore.lastTopN.contains("nation"), "TopN should push via the client")
+    // unknown client name fails fast
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("collection", "nation")
+        .option("client", "bogus").load()
+    }
+    assert(e.getMessage.contains("bogus"))
+  }
+
   test("pushed TopN orders bigints above 2^53 exactly (ADVICE r11)") {
     import spark.implicits._
     // doubles collapse adjacent longs here: (base+1).toDouble == base.toDouble
