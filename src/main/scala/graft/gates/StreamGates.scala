@@ -749,6 +749,50 @@ object StreamGates {
     }),
 
 
+    // KEYED streaming offsets over the connector (r11 verdict #5): the
+    // stream's offset is a PER-KEY map — the reference's
+    // (persistence_id, sequence_nr) resume (log/package.scala:56-62), the
+    // Kafka topic-partition shape — so one query over a MULTI-key log
+    // resumes every key at its own checkpointed rank. Three asymmetric
+    // keys share one collection; the reader's startOffset=25 applies per
+    // key (each key skips ITS replayed prefix — a global index would skip
+    // an interleaved prefix and corrupt every key), the log grows for all
+    // keys while the stream is down, and incarnation 2 must deliver
+    // exactly the appended rows per key. Oracle = per-key rank filters
+    // UNION ALL the appended slice, mirroring s19's contract key-wise.
+    "s22_stream_mem_keyed" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val feed = t(ss, dir, "events")
+        .where(pmod(col("event_id"), lit(5)) < 2)
+        .select(
+          when(pmod(col("user_id"), lit(3)) === 0, "log-a")
+            .when(pmod(col("user_id"), lit(3)) === 1, "log-b")
+            .otherwise("log-c").as("pkey"),
+          col("event_id"), col("user_id"), col("event_type"))
+      val coll = "evkeyed" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val slice1 = feed.where(pmod(col("event_id"), lit(3)) =!= 2).orderBy("event_id")
+      val slice2 = feed.where(pmod(col("event_id"), lit(3)) === 2).orderBy("event_id")
+      val ckpt = exitManagedTempDir("graft-memkeyed-ckpt").toString
+      val out = exitManagedTempDir("graft-memkeyed-out").toString
+      def incarnation(): Unit = {
+        val src = ss.readStream.format("graft.sources.mem.GraftMemSource")
+          .option("collection", coll)
+          .option("keyColumn", "pkey").option("startOffset", "25").load()
+        val q = src.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      graft.sources.mem.MemStore.register(coll, slice1)
+      incarnation() // per key: drains ranks [25, count_k(slice1))
+      graft.sources.mem.MemStore.append(coll, slice2)
+      incarnation() // per key: exactly the appended ranks
+      ss.read.parquet(out).select("pkey", "event_id", "user_id", "event_type")
+    }),
+
+
     // Streaming twin of corpus_bpe_encode (the s11/s13 "must converge to
     // exactly the batch answer" discipline): merges are trained batch-side
     // (the tokenizer is a build artifact — exactly how production
@@ -827,6 +871,23 @@ object StreamGates {
          SELECT event_id, user_id, event_type FROM s1 WHERE rn > 50
          UNION ALL
          SELECT event_id, user_id, event_type FROM f WHERE event_id % 3 = 2""",
+
+    // per-key resume: each key's rank counts ONLY its own rows in
+    // registration order; the appended slice rides whole, like s19
+    "s22_stream_mem_keyed" ->
+      """WITH f AS (SELECT CASE user_id % 3 WHEN 0 THEN 'log-a'
+                                            WHEN 1 THEN 'log-b'
+                                            ELSE 'log-c' END AS pkey,
+                           event_id, user_id, event_type
+                    FROM events WHERE event_id % 5 < 2),
+              s1 AS (SELECT pkey, event_id, user_id, event_type,
+                            ROW_NUMBER() OVER (PARTITION BY pkey
+                                               ORDER BY event_id) AS rn
+                     FROM f WHERE event_id % 3 <> 2)
+         SELECT pkey, event_id, user_id, event_type FROM s1 WHERE rn > 25
+         UNION ALL
+         SELECT pkey, event_id, user_id, event_type FROM f
+         WHERE event_id % 3 = 2""",
 
     // bounded admission in offset order: batch i holds ranks
     // [i*1000, (i+1)*1000) of the registered feed

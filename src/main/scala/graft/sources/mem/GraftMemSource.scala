@@ -466,6 +466,11 @@ class MemTable(collection: String, schema: StructType,
     val startOffset = options.getOrDefault("startOffset", "0").toLong
     val maxRowsPerTrigger =
       Option(options.get("maxRowsPerTrigger")).map(_.toLong).filter(_ > 0)
+    // keyed streaming offsets (r11 verdict #5): when set, the stream's
+    // offset is a PER-KEY map over this column — the reference's
+    // (persistence_id, sequence_nr) resume / the Kafka topic-partition
+    // shape — instead of one global row index
+    val keyColumn = Option(options.get("keyColumn")).filter(_.nonEmpty)
     // O5 clustering order, declared: "col[ desc][,col...]" — the caller's
     // promise that the collection is registered in this order (a real
     // store guarantees it by construction: Cassandra clustering columns)
@@ -475,7 +480,7 @@ class MemTable(collection: String, schema: StructType,
         (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
       }
     new MemScanBuilder(collection, schema, maxTimeMs, readPreference,
-      startOffset, maxRowsPerTrigger, orderedBy, client)
+      startOffset, maxRowsPerTrigger, orderedBy, client, keyColumn)
   }
 }
 
@@ -487,7 +492,8 @@ class MemScanBuilder(
     startOffset: Long,
     maxRowsPerTrigger: Option[Long],
     orderedBy: Seq[(String, Boolean)] = Nil,
-    client: StoreClient = MemStoreClient)
+    client: StoreClient = MemStoreClient,
+    keyColumn: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset
     with SupportsPushDownAggregates with SupportsPushDownV2Filters
@@ -693,7 +699,7 @@ class MemScanBuilder(
   override def build(): Scan =
     new MemScan(collection, curSchema, required, pushed, maxTimeMs,
       readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger,
-      orderedBy, aggPushed, sample, joinSpec, client)
+      orderedBy, aggPushed, sample, joinSpec, client, keyColumn)
 }
 
 class MemScan(
@@ -712,7 +718,8 @@ class MemScan(
     agg: Option[(Seq[String], Seq[MemAgg])] = None,
     sample: Option[(Double, Double, Long)] = None,
     joinSpec: Option[MemJoinSpec] = None,
-    client: StoreClient = MemStoreClient)
+    client: StoreClient = MemStoreClient,
+    keyColumn: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering {
 
@@ -858,9 +865,15 @@ class MemScan(
   // A pushed JOIN never reaches it either (join pushdown is a batch rule)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MemMicroBatchStream(collection, fullSchema, required, pushed,
-      maxTimeMs, limit, topNKeys, startOffset, maxRowsPerTrigger,
-      client = client)
+    keyColumn match {
+      case Some(kc) =>
+        new MemKeyedMicroBatchStream(collection, fullSchema, required, pushed,
+          kc, startOffset, maxRowsPerTrigger, client)
+      case None =>
+        new MemMicroBatchStream(collection, fullSchema, required, pushed,
+          maxTimeMs, limit, topNKeys, startOffset, maxRowsPerTrigger,
+          client = client)
+    }
 }
 
 object MemScan {
@@ -946,6 +959,195 @@ class MemMicroBatchStream(
 case class MemOffset(index: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = index.toString
+}
+
+/** Composite PER-KEY streaming offset (r11 verdict #5): one consumed-rank
+  * cursor per key value — the reference's `(persistence_id, sequence_nr)`
+  * resume (log/package.scala:56-62) and the Kafka topic-partition offset
+  * shape. Serialized as a sorted JSON object so the checkpointed form is
+  * deterministic; keys are escaped (they are data). */
+case class MemKeyedOffset(offsets: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + MemKeyedOffset.esc(k) + "\":" + v
+    }.mkString("{", ",", "}")
+}
+
+object MemKeyedOffset {
+  private[mem] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Parser for exactly the shape [[MemKeyedOffset.json]] emits. */
+  def parse(json: String): MemKeyedOffset = {
+    val m = Map.newBuilder[String, Long]
+    var i = 1 // skip '{'
+    val n = json.length
+    while (i < n && json.charAt(i) != '}') {
+      if (json.charAt(i) == ',') i += 1
+      require(json.charAt(i) == '"', s"bad keyed offset json at $i: $json")
+      i += 1
+      val sb = new StringBuilder
+      while (json.charAt(i) != '"') {
+        val c = json.charAt(i)
+        if (c == '\\') {
+          json.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => throw new IllegalArgumentException(
+              s"bad escape '\\$other' in keyed offset json: $json")
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      i += 1 // closing quote
+      require(json.charAt(i) == ':', s"bad keyed offset json at $i: $json")
+      i += 1
+      val st = i
+      while (i < n && json.charAt(i).isDigit) i += 1
+      m += sb.toString -> json.substring(st, i).toLong
+    }
+    MemKeyedOffset(m.result())
+  }
+}
+
+/** One key's [startRank, endRank) slice: ranks count that key's rows in
+  * registration order — the per-shard cursor of a keyed log. */
+case class MemKeyedInputPartition(
+    collection: String, key: String, startRank: Long, endRank: Long)
+    extends InputPartition
+
+/** Keyed-offset MicroBatchStream: parallelism = #keys (each key is an
+  * independent cursor, the Kafka topic-partition shape), restart resumes
+  * EVERY key at its own checkpointed rank, and a reader-option
+  * `startOffset` applies PER KEY (skip each key's replayed prefix — the
+  * reference's sequence_nr floor). Projection and pushed filters ride the
+  * same store-side machinery as the batch reader; admission control
+  * (`maxRowsPerTrigger`) allocates the row budget across keys in sorted
+  * key order, so bounded batches drain deterministically. */
+class MemKeyedMicroBatchStream(
+    collection: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    keyColumn: String,
+    startOffsetPerKey: Long,
+    maxRowsPerTrigger: Option[Long],
+    client: StoreClient)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  private val keyIdx = fullSchema.fieldIndex(keyColumn)
+
+  /** Current per-key row counts in the store (one pass over the
+    * collection — a real keyed log serves these from per-partition
+    * high-watermarks). */
+  private def keyCounts(): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    client.rows(collection, 0, client.rowCount(collection)).foreach { r =>
+      val k = String.valueOf(r.get(keyIdx))
+      m(k) = m.getOrElse(k, 0L) + 1L
+    }
+    m.toMap
+  }
+
+  @volatile private var availableNowEnd: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(keyCounts())
+
+  override def initialOffset(): Offset =
+    MemKeyedOffset(keyCounts().map { case (k, n) =>
+      k -> math.min(startOffsetPerKey, n) })
+  override def latestOffset(): Offset =
+    MemKeyedOffset(availableNowEnd.getOrElse(keyCounts()))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val end = latestOffset().asInstanceOf[MemKeyedOffset].offsets
+    val st = start.asInstanceOf[MemKeyedOffset].offsets
+    readLimit match {
+      case mr: ReadMaxRows =>
+        var budget = mr.maxRows()
+        val out = Map.newBuilder[String, Long]
+        end.toSeq.sortBy(_._1).foreach { case (k, e) =>
+          val s = st.getOrElse(k, math.min(startOffsetPerKey, e))
+          val take = math.min(e - s, budget)
+          out += k -> (s + math.max(0L, take))
+          budget -= math.max(0L, take)
+        }
+        MemKeyedOffset(out.result())
+      case _ => MemKeyedOffset(end)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = MemKeyedOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val st = start.asInstanceOf[MemKeyedOffset].offsets
+    val en = end.asInstanceOf[MemKeyedOffset].offsets
+    en.toSeq.sortBy(_._1).flatMap { case (k, e) =>
+      // a key first seen mid-stream (appended while running) starts at its
+      // per-key startOffset floor, like initialOffset does for known keys
+      val s = st.getOrElse(k, math.min(startOffsetPerKey, e))
+      if (e > s) Some(MemKeyedInputPartition(collection, k, s, e): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    MemStore.lastPushed(collection) = pushed.toSeq
+    new MemKeyedReaderFactory(fullSchema, required, pushed, keyIdx, client)
+  }
+}
+
+/** Serves one key's rank slice: scans the collection in registration
+  * order, counts ranks for the partition's key only, and ships rows in
+  * [startRank, endRank) through the same pushed-filter + projection path
+  * as the positional reader (a real keyed store would seek by clustering
+  * key instead of scanning — the contract is identical). */
+class MemKeyedReaderFactory(
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    keyIdx: Int,
+    client: StoreClient) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MemKeyedInputPartition]
+    val toInternal = ExpressionEncoder(RowEncoder.encoderFor(required))
+      .createSerializer()
+    val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+    val it = {
+      var rank = -1L
+      client.rows(p.collection, 0, client.rowCount(p.collection))
+        .filter(r => String.valueOf(r.get(keyIdx)) == p.key)
+        .filter { _ => rank += 1; rank >= p.startRank && rank < p.endRank }
+        .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _)))
+        .map { r =>
+          MemStore.served.get(p.collection).foreach(_.incrementAndGet())
+          Row.fromSeq(idx.toIndexedSeq.map(r.get))
+        }
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = toInternal(it.next()).copy(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Partial-aggregate cursor: each store slice groups its FILTERED rows and

@@ -427,6 +427,62 @@ class MemSourceSpec extends AnyFunSuite {
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
   }
 
+  test("keyed streaming offsets: each key resumes at its OWN checkpointed rank (exactly-once)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val coll = "keyed_resume_spec"
+    // asymmetric keys — a global row index would resume both keys at the
+    // same position and corrupt whichever key is shorter
+    val part1 =
+      ((0 until 30).map(i => ("log-a", i.toLong)) ++
+        (0 until 8).map(i => ("log-b", i.toLong)))
+        .sortBy(_._2).toDF("pkey", "seq") // interleaved registration order
+    val part2 =
+      ((30 until 35).map(i => ("log-a", i.toLong)) ++
+        (8 until 20).map(i => ("log-b", i.toLong)))
+        .sortBy(_._2).toDF("pkey", "seq")
+    MemStore.register(coll, part1)
+    val ckpt = java.nio.file.Files.createTempDirectory("memkeyed-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("memkeyed-out").toString
+    def incarnation(): Unit = {
+      val src = spark.readStream.format(fmt)
+        .option("collection", coll)
+        .option("keyColumn", "pkey").option("startOffset", "5").load()
+      val q = src.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    incarnation()
+    val first = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    // startOffset=5 applies PER KEY: each key skips ITS first 5 ranks
+    val want1 = ((5 until 30).map(i => ("log-a", i.toLong)) ++
+      (5 until 8).map(i => ("log-b", i.toLong))).sorted
+    assert(first.toSeq === want1, "per-key startOffset must skip each key's prefix")
+    MemStore.append(coll, part2) // both logs grow while the stream is down
+    incarnation()
+    val all = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    val want2 = ((5 until 35).map(i => ("log-a", i.toLong)) ++
+      (5 until 20).map(i => ("log-b", i.toLong))).sorted
+    // exactly-once per key: log-a resumes at rank 30, log-b at rank 8 —
+    // no re-reads, no skips, despite the asymmetric appends
+    assert(all.toSeq === want2)
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
+  }
+
+  test("MemKeyedOffset json round-trips keys with quotes, backslashes, control chars") {
+    import graft.sources.mem.MemKeyedOffset
+    val o = MemKeyedOffset(Map("plain" -> 3L, "qu\"ote" -> 5L,
+      "back\\slash" -> 7L, "ctlkey" -> 11L))
+    val parsed = MemKeyedOffset.parse(o.json())
+    assert(parsed === o)
+    assert(MemKeyedOffset.parse(MemKeyedOffset(Map.empty).json()) ===
+      MemKeyedOffset(Map.empty))
+  }
+
   test("pushed Not / NOT IN over a NULLABLE column keep SQL three-valued logic (ADVICE r11)") {
     // rows with NULL rating: col =!= v and NOT IN must FILTER them (SQL
     // UNKNOWN), which two-valued store eval got wrong (Not(false) = true)
