@@ -114,21 +114,30 @@ object Joins {
     * depend on the caller knowing their key histogram. This wrapper
     * decides from data: a seeded sample estimates the big side's max
     * single-key share, and the join salts only when it exceeds
-    * `maxShareThreshold` (default 0.2 — a fifth of the table on one key
-    * means one reducer does a fifth of the work while the rest idle;
-    * below that AQE's skew splitting is enough). The probe is one
-    * sample-sized job; the result multiset is identical either way
-    * (salting is result-invariant, ScaleSpec). `minSample` guards the
-    * estimator: under ~1k sampled rows a hot key's share estimate is too
-    * noisy to act on, so small inputs take the plain join (where skew
-    * cannot hurt anyway). */
+    * `maxShareThreshold`. The probe is one sample-sized job; the result
+    * multiset is identical either way (salting is result-invariant,
+    * ScaleSpec). `minSample` guards the estimator: under ~1k sampled rows
+    * a hot key's share estimate is too noisy to act on, so small inputs
+    * take the plain join (where skew cannot hurt anyway).
+    *
+    * The 0.15 default is MEASURED, not guessed (r11 verdict #8,
+    * tools/SaltProbe — shuffled fact⋈20k-row dim, broadcast off, AQE
+    * skew-join ON, min-of-3; full table in PLANS.md): the salted/plain
+    * crossover sits at ~0.27 hot-key share on 8 threads but ~0.10 on 32
+    * threads — skew stalls scale with parallelism (one reducer holds
+    * `share` of the table while ever more peers idle), so at cluster
+    * parallelism the crossover keeps falling, while the cost of salting
+    * when it wasn't needed stayed bounded (≤ ~1.3× in every measurement,
+    * vs plain degrading 2.2× at 0.7 share and unboundedly with share ×
+    * parallelism). 0.15 sits under the high-parallelism crossover's safe
+    * side and well above probe noise (±1% at the default sample size). */
   def innerAutoSalted(
       big: DataFrame,
       bigKey: String,
       small: DataFrame,
       smallKey: String,
       salts: Int = 8,
-      maxShareThreshold: Double = 0.2,
+      maxShareThreshold: Double = 0.15,
       sampleFraction: Double = 0.05,
       minSample: Long = 1000L,
       seed: Long = 42L): DataFrame = {
