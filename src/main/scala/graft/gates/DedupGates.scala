@@ -105,7 +105,10 @@ object DedupGates {
     // prefix; both engines implement classic unit-cost Levenshtein.
     "dedup_edit_distance" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      // candidate pairs via the LOSSLESS prefix filter (identical pair
+      // set to ngramJaccardPairs, DedupSpec): the sf1 spot-bench measured
+      // the exact-explode form at 132x growth vs 22x for the prefix path
+      val pairs = Dedup.jaccardPrefixPairs(docs, "doc_id", "text",
           shingleLen = 3, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"))
       val ta = docs.select(col("doc_id").as("doc_a"),
@@ -173,7 +176,9 @@ object DedupGates {
     // singletons map to themselves.
     "dedup_cluster_cc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val natural = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      // prefix-filtered pair generation — same pairs, scale-safe
+      // (sf1 spot-bench: the exact-explode form timed out here)
+      val natural = Dedup.jaccardPrefixPairs(docs, "doc_id", "text",
           shingleLen = 3, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"))
       val low = docs.select(col("doc_id")).where(col("doc_id") < 50)
@@ -245,7 +250,9 @@ object DedupGates {
     // oracle.
     "dedup_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      // prefix-filtered pair generation — same pairs, scale-safe
+      // (sf1 spot-bench: 134x growth with the exact-explode form)
+      val pairs = Dedup.jaccardPrefixPairs(docs, "doc_id", "text",
           shingleLen = 3, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"))
       val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")

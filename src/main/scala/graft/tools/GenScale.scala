@@ -1,0 +1,136 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stages an sf1-equivalent testdata dir for the spot-bench (r11 verdict
+  * #6): scale cliffs (candidate blowups, state-store growth) are invisible
+  * at sf0.1, so the heaviest gates get measured at 10× the rows.
+  *
+  * Only the tables the pinned spot gates read are produced:
+  *  - `documents` / `embeddings` are generated FRESH from the source
+  *    tables' measured distributions (empirical word frequencies over the
+  *    same vocabulary, word-count range, language shares, 20 sources;
+  *    unit-norm 64-dim embeddings, 10 labels) — replicating rows would
+  *    plant 10-way exact-duplicate clusters and turn every dedup gate's
+  *    pair space quadratic in the copy count, measuring an artifact.
+  *  - `events` is 10 shifted copies (disjoint event_id ranges, +31 days
+  *    per copy) — the append-only log shape where replication IS how the
+  *    table grows, and aggregation/stream-join gates see realistic 10×
+  *    key densities and a 10× event-time span.
+  * Everything is a pure function of (doc_id/vec_id, position) through
+  * md5, so the staged dir is bit-reproducible.
+  *
+  * usage: runMain graft.tools.GenScale [srcDir] [outDir] [factor]
+  */
+object GenScale {
+  /** content-keyed uniform in (0,1) — same construction as the sampling
+    * operators (Corpus.hashBucket's md5 discipline) */
+  private def u(cols: Column*): Column =
+    (conv(substring(md5(concat_ws("#", cols: _*).cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+
+  /** write as a single `<dir>/<name>.parquet` FILE, matching the testdata
+    * layout every gate (and the streaming pathGlobFilter reads) expects */
+  private def writeSingle(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = s"$dir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(s"$dir/$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.gates.GateSupport.deleteRecursively(Paths.get(tmp))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SparkEntry.sessionBuilder(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    // ---- documents: fresh draws from the measured distribution ----
+    val srcDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = srcDocs.count() * factor
+    val vocabRows = srcDocs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count().orderBy("w").collect()
+    val totalW = vocabRows.map(_.getLong(1)).sum.toDouble
+    val vocabCum: Array[(String, Double)] = {
+      var acc = 0.0
+      vocabRows.map { r => acc += r.getLong(1) / totalW; (r.getString(0), acc) }
+    }
+    def pickByCum(uc: Column, table: Array[(String, Double)]): Column =
+      table.init.foldRight(lit(table.last._1): Column) { case ((w, c), acc) =>
+        when(uc < c, lit(w)).otherwise(acc)
+      }
+    val langRows = srcDocs.groupBy("lang").count().orderBy("lang").collect()
+    val totalL = langRows.map(_.getLong(1)).sum.toDouble
+    val langCum: Array[(String, Double)] = {
+      var acc = 0.0
+      langRows.map { r => acc += r.getLong(1) / totalL; (r.getString(0), acc) }
+    }
+    val (minW, maxW) = {
+      val r = srcDocs.select(
+        min(size(split(col("text"), " "))), max(size(split(col("text"), " ")))).head()
+      (r.getInt(0), r.getInt(1))
+    }
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("nw", (lit(minW) +
+        floor(u(lit("nw"), col("doc_id")) * (maxW - minW + 1))).cast("int"))
+      .select(col("doc_id"), col("nw"),
+        explode(sequence(lit(0), col("nw") - 1)).as("pos"))
+      .withColumn("w", pickByCum(u(lit("w"), col("doc_id"), col("pos")), vocabCum))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        e => e.getField("w")), " ").as("text"))
+      .withColumn("lang", pickByCum(u(lit("lang"), col("doc_id")), langCum))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("doc_id")), lit(20))))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    writeSingle(docs, outDir, "documents")
+    println(s"[genscale] documents: $nDocs")
+
+    // ---- embeddings: fresh unit-norm vectors, measured label count ----
+    val srcEmb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nEmb = srcEmb.count() * factor
+    val dim = srcEmb.select(size(col("embedding"))).head().getInt(0)
+    val emb = spark.range(nEmb).select(col("id").as("vec_id"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(dim - 1))).as("d"))
+      .withColumn("v", u(lit("e"), col("vec_id"), col("d")) - lit(0.5))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        e => e.getField("v")).as("raw"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
+        floor(u(lit("l"), col("vec_id")) * 10).cast("int").as("label"))
+    writeSingle(emb, outDir, "embeddings")
+    println(s"[genscale] embeddings: $nEmb x $dim")
+
+    // ---- events: shifted append copies ----
+    val srcEv = spark.read.parquet(s"$srcDir/events.parquet")
+    val nEv = srcEv.count()
+    val ev = (0 until factor).map { i =>
+      srcEv.select(
+        (col("event_id") + lit(i * nEv)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${i * 31} DAYS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    writeSingle(ev, outDir, "events")
+    println(s"[genscale] events: ${nEv * factor}")
+
+    spark.stop()
+  }
+}
