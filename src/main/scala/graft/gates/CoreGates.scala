@@ -1119,6 +1119,33 @@ object CoreGates {
     }),
 
 
+    // r12 WIRE-LEVEL client, data-checked: the reference talks to its
+    // stores over driver connections (storage.scala:315-327,644-658);
+    // here the full cursor page (pushed filter + cursor TopN) is served
+    // by the loopback TCP row server through SocketStoreClient — one
+    // connection per partition reader, rows crossing a REAL typed
+    // serialization boundary. A codec or framing bug breaks the hash.
+    // Server + staged collection cached per (JVM, dir); port rides the
+    // cache value.
+    "s23_wire_cursor" -> ((s, dir) => {
+      val coll = "li_wire" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val port = stageCache.getOrElseUpdate(s"wire#$dir", {
+        graft.sources.mem.MemStore.register(coll,
+          t(s, dir, "lineitem")
+            .where(pmod(col("l_orderkey"), lit(20)) === 1)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        graft.sources.mem.MemWireServer.start().port.toString
+      }).toInt
+      s.read.format("graft.sources.mem.GraftMemSource")
+        .option("collection", coll)
+        .option("client", "wire").option("port", port.toString)
+        .load()
+        .where(col("l_quantity") >= 25)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(300)
+    }),
+
+
     // r12 StoreClient seam, data-checked: the SAME connector pushdown
     // pipeline (filters, projection, cursor TopN) served by the READ-ONLY
     // PARQUET-BACKED client instead of MemStore — the in-repo second
@@ -1142,6 +1169,11 @@ object CoreGates {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 100.0
          ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50""",
+
+    "s23_wire_cursor" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_orderkey % 20 = 1 AND l_quantity >= 25
+         ORDER BY l_orderkey, l_linenumber LIMIT 300""",
     "s1_scan_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
          WHERE l_quantity >= 30.0 AND l_returnflag = 'A'""",

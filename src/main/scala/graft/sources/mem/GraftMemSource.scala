@@ -371,8 +371,10 @@ trait StoreClient extends Serializable {
 
 object StoreClient {
   /** Resolve the client from reader options: `client=mem` (default, the
-    * embedded test store) or `client=parquet` + `path=<dir>` (read-only
-    * parquet-backed — the in-repo second implementation proving the seam). */
+    * embedded test store), `client=parquet` + `path=<dir>` (read-only
+    * parquet-backed), or `client=wire` + `port=<n>` [+ `host=`] — the
+    * TCP row-server client ([[SocketStoreClient]]), the wire shape the
+    * reference's database drivers have. */
   def resolve(get: String => String): StoreClient =
     Option(get("client")).getOrElse("mem") match {
       case "mem" => MemStoreClient
@@ -380,8 +382,12 @@ object StoreClient {
         val path = Option(get("path")).getOrElse(throw new IllegalArgumentException(
           "client=parquet requires option 'path'"))
         new ParquetStoreClient(path)
+      case "wire" =>
+        val port = Option(get("port")).getOrElse(throw new IllegalArgumentException(
+          "client=wire requires option 'port'")).toInt
+        new SocketStoreClient(Option(get("host")).getOrElse("127.0.0.1"), port)
       case other => throw new IllegalArgumentException(
-        s"unknown store client '$other' (supported: mem, parquet)")
+        s"unknown store client '$other' (supported: mem, parquet, wire)")
     }
 }
 
