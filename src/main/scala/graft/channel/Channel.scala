@@ -96,7 +96,13 @@ object Channel {
     * the s19/t_stream_restart machinery). Sort/limit/skip and maxTimeMS
     * are batch-cursor concepts and are rejected fail-fast, like the
     * reference's build() validation rejects inconsistent settings. */
-  def stream(spark: SparkSession, startOffset: Long = 0L)
+  /** `keyBy`: the PARTITIONED stream form — the offset becomes a per-key
+    * consumed-rank map over this column (the reference's
+    * (persistence_id, sequence_nr) resume, log/package.scala:56-62), so
+    * one channel over a multi-key log restarts every key at its own
+    * checkpointed position and `startOffset` applies per key. */
+  def stream(spark: SparkSession, startOffset: Long = 0L,
+      keyBy: Option[String] = None)
       (f: MutableBuilder => Unit): DataFrame = {
     val b = new MutableBuilder
     f(b)
@@ -114,6 +120,7 @@ object Channel {
     var r = spark.readStream.format("graft.sources.mem.GraftMemSource")
       .option("collection", mem)
       .option("startOffset", startOffset.toString)
+    keyBy.foreach(k => r = r.option("keyColumn", k))
     b.readPref.foreach(p => r = r.option("readPreference", p))
     r.load().where(b.pred.get.column)
   }

@@ -560,6 +560,25 @@ object CorpusGates {
     }),
 
 
+    // BPE ROUND-TRIP at corpus scale: byte-level train → encode through
+    // the sequential matcher → DECODE (concat symbols, end-of-word
+    // sentinels back to word boundaries — the byte alphabet is the
+    // identity on this ASCII corpus, so the decode is a pure column
+    // expression; the general multibyte inverse is bpeByteDecode, proven
+    // in BpeSpec) must reproduce every document byte-for-byte. The oracle
+    // is the documents table itself — the strongest possible lossless
+    // claim: any drift anywhere in train/encode/decode breaks the hash.
+    "corpus_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = bpeN, byteLevel = true)
+      Corpus.bpeEncode(docs, "doc_id", "text", merges, byteLevel = true)
+        .select(col("doc_id"),
+          array_join(
+            filter(split(array_join(col("subtokens"), ""), Corpus.BpeEow),
+              w => length(w) > 0), " ").as("text"))
+    }),
+
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     // literature): per LANGUAGE, documents split into head/middle/tail
     // perplexity terciles — the quality-stratification step CCNet applies
@@ -664,6 +683,9 @@ object CorpusGates {
     "corpus_bpe_train" -> bpeTrainOracleSql(bpeN),
     "corpus_bpe_encode" -> bpeEncodeOracleSql(bpeN),
     "corpus_bpe_bytes" -> bpeEncodeOracleSql(bpeN, byteLevel = true),
+    // decode(encode(x)) == x — the oracle IS the input corpus
+    "corpus_bpe_roundtrip" ->
+      "SELECT doc_id, text FROM documents WHERE length(text) > 0",
     "pipe_bpe_pretokenize" -> bpePretokenizeOracleSql(bpeN),
     "corpus_bpe_fertility" -> bpeFertilityOracleSql(bpeN),
     "corpus_bpe_vocab" -> bpeVocabOracleSql(bpeN),

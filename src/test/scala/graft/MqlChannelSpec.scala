@@ -226,6 +226,44 @@ class MqlChannelSpec extends AnyFunSuite {
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
   }
 
+  test("keyed streaming channel: per-key resume through keyBy (reference (persistence_id, sequence_nr))") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.mem.MemStore
+    // asymmetric keys, interleaved registration order — a global offset
+    // would resume both at the same row index and corrupt the shorter key
+    val part1 = ((0 until 20).map(i => ("pid-a", i.toLong)) ++
+      (0 until 6).map(i => ("pid-b", i.toLong))).sortBy(_._2)
+      .toDF("pid", "seq")
+    val part2 = ((20 until 24).map(i => ("pid-a", i.toLong)) ++
+      (6 until 16).map(i => ("pid-b", i.toLong))).sortBy(_._2)
+      .toDF("pid", "seq")
+    MemStore.register("stream_ch_keyed", part1)
+    val ckpt = java.nio.file.Files.createTempDirectory("chkeyed-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("chkeyed-out").toString
+    def incarnation(): Unit = {
+      val src = Channel.stream(spark, startOffset = 2L, keyBy = Some("pid")) { b =>
+        b.q("""{ "seq": { "$gte": 0 } }""")
+        b.memCollection("stream_ch_keyed")
+      }
+      val q = src.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    incarnation()
+    MemStore.append("stream_ch_keyed", part2)
+    incarnation()
+    val all = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // startOffset=2 applies PER KEY; both keys resume at their own rank
+    val want = ((2 until 24).map(i => ("pid-a", i.toLong)) ++
+      (2 until 16).map(i => ("pid-b", i.toLong))).sorted
+    assert(all === want, "keyed channel must deliver per-key exactly-once")
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
+  }
+
   test("channel repeat-execution determinism (reference ids ++ ids ++ ids)") {
     def run() = Channel.create(spark, sfDir) { b =>
       b.q("""{ "l_quantity": { "$gte": 49 } }""")
