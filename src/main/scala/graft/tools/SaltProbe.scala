@@ -48,8 +48,25 @@ object SaltProbe {
       ts.min
     }
 
+    /** total shuffle records written across the stages `body` triggers
+      * (same listener harness as ScaleSpec.shuffleRecords) */
+    def shuffleRecords(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        Thread.sleep(500) // let the listener bus drain (measurement tool)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get()
+    }
+
     println(f"# SaltProbe rows=$n salts=$salts cpus=$cpus keySpace=$keySpace")
-    println("share plain_sec salted_sec speedup probe_share")
+    println("share plain_sec salted_sec speedup plain_shuf salted_shuf probe_share")
     Seq(0.0, 0.05, 0.1, 0.2, 0.3, 0.5, 0.7).foreach { share =>
       val hotThreshold = (share * 1000).toInt
       val big = spark.range(n).select(
@@ -69,8 +86,15 @@ object SaltProbe {
       val saltedSec = time {
         assert(Joins.saltedInner(bigReal, "k", dim, "dk", salts).count() == expected)
       }
+      val plainShuf = shuffleRecords {
+        bigReal.join(dim, col("k") === col("dk")).count(); ()
+      }
+      val saltedShuf = shuffleRecords {
+        Joins.saltedInner(bigReal, "k", dim, "dk", salts).count(); ()
+      }
       val (probeShare, _) = Joins.sampledMaxKeyShare(bigReal, "k", 0.02, 42L)
-      println(f"$share%.2f $plainSec%.3f $saltedSec%.3f ${plainSec / saltedSec}%.2fx $probeShare%.3f")
+      println(f"$share%.2f $plainSec%.3f $saltedSec%.3f ${plainSec / saltedSec}%.2fx " +
+        f"$plainShuf $saltedShuf $probeShare%.3f")
       big.unpersist()
     }
     spark.stop()
