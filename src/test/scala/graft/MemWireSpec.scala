@@ -137,6 +137,38 @@ class MemWireSpec extends AnyFunSuite {
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
   }
 
+  test("property: codec round-trips arbitrary rows (unicode strings, extreme numerics)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("i", IntegerType),
+      StructField("b", BooleanType)))
+    val str = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf('"', '\\', '\n', '', 'é', '中', 'a'))
+        .map(_.mkString),
+      Gen.const(""))
+    val dbl = Gen.oneOf(
+      Gen.chooseNum(-1e300, 1e300),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, 1.0 / 3.0))
+    val rowGen = for {
+      s <- Gen.option(str)
+      l <- Gen.option(Gen.oneOf(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+        Gen.const((1L << 53) + 1L)))
+      d <- Gen.option(dbl)
+      i <- Gen.option(Gen.chooseNum(Int.MinValue, Int.MaxValue))
+      b <- Gen.option(Gen.oneOf(true, false))
+    } yield org.apache.spark.sql.Row(
+      s.orNull, l.map(Long.box).orNull, d.map(Double.box).orNull,
+      i.map(Int.box).orNull, b.map(Boolean.box).orNull)
+    val prop = Prop.forAll(rowGen) { row =>
+      WireCodec.readRow(WireCodec.writeRow(row), schema) == row
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"wire codec property failed: ${res.status}")
+  }
+
   test("unknown collection / closed server fail loudly, never empty") {
     val e = intercept[Exception] { load("wire_nope").collect() }
     assert(e.getMessage != null)
