@@ -600,18 +600,23 @@ object Dedup {
     // harmless, verification is exact — but never lose one).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
+    // candidates join on the 64-bit HASH ALONE — unlike ngramJaccardPairs
+    // (whose intersection COUNTS must be exact, so it re-verifies the
+    // string in the join), a false candidate here is harmless: every
+    // candidate pair is verified exactly against the full shingle arrays
+    // below, so a hash collision costs one extra verification, never a
+    // wrong row. Shipping only (doc_id, h) halves the candidate shuffle's
+    // row width vs carrying the shingle string.
     val prefix = exploded.join(dfCounts, "s")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
-    val full = exploded.select(col("doc_id"), col("s"))
-      .withColumn("h", xxhash64(col("s")))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val full = exploded.select(col("doc_id"), xxhash64(col("s")).as("h"))
     // prefix ⋈ full (not prefix ⋈ prefix: only the SMALLER side's prefix
     // is guaranteed to hit, and either side may be the smaller one)
     val cand = prefix.alias("a").join(full.alias("b"),
-        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
