@@ -724,9 +724,14 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // candidates join on the 64-bit hash ALONE (r12, same reasoning as
+    // containmentPairs): every candidate is verified exactly against the
+    // full shingle arrays below, so a hash collision costs one extra
+    // verification, never a wrong row — and the candidate shuffle ships
+    // (doc_id, h) instead of carrying the shingle string
     val cand = prefix.alias("a").join(prefix.alias("b"),
-        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
