@@ -336,17 +336,93 @@ object MemJoinCond {
   }
 }
 
-/** A pushed store-side join: each side's pre-join cursor filters, the
-  * aliased output projection per side, and the join-condition conjuncts
-  * evaluated over the joined (aliased) schema. */
-final case class MemJoinSpec(
-    leftCollection: String,
-    leftPre: Array[Filter],
-    leftProj: Seq[(String, String)],
-    rightCollection: String,
-    rightPre: Array[Filter],
-    rightProj: Seq[(String, String)],
-    cond: Seq[MemJoinCond])
+/** A pushed relational TREE the store executes natively at scan time —
+  * the shape that lets join pushdown NEST (Spark's rule re-applies as
+  * long as both sides stay compatible, so a 3-collection chain collapses
+  * into one scan). Leaves carry their own [[StoreClient]]; `Derived`
+  * wraps an already-joined side with its accumulated post-join cursor
+  * filters and the next join's projection/aliases. */
+sealed trait MemRel { def schema: StructType }
+object MemRel {
+  final case class Base(
+      collection: String,
+      client: StoreClient,
+      pre: Array[Filter],
+      proj: Seq[(String, String)]) extends MemRel {
+    lazy val schema: StructType = {
+      val s = client.schemaOf(collection)
+      StructType(proj.map { case (c, out) => s(c).copy(name = out) })
+    }
+  }
+  final case class Derived(
+      child: MemRel,
+      pre: Array[Filter],
+      proj: Seq[(String, String)]) extends MemRel {
+    lazy val schema: StructType =
+      StructType(proj.map { case (c, out) =>
+        child.schema(child.schema.fieldIndex(c)).copy(name = out) })
+  }
+  final case class Join(
+      left: MemRel,
+      right: MemRel,
+      cond: Seq[MemJoinCond]) extends MemRel {
+    lazy val schema: StructType = StructType(left.schema ++ right.schema)
+  }
+
+  /** Materialize the tree (the test double's "native execution" — a real
+    * store hands the pipeline to its query engine). */
+  def eval(rel: MemRel): Array[Row] = rel match {
+    case Base(coll, client, pre, proj) =>
+      val s = client.schemaOf(coll)
+      val idx = proj.map { case (c, _) => s.fieldIndex(c) }
+      client.rows(coll, 0, client.rowCount(coll))
+        .filter(r => pre.forall(MemStore.eval(r, s, _)))
+        .map(r => Row.fromSeq(idx.map(r.get).toIndexedSeq)).toArray
+    case d @ Derived(child, pre, proj) =>
+      val cs = child.schema
+      val idx = proj.map { case (c, _) => cs.fieldIndex(c) }
+      eval(child)
+        .filter(r => pre.forall(MemStore.eval(r, cs, _)))
+        .map(r => Row.fromSeq(idx.map(r.get).toIndexedSeq))
+    case j @ Join(l, r, cond) =>
+      val lr = eval(l)
+      val rr = eval(r)
+      val schema = j.schema
+      for {
+        a <- lr
+        b <- rr
+        row = Row.fromSeq(a.toSeq ++ b.toSeq)
+        if cond.forall(MemJoinCond.eval(row, schema, _))
+      } yield row
+  }
+
+  /** leftmost-leaf row count — the planning-time statistics estimate
+    * (never materializes the join at planning). */
+  def baseCount(rel: MemRel): Long = rel match {
+    case Base(c, cl, _, _) => cl.rowCount(c).toLong
+    case Derived(ch, _, _) => baseCount(ch)
+    case Join(l, _, _) => baseCount(l)
+  }
+
+  /** leftmost-leaf collection name (derived-relation naming). */
+  def baseName(rel: MemRel): String = rel match {
+    case Base(c, _, _, _) => c
+    case Derived(ch, _, _) => baseName(ch)
+    case Join(l, _, _) => baseName(l)
+  }
+
+  // rendered with ⋈, deliberately not the word "Join": plan-shape asserts
+  // prove the pushed join by the ABSENCE of any Join node in the executed
+  // plan string, and the scan's own description must not trip them
+  def describe(rel: MemRel): String = rel match {
+    case Base(c, _, pre, _) =>
+      if (pre.isEmpty) c else s"$c[${pre.length} filters]"
+    case Derived(ch, pre, _) =>
+      if (pre.isEmpty) describe(ch) else s"${describe(ch)}[${pre.length} filters]"
+    case Join(l, r, cond) =>
+      s"(${describe(l)} ⋈ ${describe(r)} ON ${cond.size} conjuncts)"
+  }
+}
 
 /** The connector's DATA-PLANE seam (r11 verdict #4): every read the scan
   * pipeline performs against the backing store goes through this trait, so
@@ -367,6 +443,11 @@ trait StoreClient extends Serializable {
   def rows(name: String, start: Int, end: Int): Iterator[Row]
   /** Register a store-computed derived relation (pushed-join result). */
   def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit
+  /** Identity of the backing STORE — join pushdown is accepted only
+    * between scans of the same store (a server executes joins over its
+    * own collections; a cross-store "pushed" join would silently run
+    * client-side, which is exactly what pushdown claims not to do). */
+  def clientKey: String
 }
 
 object StoreClient {
@@ -402,6 +483,7 @@ object MemStoreClient extends StoreClient {
     MemStore.rowsOf(name).iterator.slice(start, end)
   def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit =
     MemStore.registerRaw(name, schema, rows)
+  def clientKey: String = "mem"
 }
 
 /** Read-only parquet-backed [[StoreClient]]: each collection is
@@ -432,6 +514,7 @@ class ParquetStoreClient(path: String) extends StoreClient {
     else load(name)._2.iterator.slice(start, end)
   def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit =
     MemStore.registerRaw(name, schema, rows)
+  def clientKey: String = s"parquet:$path"
 }
 
 object ParquetStoreClient {
@@ -498,7 +581,7 @@ class MemScanBuilder(
     startOffset: Long,
     maxRowsPerTrigger: Option[Long],
     orderedBy: Seq[(String, Boolean)] = Nil,
-    client: StoreClient = MemStoreClient,
+    private val client: StoreClient = MemStoreClient,
     keyColumn: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset
@@ -534,23 +617,27 @@ class MemScanBuilder(
   private var offset: Int = 0
   private var aggPushed: Option[(Seq[String], Seq[MemAgg])] = None
   private var sample: Option[(Double, Double, Long)] = None
-  private var joinSpec: Option[MemJoinSpec] = None
+  private var joinRel: Option[MemRel] = None
   // the builder's working schema: the base collection's until a join is
   // pushed, the aliased joined schema after
   private var curSchema: StructType = fullSchema
 
   /** Store-side JOIN pushdown (Spark 4's SupportsPushDownJoin, behind
-    * spark.sql.optimizer.datasourceV2JoinPushdown): two collections of the
-    * SAME store join natively (the $lookup / DB-side-join analog) and
-    * Spark's join node disappears — the scan serves joined rows. Single
-    * level, INNER only, equi/supported conditions only; each side's
-    * already-pushed filters fold in as pre-join cursor filters. The test
-    * double materializes the join hash-free (nested loop) at scan time —
-    * a real connector hands the pipeline to the store's native join. */
+    * spark.sql.optimizer.datasourceV2JoinPushdown): collections of the
+    * SAME store (clientKey equality — a server joins its own collections;
+    * a cross-store "pushed" join would silently run client-side) join
+    * natively (the $lookup / DB-side-join analog) and Spark's join node
+    * disappears — the scan serves joined rows. NESTS (r12): an
+    * already-joined side wraps as a [[MemRel.Derived]] carrying its
+    * accumulated post-join cursor filters, so Spark's rule re-applies and
+    * an N-collection chain collapses into ONE scan. INNER only,
+    * equi/supported conditions only. The test double materializes the
+    * tree hash-free at scan time — a real connector hands the pipeline to
+    * the store's query engine. */
   override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
     other match {
       case o: MemScanBuilder =>
-        joinSpec.isEmpty && o.joinSpec.isEmpty &&
+        client.clientKey == o.client.clientKey &&
           aggPushed.isEmpty && o.aggPushed.isEmpty &&
           sample.isEmpty && o.sample.isEmpty &&
           limit.isEmpty && o.limit.isEmpty && offset == 0 && o.offset == 0
@@ -566,23 +653,26 @@ class MemScanBuilder(
     import org.apache.spark.sql.connector.join.JoinType
     if (joinType != JoinType.INNER_JOIN) return false
     val o = other.asInstanceOf[MemScanBuilder]
-    def proj(req: Array[SupportsPushDownJoin.ColumnWithAlias],
-        schema: StructType): Option[(Seq[(String, String)], Seq[org.apache.spark.sql.types.StructField])] = {
+    // one side's pushed tree: the base collection with its cursor
+    // filters, or the existing join tree wrapped with post-join filters —
+    // either way re-projected/aliased to the columns this join requires
+    def sideRel(b: MemScanBuilder,
+        req: Array[SupportsPushDownJoin.ColumnWithAlias]): Option[MemRel] = {
       val cols = req.toSeq.map { cwa =>
-        val out = Option(cwa.alias).getOrElse(cwa.colName)
-        (cwa.colName, out)
+        (cwa.colName, Option(cwa.alias).getOrElse(cwa.colName))
       }
-      if (cols.forall { case (c, _) => schema.fieldNames.contains(c) })
-        Some((cols, cols.map { case (c, out) => schema(c).copy(name = out) }))
-      else None
+      if (!cols.forall { case (c, _) => b.curSchema.fieldNames.contains(c) }) None
+      else b.joinRel match {
+        case None => Some(MemRel.Base(b.collection, b.client, b.pushed, cols))
+        case Some(rel) => Some(MemRel.Derived(rel, b.pushed, cols))
+      }
     }
-    (proj(leftRequired, curSchema), proj(rightRequired, o.curSchema)) match {
-      case (Some((lCols, lFields)), Some((rCols, rFields))) =>
-        val joinedSchema = StructType(lFields ++ rFields)
+    (sideRel(this, leftRequired), sideRel(o, rightRequired)) match {
+      case (Some(lRel), Some(rRel)) =>
+        val joinedSchema = StructType(lRel.schema ++ rRel.schema)
         val cond = Option(condition).map(MemJoinCond.parse).getOrElse(Some(Nil))
         if (cond.isEmpty) return false
-        joinSpec = Some(MemJoinSpec(
-          collection, pushed, lCols, o.collection, o.pushed, rCols, cond.get))
+        joinRel = Some(MemRel.Join(lRel, rRel, cond.get))
         curSchema = joinedSchema
         required = joinedSchema
         pushed = Array.empty // post-join filters start fresh
@@ -705,7 +795,7 @@ class MemScanBuilder(
   override def build(): Scan =
     new MemScan(collection, curSchema, required, pushed, maxTimeMs,
       readPreference, limit, topNKeys, offset, startOffset, maxRowsPerTrigger,
-      orderedBy, aggPushed, sample, joinSpec, client, keyColumn)
+      orderedBy, aggPushed, sample, joinRel, client, keyColumn)
 }
 
 class MemScan(
@@ -723,37 +813,22 @@ class MemScan(
     orderedBy: Seq[(String, Boolean)] = Nil,
     agg: Option[(Seq[String], Seq[MemAgg])] = None,
     sample: Option[(Double, Double, Long)] = None,
-    joinSpec: Option[MemJoinSpec] = None,
+    joinRel: Option[MemRel] = None,
     client: StoreClient = MemStoreClient,
     keyColumn: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering {
 
   /** The collection the readers serve: the base one, or the store-side
-    * join result materialized ONCE per scan under a derived name (the
+    * join TREE materialized ONCE per scan under a derived name (the
     * test-double stand-in for a store's native join execution; derived
     * relations are in-process only, like the store itself). */
-  private lazy val sourceCollection: String = joinSpec match {
+  private lazy val sourceCollection: String = joinRel match {
     case None => collection
-    case Some(js) =>
-      val name = s"${js.leftCollection}#join#$scanId"
-      if (!client.hasCollection(name)) {
-        val lSchema = client.schemaOf(js.leftCollection)
-        val rSchema = client.schemaOf(js.rightCollection)
-        val lRows = client.rows(js.leftCollection, 0, client.rowCount(js.leftCollection))
-          .filter(r => js.leftPre.forall(MemStore.eval(r, lSchema, _))).toArray
-        val rRows = client.rows(js.rightCollection, 0, client.rowCount(js.rightCollection))
-          .filter(r => js.rightPre.forall(MemStore.eval(r, rSchema, _))).toArray
-        val lIdx = js.leftProj.map { case (c, _) => lSchema.fieldIndex(c) }
-        val rIdx = js.rightProj.map { case (c, _) => rSchema.fieldIndex(c) }
-        val joined = for {
-          a <- lRows
-          b <- rRows
-          row = Row.fromSeq(lIdx.map(a.get).toIndexedSeq ++ rIdx.map(b.get))
-          if js.cond.forall(MemJoinCond.eval(row, fullSchema, _))
-        } yield row
-        client.registerDerived(name, fullSchema, joined)
-      }
+    case Some(rel) =>
+      val name = s"${MemRel.baseName(rel)}#join#$scanId"
+      if (!client.hasCollection(name))
+        client.registerDerived(name, fullSchema, MemRel.eval(rel))
       name
   }
 
@@ -810,10 +885,10 @@ class MemScan(
     * (collStats/system tables); row width is estimated from the pruned
     * read schema. */
   override def estimateStatistics(): Statistics = new Statistics {
-    // for a pushed join, estimate from the left side WITHOUT materializing
-    // the join at planning time (statistics are estimates)
-    private val n = client.rowCount(
-      joinSpec.map(_.leftCollection).getOrElse(collection)).toLong
+    // for a pushed join, estimate from the leftmost leaf WITHOUT
+    // materializing the join at planning time (statistics are estimates)
+    private val n = joinRel.map(MemRel.baseCount)
+      .getOrElse(client.rowCount(collection).toLong)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * math.max(1, required.defaultSize).toLong)
@@ -833,7 +908,8 @@ class MemScan(
       agg.map { case (g, fs) =>
         s", PushedAggregates: [${fs.map(MemAgg.render).mkString(", ")}]" +
           (if (g.isEmpty) "" else s", PushedGroupBy: [${g.mkString(", ")}]")
-      }.getOrElse("")
+      }.getOrElse("") +
+      joinRel.map(r => s", StorePlan: ${MemRel.describe(r)}").getOrElse("")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {

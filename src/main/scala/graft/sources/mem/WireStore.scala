@@ -268,6 +268,8 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
     callOneLine(req.toString)
     SocketStoreClient.schemaCache((host, port, name)) = schema
   }
+
+  def clientKey: String = s"wire:$host:$port"
 }
 
 object SocketStoreClient {

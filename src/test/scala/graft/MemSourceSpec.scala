@@ -427,6 +427,73 @@ class MemSourceSpec extends AnyFunSuite {
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
   }
 
+  test("NESTED join pushdown: a 3-collection chain collapses into ONE scan (r12)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.optimizer.datasourceV2JoinPushdown")
+    try {
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      MemStore.register("jp3_region",
+        Seq((0, "emea"), (1, "apac")).toDF("rid", "rname"))
+      MemStore.register("jp3_team",
+        Seq((10, 0, "core"), (11, 1, "infra"), (12, 0, "ml"))
+          .toDF("tid", "t_rid", "tname"))
+      val rnd = new scala.util.Random(7)
+      MemStore.register("jp3_member",
+        (1 to 60).map(i => (s"m_$i", 10 + rnd.nextInt(3)))
+          .toDF("mname", "m_tid"))
+      val joined = load("jp3_member").alias("m")
+        .join(load("jp3_team").alias("t"), col("m.m_tid") === col("t.tid"))
+        .join(load("jp3_region").alias("r"), col("t.t_rid") === col("r.rid"))
+        .select(col("m.mname"), col("t.tname"), col("r.rname"))
+      // oracle: recompute client-side from the registered arrays
+      val teams = MemStore.rowsOf("jp3_team")
+        .map(r => r.getInt(0) -> (r.getInt(1), r.getString(2))).toMap
+      val regions = MemStore.rowsOf("jp3_region")
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      val want = MemStore.rowsOf("jp3_member").map { r =>
+        val (rid, tname) = teams(r.getInt(1))
+        (r.getString(0), tname, regions(rid))
+      }.sorted.toSeq
+      val got = joined.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(got === want && got.size === 60)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"3-way chain must fully push (no Spark join node):\n${plan.take(1000)}")
+      assert(plan.count(_ == '⋈') >= 2,
+        s"the scan description should show the nested store tree:\n${plan.take(1000)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", v)
+        case None => spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+      }
+    }
+  }
+
+  test("cross-client join is NOT pushed (a store only joins its own collections)") {
+    val prev = spark.conf.getOption("spark.sql.optimizer.datasourceV2JoinPushdown")
+    try {
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      val mem = load("langs")
+      val pq = spark.read.format(fmt)
+        .option("collection", "nation")
+        .option("client", "parquet").option("path", SparkTestSession.sfDir)
+        .load()
+      val j = mem.join(pq, mem("index") === pq("n_regionkey"))
+      // result stays correct; the join simply runs Spark-side
+      assert(j.count() ===
+        spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+          .where(col("n_regionkey") < 5).count())
+      assert(j.queryExecution.executedPlan.toString.contains("Join"),
+        "cross-client joins must stay Spark-side")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", v)
+        case None => spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+      }
+    }
+  }
+
   test("keyed streaming offsets: each key resumes at its OWN checkpointed rank (exactly-once)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
