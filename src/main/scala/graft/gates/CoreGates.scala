@@ -1146,6 +1146,42 @@ object CoreGates {
     }),
 
 
+    // r12 NESTED join pushdown, data-checked: a THREE-collection chain
+    // (customer ⋈ orders ⋈ lineitem slices registered in the store)
+    // collapses into ONE scan under Spark's SupportsPushDownJoin rule —
+    // the MemRel tree's Derived wrapping at work. The oracle recomputes
+    // the same 3-way join in DuckDB, so a wrong Derived projection,
+    // filter fold, or condition parse breaks rows/hash, not just a spec.
+    // Collections + the pushdown-enabled child session cached per
+    // (JVM, dir).
+    "s24_join3_pushdown" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      stageCache.getOrElseUpdate(s"join3#$dir", {
+        graft.sources.mem.MemStore.register(s"j3cust$tag",
+          t(s, dir, "customer").where(pmod(col("c_custkey"), lit(10)) === 0)
+            .select("c_custkey", "c_name", "c_mktsegment"))
+        graft.sources.mem.MemStore.register(s"j3ord$tag",
+          t(s, dir, "orders").where(pmod(col("o_orderkey"), lit(8)) === 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus"))
+        graft.sources.mem.MemStore.register(s"j3li$tag",
+          t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(8)) === 0)
+            .where(col("l_quantity") >= 40)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+        "staged"
+      })
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      def ld(c: String) = ss.read.format("graft.sources.mem.GraftMemSource")
+        .option("collection", c + tag).load()
+      ld("j3li").alias("l")
+        .join(ld("j3ord").alias("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+        .join(ld("j3cust").alias("c"), col("o.o_custkey") === col("c.c_custkey"))
+        .select(col("c.c_name"), col("c.c_mktsegment"),
+          col("o.o_orderkey"), col("o.o_orderstatus"),
+          col("l.l_linenumber"), col("l.l_quantity"))
+    }),
+
+
     // r12 StoreClient seam, data-checked: the SAME connector pushdown
     // pipeline (filters, projection, cursor TopN) served by the READ-ONLY
     // PARQUET-BACKED client instead of MemStore — the in-repo second
@@ -1174,6 +1210,15 @@ object CoreGates {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_orderkey % 20 = 1 AND l_quantity >= 25
          ORDER BY l_orderkey, l_linenumber LIMIT 300""",
+
+    "s24_join3_pushdown" ->
+      """SELECT c.c_name, c.c_mktsegment, o.o_orderkey, o.o_orderstatus,
+              l.l_linenumber, l.l_quantity
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE l.l_orderkey % 8 = 0 AND l.l_quantity >= 40
+           AND o.o_orderkey % 8 = 0 AND c.c_custkey % 10 = 0""",
     "s1_scan_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
          WHERE l_quantity >= 30.0 AND l_returnflag = 'A'""",
