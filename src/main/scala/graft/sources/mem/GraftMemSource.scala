@@ -387,13 +387,63 @@ object MemRel {
     case j @ Join(l, r, cond) =>
       val lr = eval(l)
       val rr = eval(r)
+      val ls = l.schema
+      val rs = r.schema
       val schema = j.schema
-      for {
-        a <- lr
-        b <- rr
-        row = Row.fromSeq(a.toSeq ++ b.toSeq)
-        if cond.forall(MemJoinCond.eval(row, schema, _))
-      } yield row
+      // HASH execution on the cross-side equi conjuncts (how a real store
+      // runs it — the first nested-loop cut went quadratic the moment a
+      // gate-sized join pushed): build on the right, probe from the left,
+      // verify any residual conjuncts on the combined row. A name present
+      // on BOTH sides is ambiguous cross-side and stays residual.
+      val (equiKeys, residual) = {
+        val parts = cond.map {
+          case MemJoinCond.ColEqCol(a, b) =>
+            val (aL, aR) = (ls.fieldNames.contains(a), rs.fieldNames.contains(a))
+            val (bL, bR) = (ls.fieldNames.contains(b), rs.fieldNames.contains(b))
+            if (aL && !aR && bR && !bL)
+              Left((ls.fieldIndex(a), rs.fieldIndex(b)))
+            else if (bL && !bR && aR && !aL)
+              Left((ls.fieldIndex(b), rs.fieldIndex(a)))
+            else Right(MemJoinCond.ColEqCol(a, b): MemJoinCond)
+          case other => Right(other)
+        }
+        (parts.collect { case Left(k) => k },
+          parts.collect { case Right(c) => c })
+      }
+      if (equiKeys.isEmpty) {
+        // no hashable key (cartesian/filter-only condition): nested loop
+        for {
+          a <- lr
+          b <- rr
+          row = Row.fromSeq(a.toSeq ++ b.toSeq)
+          if cond.forall(MemJoinCond.eval(row, schema, _))
+        } yield row
+      } else {
+        val index = new java.util.HashMap[Seq[Any], scala.collection.mutable.ArrayBuffer[Row]]()
+        rr.foreach { b =>
+          val k = equiKeys.map { case (_, ri) => b.get(ri) }
+          if (!k.contains(null)) { // inner-join equality: nulls never match
+            var bucket = index.get(k)
+            if (bucket == null) {
+              bucket = scala.collection.mutable.ArrayBuffer.empty[Row]
+              index.put(k, bucket)
+            }
+            bucket += b
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        lr.foreach { a =>
+          val k = equiKeys.map { case (li, _) => a.get(li) }
+          if (!k.contains(null)) {
+            val bucket = index.get(k)
+            if (bucket != null) bucket.foreach { b =>
+              val row = Row.fromSeq(a.toSeq ++ b.toSeq)
+              if (residual.forall(MemJoinCond.eval(row, schema, _))) out += row
+            }
+          }
+        }
+        out.toArray
+      }
   }
 
   /** leftmost-leaf row count — the planning-time statistics estimate
