@@ -97,6 +97,19 @@ object DedupGates {
     }),
 
 
+    // The maxDocFreq DIAL of the exact path, oracle-checked (r12 — it was
+    // spec-only): shingles in more than 5 documents are dropped before
+    // pairing, so the computed intersections are LOWER bounds and the
+    // result is a subset with recomputed jaccards. At this corpus's df
+    // range (max 7) the cap bites on ~half the surviving pairs' VALUES,
+    // so a capped-path bug that miscounts kept shingles breaks the hash —
+    // not just the row set.
+    "dedup_jaccard_capped" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.8, maxDocFreq = Some(5))
+    }),
+
+
     // Edit-distance VERIFICATION of near-dup candidates — the
     // character-level second opinion a shingle signal can't give (word
     // reorderings share shingle sets; levenshtein catches them).
@@ -379,6 +392,30 @@ object DedupGates {
                           CAST(len(a.sh) AS DOUBLE),
                         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                           CAST(len(b.sh) AS DOUBLE)) >= 0.8""",
+
+    // cap mirrored: kept = shingles with document frequency <= 5;
+    // intersections over kept shingles, DENOMINATOR sizes stay FULL
+    // (the operator divides the capped intersection by the true union)
+    "dedup_jaccard_capped" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              t AS (SELECT doc_id,
+                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w)-1) ]) AS sh
+                    FROM s WHERE len(w) >= 3),
+              e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+              kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 5),
+              ek AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g)),
+              inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               COUNT(*) AS i
+                        FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              sz AS (SELECT doc_id, len(sh) AS z FROM t)
+         SELECT doc_a, doc_b,
+                CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN sz za ON inter.doc_a = za.doc_id
+         JOIN sz zb ON inter.doc_b = zb.doc_id
+         WHERE CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) >= 0.8""",
 
     "dedup_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
