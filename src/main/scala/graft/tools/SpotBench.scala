@@ -28,10 +28,10 @@ object SpotBench {
   private val dedupFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_paragraphs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
-    "dedup_containment", "dedup_edit_distance", "dedup_substring",
-    "dedup_substring_capped", "dedup_incremental", "dedup_keep_best",
-    "dedup_cluster_cc", "dedup_semantic", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_t90")
+    "dedup_jaccard_capped", "dedup_containment", "dedup_edit_distance",
+    "dedup_substring", "dedup_substring_capped", "dedup_incremental",
+    "dedup_keep_best", "dedup_cluster_cc", "dedup_semantic",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_t90")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
