@@ -212,9 +212,16 @@ object Bench {
     // machine-speed shift moves every query while a real regression moves
     // a family, so with a full sweep's sample size the median is the most
     // robust machine estimator there is — a uniform ~190-plan "code
-    // regression" does not exist in practice (the r11 lesson)
+    // regression" does not exist in practice (the r11 lesson).
+    // FULL runs only (ADVICE r12): a partial selection is typically one
+    // query family — often selected BECAUSE its cost changed — so its
+    // median absorbs the real change as "machine speed" and the clean-
+    // partial merge would write near-old values back into the baseline,
+    // defeating the refresh. Partial runs normalize by the independent
+    // pinned basket instead (the "basket serves partial runs" contract).
     val medianRawRatio = median(healthy.flatMap { case (k, v) =>
-      prev.get(k).filter(_ > 0).map(v / _) }).filter(_ => healthy.size >= 10)
+      prev.get(k).filter(_ > 0).map(v / _) })
+      .filter(_ => only.isEmpty && healthy.size >= 10)
     // PRIMARY: median raw ratio when the sweep is big enough to carry it
     // (full runs); the 3-query basket serves partial runs and stands as
     // the independent cross-check either way (disagreement warns below)

@@ -119,7 +119,11 @@ object MemStore {
     * store-side join result materialized at scan time) — bounded FIFO,
     * see [[recordRuntimeFilters]]. */
   private[mem] def registerRaw(name: String, schema: StructType, rows: Array[Row]): Unit = {
+    // on re-registration update in place (ADVICE r12: putIfAbsent with no
+    // else silently kept stale rows while the wire server acked "ok") —
+    // mirror recordRuntimeFilters: only a NEW name grows derivedOrder
     if (collections.putIfAbsent(name, (schema, rows)).isEmpty) derivedOrder.add(name)
+    else collections(name) = (schema, rows)
     while (derivedOrder.size > MaxScanScoped) {
       val old = derivedOrder.poll()
       if (old != null) collections.remove(old)
@@ -162,10 +166,15 @@ object MemStore {
       case _: java.lang.Float | _: java.lang.Double => true
       case _ => false
     }
-    def nan(n: Number): Boolean = fractional(n) && n.doubleValue().isNaN
+    // NaN AND infinities skip the BigDecimal path (ADVICE r12: `new
+    // BigDecimal("Infinity")` throws — a pushed long-vs-infinite-double
+    // comparison crashed the reader); Double.compare is exact for them
+    def nonFinite(n: Number): Boolean = fractional(n) && {
+      val d = n.doubleValue(); d.isNaN || d.isInfinite
+    }
     if (integral(a) && integral(b))
       java.lang.Long.compare(a.longValue(), b.longValue())
-    else if ((fractional(a) && fractional(b)) || nan(a) || nan(b))
+    else if ((fractional(a) && fractional(b)) || nonFinite(a) || nonFinite(b))
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     else new java.math.BigDecimal(a.toString)
       .compareTo(new java.math.BigDecimal(b.toString))

@@ -633,4 +633,23 @@ class MemSourceSpec extends AnyFunSuite {
     val (keys, n) = MemStore.lastTopN.getOrElse("big_ids", (Nil, 0))
     assert(keys === Seq(("id", true)) && n === 3, "TopN should be pushed")
   }
+
+  test("store eval compares a long column against non-finite doubles (ADVICE r12)") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // the mixed integral/fractional branch used BigDecimal(a.toString),
+    // which throws for "Infinity" — a pushed long-vs-∞ comparison crashed
+    // the reader; non-finite doubles now fall back to Double.compare
+    val schema = StructType(Seq(StructField("l", LongType)))
+    val row = org.apache.spark.sql.Row(Long.box(42L))
+    assert(MemStore.eval3(row, schema,
+      LessThan("l", Double.box(Double.PositiveInfinity))) === Some(true))
+    assert(MemStore.eval3(row, schema,
+      GreaterThan("l", Double.box(Double.NegativeInfinity))) === Some(true))
+    assert(MemStore.eval3(row, schema,
+      GreaterThan("l", Double.box(Double.PositiveInfinity))) === Some(false))
+    // and the finite mixed path stays exact above 2^53
+    assert(MemStore.eval3(row, schema,
+      LessThan("l", Double.box(41.5))) === Some(false))
+  }
 }
