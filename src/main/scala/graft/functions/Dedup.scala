@@ -480,17 +480,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Exact n-gram Jaccard pairs via shingle explode + equi-join — the
-    * SQL-expressible exact path (oracle-checked). Cost is quadratic only
-    * within groups sharing a shingle; for corpora with heavy-hitter
-    * shingles, cap document frequency upstream. */
-  /** `maxDocFreq`: drop shingles appearing in more than this many documents
-    * before pairing — the heavy-hitter guard for natural-language corpora
-    * where boilerplate shingles would make the pair space quadratic.
-    * Under a cap, the computed intersection (and thus jaccard) is a LOWER
-    * bound, so results are a subset of the exact answer — a recall/cost
-    * dial with no false positives. None = exact (oracle mode). */
+  /** Exact n-gram Jaccard pairs. UNCAPPED, this DELEGATES to the
+    * prefix-filtered AllPairs/PPJoin discipline ([[jaccardPrefixPairs]]) —
+    * bit-identical output (lossless candidate filter + exact verification;
+    * DedupSpec proves equality against the retained explode twin at
+    * t ∈ {0.5, 0.6, 0.7, 0.9}) at a bounded candidate shuffle, where the
+    * former default — exploding EVERY shingle into an equi-self-join —
+    * went quadratic in the heaviest shingle's document frequency (sf1
+    * spot-bench: 133× growth at 10× rows vs the prefix family's 15-25×;
+    * r12 verdict #2 retired it as the default path).
+    *
+    * `maxDocFreq`: drop shingles appearing in more than this many documents
+    * before pairing — the heavy-hitter guard with DEFINED LOWER-BOUND
+    * semantics (oracle-gated `dedup_jaccard_capped`): the computed
+    * intersection (and thus jaccard) is a lower bound over FULL
+    * denominators, so results are a subset of the exact answer — a
+    * recall/cost dial with no false positives. The capped path keeps the
+    * explode plan because the cap itself bounds it: every post-filter
+    * shingle group has ≤ cap rows, so candidates are ≤ cap·occurrences —
+    * linear in corpus size by construction. (Delegating the cap to prefix
+    * candidate generation would CHANGE the contract: surviving pairs would
+    * carry exact jaccards, not capped lower bounds.) */
   def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    maxDocFreq match {
+      case None => jaccardPrefixPairs(docs, idCol, textCol, shingleLen, threshold)
+      case Some(_) =>
+        ngramJaccardExplode(docs, idCol, textCol, shingleLen, threshold, maxDocFreq)
+    }
+
+  /** The explode-all-shingles equi-self-join form — the execution plan for
+    * the `maxDocFreq`-capped dial (bounded by the cap, see
+    * [[ngramJaccardPairs]]) and the differential-testing twin DedupSpec
+    * holds the prefix path against. Do NOT use uncapped at scale: candidate
+    * count is quadratic in the heaviest shingle's document frequency. */
+  private[graft] def ngramJaccardExplode(
       docs: DataFrame,
       idCol: String,
       textCol: String,
