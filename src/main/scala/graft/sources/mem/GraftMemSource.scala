@@ -382,11 +382,12 @@ object MemRel {
     * store hands the pipeline to its query engine). */
   def eval(rel: MemRel): Array[Row] = rel match {
     case Base(coll, client, pre, proj) =>
-      val s = client.schemaOf(coll)
-      val idx = proj.map { case (c, _) => s.fieldIndex(c) }
-      client.rows(coll, 0, client.rowCount(coll))
-        .filter(r => pre.forall(MemStore.eval(r, s, _)))
-        .map(r => Row.fromSeq(idx.map(r.get).toIndexedSeq)).toArray
+      // leaf cursor filters + projection evaluate through the client's
+      // query seam — for the wire client only matching projected columns
+      // cross the socket on the way into the store-side join
+      client.query(coll, 0, client.rowCount(coll),
+        QuerySpec(pre.toSeq, None, Nil, 0, None, proj.map(_._1),
+          countServed = false)).toArray
     case d @ Derived(child, pre, proj) =>
       val cs = child.schema
       val idx = proj.map { case (c, _) => cs.fieldIndex(c) }
@@ -483,6 +484,66 @@ object MemRel {
   }
 }
 
+/** The pushed-pipeline spec a [[StoreClient]] evaluates STORE-SIDE — the
+  * connector shape of the reference's compiled native query (filters
+  * compile into `find`/CQL so predicates never run client-side,
+  * storage.scala:597,650-652; sort/skip/limit applied on the cursor
+  * :320-324). Evaluation order is FIXED — slice → sample → filter →
+  * sort → skip → limit → project — and every client funnels through
+  * [[QueryEval]] (the wire server runs the same function on its end), so
+  * an in-process call and a TCP round-trip are bit-identical.
+  *
+  * `countServed`: whether rows this query serves count into
+  * [[MemStore.served]] — true on the row-serving path (the
+  * instrumentation's contract: rows the store served to the scan), false
+  * for internal fetches whose OUTPUT is counted elsewhere (the partial-
+  * aggregate reader counts the partials it ships, not its inputs). */
+final case class QuerySpec(
+    filters: Seq[Filter],
+    sample: Option[(Double, Double, Long)],
+    topN: Seq[(String, Boolean)],
+    offset: Int,
+    limit: Option[Int],
+    projection: Seq[String],
+    countServed: Boolean = true) extends Serializable
+
+object QueryEval {
+  /** Evaluate `spec` over the [start, end) slice of a collection's stable
+    * cursor order. `sliceStart` seeds the pushed TABLESAMPLE (per-cursor
+    * Bernoulli, deterministic per (seed, slice) — a server-side $sample).
+    * Lazy past the sample/sort stages: a limit stops pulling early. */
+  def run(
+      slice: Array[Row],
+      schema: StructType,
+      sliceStart: Int,
+      spec: QuerySpec,
+      servedKey: Option[String]): Iterator[Row] = {
+    val sampled = spec.sample match {
+      case Some((lo, hi, seed)) =>
+        val rng = new java.util.Random(seed + sliceStart)
+        slice.filter { _ => val u = rng.nextDouble(); u >= lo && u < hi }
+      case None => slice
+    }
+    val filtered = sampled.iterator
+      .filter(r => spec.filters.forall(MemStore.eval(r, schema, _)))
+    // cursor-side sort/limit (reference storage.scala:320-324): this
+    // shard's cursor orders by the pushed keys and serves at most `limit`
+    // rows; Spark's retained global TopN/limit makes the result exact
+    val ordered =
+      if (spec.topN.isEmpty) filtered
+      else filtered.toArray.sorted(MemStore.ordering(schema, spec.topN)).iterator
+    // cursor skip: exact-push contract — MemScan plans ONE global cursor
+    // whenever an offset was accepted, so the drop is global
+    val skipped = if (spec.offset > 0) ordered.drop(spec.offset) else ordered
+    val bounded = spec.limit.fold(skipped)(n => skipped.take(n))
+    val idx = spec.projection.map(schema.fieldIndex).toIndexedSeq
+    bounded.map { r =>
+      servedKey.foreach(k => MemStore.served.get(k).foreach(_.incrementAndGet()))
+      Row.fromSeq(idx.map(r.get)) // store-side projection
+    }
+  }
+}
+
 /** The connector's DATA-PLANE seam (r11 verdict #4): every read the scan
   * pipeline performs against the backing store goes through this trait, so
   * "swap MemStore for a real client" is true by construction — a MongoDB/
@@ -500,6 +561,16 @@ trait StoreClient extends Serializable {
   def rowCount(name: String): Int
   /** Serve the [start, end) slice of the collection's stable cursor order. */
   def rows(name: String, start: Int, end: Int): Iterator[Row]
+  /** Serve the [start, end) slice with the pushed pipeline evaluated
+    * STORE-SIDE ([[QuerySpec]]: filters/sample/sort/skip/limit/projection).
+    * Default: fetch the slice and run the shared [[QueryEval]] in-process —
+    * for the embedded/parquet stores that IS store-side (same JVM as the
+    * data). [[SocketStoreClient]] overrides it to ship the spec to the
+    * server, so only matching projected rows cross the socket (r12 verdict
+    * #1 — the reference's core pushdown premise). */
+  def query(name: String, start: Int, end: Int, spec: QuerySpec): Iterator[Row] =
+    QueryEval.run(rows(name, start, end).toArray, schemaOf(name), start, spec,
+      if (spec.countServed) Some(name) else None)
   /** Register a store-computed derived relation (pushed-join result). */
   def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit
   /** Identity of the backing STORE — join pushdown is accepted only
@@ -1313,20 +1384,32 @@ class MemAggReaderFactory(
     case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
   }
 
+  // only the columns the aggregation READS cross the client seam (and,
+  // for the wire client, the socket): group keys + aggregated columns —
+  // the store projects before shipping, like the row path does
+  private val needed: Seq[String] = (groups ++ funcs.collect {
+    case MemAgg.CountCol(c) => c
+    case MemAgg.MinCol(c) => c
+    case MemAgg.MaxCol(c) => c
+    case MemAgg.SumCol(c) => c
+  }).distinct
+  private val projSchema =
+    StructType(needed.map(c => fullSchema(fullSchema.fieldIndex(c))))
+
   private def aggVals(rs: Seq[Row]): Seq[Any] = funcs.map {
     case MemAgg.CountAll => rs.length.toLong
     case MemAgg.CountCol(c) =>
-      val i = fullSchema.fieldIndex(c); rs.count(_.get(i) != null).toLong
+      val i = projSchema.fieldIndex(c); rs.count(_.get(i) != null).toLong
     case MemAgg.MinCol(c) =>
-      val i = fullSchema.fieldIndex(c)
+      val i = projSchema.fieldIndex(c)
       val vs = rs.map(_.get(i)).filter(_ != null)
       if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
     case MemAgg.MaxCol(c) =>
-      val i = fullSchema.fieldIndex(c)
+      val i = projSchema.fieldIndex(c)
       val vs = rs.map(_.get(i)).filter(_ != null)
       if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
     case s @ MemAgg.SumCol(c) =>
-      val i = fullSchema.fieldIndex(c)
+      val i = projSchema.fieldIndex(c)
       val vs = rs.map(_.get(i)).filter(_ != null).map(_.asInstanceOf[Number])
       if (vs.isEmpty) null
       else if (s.resultType(fullSchema) == org.apache.spark.sql.types.LongType)
@@ -1336,17 +1419,12 @@ class MemAggReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
-    val sliced = client.rows(p.collection, p.start, p.end).toArray
-    val sampled = sample match {
-      case Some((lo, hi, seed)) =>
-        val rng = new java.util.Random(seed + p.start)
-        sliced.filter { _ => val u = rng.nextDouble(); u >= lo && u < hi }
-      case None => sliced
-    }
-    val rows = sampled
-      .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _)))
-      .toSeq
-    val gIdx = groups.map(fullSchema.fieldIndex)
+    // countServed = false: this reader's contract counts the PARTIALS it
+    // ships (in next() below), not the input rows the store read
+    val rows = client.query(p.collection, p.start, p.end,
+      QuerySpec(pushed.toSeq, sample, Nil, 0, None, needed,
+        countServed = false)).toSeq
+    val gIdx = groups.map(projSchema.fieldIndex)
     val partials: Iterator[Row] =
       if (groups.isEmpty) Iterator(Row.fromSeq(aggVals(rows)))
       else rows.groupBy(r => gIdx.map(r.get)).iterator
@@ -1403,37 +1481,13 @@ class MemReaderFactory(
         maxTimeMs.map(ms => System.nanoTime() + ms * 1000000L)
       private val toInternal = ExpressionEncoder(RowEncoder.encoderFor(required))
         .createSerializer()
-      private val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
-      private val it = {
-        val sliced = client.rows(p.collection, p.start, p.end).toArray
-        // pushed TABLESAMPLE: a seeded per-cursor Bernoulli roll — the
-        // store ships only the sampled fraction (deterministic per
-        // (seed, slice), like a server-side $sample)
-        val sampled = sample match {
-          case Some((lo, hi, seed)) =>
-            val rng = new java.util.Random(seed + p.start)
-            sliced.filter { _ => val u = rng.nextDouble(); u >= lo && u < hi }
-          case None => sliced
-        }
-        val filtered = sampled
-          .iterator
-          .filter(r => allPushed.forall(MemStore.eval(r, fullSchema, _))) // store-side
-        // cursor-side sort/limit (reference storage.scala:320-324): this
-        // shard's cursor orders by the pushed keys and serves at most
-        // `limit` rows; Spark's retained global TopN/limit makes it exact
-        val ordered =
-          if (topNKeys.isEmpty) filtered
-          else filtered.toArray.sorted(MemStore.ordering(fullSchema, topNKeys)).iterator
-        // cursor skip: exact-push contract, runs on the single global
-        // cursor MemScan plans whenever an offset was accepted
-        val skipped = if (offset > 0) ordered.drop(offset) else ordered
-        val bounded = limit.fold(skipped)(n => skipped.take(n))
-        bounded
-          .map { r =>
-            MemStore.served.get(p.collection).foreach(_.incrementAndGet())
-            Row.fromSeq(idx.toIndexedSeq.map(r.get)) // store-side projection
-          }
-      }
+      // the whole pushed pipeline goes through the client as ONE QuerySpec
+      // (r12 verdict #1): for the wire client the server evaluates it and
+      // only matching projected rows cross the socket; embedded/parquet
+      // clients run the identical QueryEval in-process
+      private val it = client.query(p.collection, p.start, p.end,
+        QuerySpec(allPushed.toSeq, sample, topNKeys, offset, limit,
+          required.fields.map(_.name).toSeq))
       private var current: InternalRow = _
       override def next(): Boolean = {
         mode match {

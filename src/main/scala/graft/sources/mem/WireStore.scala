@@ -6,6 +6,7 @@ import java.net.{InetAddress, ServerSocket, Socket}
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
 /** Minimal line-delimited wire protocol for the document store — the
@@ -16,15 +17,24 @@ import org.apache.spark.sql.types._
   * TCP connect, request serialization, typed row deserialization, one
   * connection per cursor).
   *
-  * Request (one JSON line):
+  * Request (one JSON line, parsed with [[WireJson]] — a real parser, not
+  * a field regex, so collection names containing quotes/braces frame
+  * correctly):
   *   {"op":"schema","collection":c}
   *   {"op":"count","collection":c}
   *   {"op":"rows","collection":c,"start":i,"end":j}
+  *   {"op":"query","collection":c,"start":i,"end":j, ...spec fields}
   *   {"op":"register","collection":c}  + schema-json line + row lines + blank
   * Response:
   *   schema   -> one line: Spark StructType.json (public round-trip form)
   *   count    -> one line: decimal integer
   *   rows     -> one JSON array line per row, then one blank line
+  *   query    -> like rows, but the SERVER evaluates the pushed pipeline
+  *               (filters/sample/sort/skip/limit/projection) and only
+  *               matching projected rows cross the socket — the
+  *               reference's core pushdown premise (filters compile INTO
+  *               the native query, storage.scala:597,650-652; sort/skip/
+  *               limit on the cursor :320-324), r12 verdict #1
   *   register -> one line: "ok"
   * Errors -> one line starting with "!" and the message; clients throw.
   *
@@ -34,7 +44,7 @@ import org.apache.spark.sql.types._
   * extend the codec, and silent coercion is how wrong answers hide.
   */
 object WireCodec {
-  private def esc(s: String): String = s.flatMap {
+  private[mem] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -55,7 +65,10 @@ object WireCodec {
     case n: Double => sb.append(n)
     case s: String => sb.append('"').append(esc(s)).append('"')
     case t: java.sql.Timestamp =>
-      sb.append(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      // floorDiv, not truncating /: getTime is negative pre-epoch while
+      // getNanos is always positive, so truncation encoded any pre-1970
+      // fractional-second timestamp one full second too late (ADVICE r12)
+      sb.append(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
     case d: java.sql.Date => sb.append(d.toLocalDate.toEpochDay)
     case other => throw new IllegalArgumentException(
       s"wire codec: unsupported value type ${other.getClass.getName}")
@@ -131,6 +144,261 @@ object WireCodec {
   }
 }
 
+/** One-line JSON reader/writer for protocol REQUESTS — a real recursive
+  * parser (objects, arrays, strings with the codec's escapes, integral/
+  * decimal numbers, booleans, null) replacing the former field regex,
+  * which broke framing on any collection name containing `"` or `}`
+  * (r12 verdict #3 hardening). Integral numbers parse as Long, decimal
+  * forms as Double; object values keep insertion independence (Map). */
+private[mem] object WireJson {
+  def q(s: String): String = "\"" + WireCodec.esc(s) + "\""
+
+  def parse(line: String): Any = {
+    val p = new P(line)
+    val v = p.value()
+    p.ws()
+    require(p.eof, s"wire json: trailing content at ${p.pos} in: $line")
+    v
+  }
+
+  private final class P(s: String) {
+    private var i = 0
+    def pos: Int = i
+    def eof: Boolean = i >= s.length
+    def ws(): Unit = while (i < s.length && s.charAt(i) == ' ') i += 1
+    private def expect(c: Char): Unit = {
+      require(i < s.length && s.charAt(i) == c,
+        s"wire json: expected '$c' at $i in: $s")
+      i += 1
+    }
+    def value(): Any = {
+      ws()
+      require(i < s.length, s"wire json: unexpected end of: $s")
+      s.charAt(i) match {
+        case '{' =>
+          expect('{'); ws()
+          val m = Map.newBuilder[String, Any]
+          if (s.charAt(i) != '}') {
+            var more = true
+            while (more) {
+              ws()
+              val k = str()
+              ws(); expect(':')
+              m += k -> value()
+              ws()
+              if (s.charAt(i) == ',') { i += 1 } else more = false
+            }
+          }
+          expect('}')
+          m.result()
+        case '[' =>
+          expect('['); ws()
+          val b = Vector.newBuilder[Any]
+          if (s.charAt(i) != ']') {
+            var more = true
+            while (more) {
+              b += value()
+              ws()
+              if (s.charAt(i) == ',') { i += 1 } else more = false
+            }
+          }
+          expect(']')
+          b.result()
+        case '"' => str()
+        case 't' => require(s.startsWith("true", i)); i += 4; true
+        case 'f' => require(s.startsWith("false", i)); i += 5; false
+        case 'n' => require(s.startsWith("null", i)); i += 4; null
+        case _ =>
+          val st = i
+          while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+          val tok = s.substring(st, i)
+          require(tok.nonEmpty, s"wire json: bad value at $st in: $s")
+          if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+          else tok.toLong
+      }
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          s.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => throw new IllegalArgumentException(
+              s"wire json: bad escape '\\$other' in: $s")
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+  }
+}
+
+/** Wire form of the pushed-pipeline spec ([[QuerySpec]]): filters render
+  * as tagged trees, literals as `[tag, string]` pairs so every supported
+  * runtime type (incl. non-finite doubles, pre-epoch timestamps, 2^53+
+  * longs) round-trips exactly. An un-encodable literal type throws
+  * IllegalArgumentException — [[SocketStoreClient.query]] catches it and
+  * falls back to client-side evaluation (correct, just not wire-optimal),
+  * the same posture as declining a pushdown. */
+private[mem] object WireQuery {
+  private def lit(v: Any, sb: StringBuilder): Unit = v match {
+    case null => sb.append("null")
+    case b: Boolean => sb.append("[\"z\",\"").append(b).append("\"]")
+    case n: Byte => sb.append("[\"y\",\"").append(n.toInt).append("\"]")
+    case n: Short => sb.append("[\"h\",\"").append(n.toInt).append("\"]")
+    case n: Int => sb.append("[\"i\",\"").append(n).append("\"]")
+    case n: Long => sb.append("[\"l\",\"").append(n).append("\"]")
+    case n: Float => sb.append("[\"f\",\"").append(n).append("\"]")
+    case n: Double => sb.append("[\"d\",\"").append(n).append("\"]")
+    case s: String => sb.append("[\"s\",").append(WireJson.q(s)).append(']')
+    case t: java.sql.Timestamp =>
+      sb.append("[\"t\",\"")
+        .append(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+        .append("\"]")
+    case d: java.sql.Date =>
+      sb.append("[\"a\",\"").append(d.toLocalDate.toEpochDay).append("\"]")
+    case other => throw new IllegalArgumentException(
+      s"wire query: unsupported literal type ${other.getClass.getName}")
+  }
+
+  private def unlit(v: Any): Any = v match {
+    case null => null
+    case Vector(tag: String, raw: String) => tag match {
+      case "z" => raw.toBoolean
+      case "y" => raw.toByte
+      case "h" => raw.toShort
+      case "i" => raw.toInt
+      case "l" => raw.toLong
+      case "f" => raw.toFloat
+      case "d" => raw.toDouble
+      case "s" => raw
+      case "t" =>
+        val micros = raw.toLong
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case "a" => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(raw.toLong))
+      case other => throw new IllegalArgumentException(s"wire query: bad literal tag '$other'")
+    }
+    case other => throw new IllegalArgumentException(s"wire query: bad literal $other")
+  }
+
+  private def writeFilter(f: Filter, sb: StringBuilder): Unit = f match {
+    case EqualTo(a, v) =>
+      sb.append("[\"eq\",").append(WireJson.q(a)).append(','); lit(v, sb); sb.append(']')
+    case GreaterThan(a, v) =>
+      sb.append("[\"gt\",").append(WireJson.q(a)).append(','); lit(v, sb); sb.append(']')
+    case GreaterThanOrEqual(a, v) =>
+      sb.append("[\"gte\",").append(WireJson.q(a)).append(','); lit(v, sb); sb.append(']')
+    case LessThan(a, v) =>
+      sb.append("[\"lt\",").append(WireJson.q(a)).append(','); lit(v, sb); sb.append(']')
+    case LessThanOrEqual(a, v) =>
+      sb.append("[\"lte\",").append(WireJson.q(a)).append(','); lit(v, sb); sb.append(']')
+    case In(a, vs) =>
+      sb.append("[\"in\",").append(WireJson.q(a)).append(",[")
+      vs.zipWithIndex.foreach { case (v, i) =>
+        if (i > 0) sb.append(','); lit(v, sb)
+      }
+      sb.append("]]")
+    case IsNull(a) => sb.append("[\"isnull\",").append(WireJson.q(a)).append(']')
+    case IsNotNull(a) => sb.append("[\"notnull\",").append(WireJson.q(a)).append(']')
+    case And(l, r) =>
+      sb.append("[\"and\","); writeFilter(l, sb); sb.append(',')
+      writeFilter(r, sb); sb.append(']')
+    case Or(l, r) =>
+      sb.append("[\"or\","); writeFilter(l, sb); sb.append(',')
+      writeFilter(r, sb); sb.append(']')
+    case Not(c) =>
+      sb.append("[\"not\","); writeFilter(c, sb); sb.append(']')
+    case other => throw new IllegalArgumentException(
+      s"wire query: unsupported filter ${other.getClass.getSimpleName}")
+  }
+
+  private def readFilter(v: Any): Filter = v match {
+    case node: Vector[_] => (node.head, node.tail) match {
+      case ("eq", Seq(a: String, l)) => EqualTo(a, unlit(l))
+      case ("gt", Seq(a: String, l)) => GreaterThan(a, unlit(l))
+      case ("gte", Seq(a: String, l)) => GreaterThanOrEqual(a, unlit(l))
+      case ("lt", Seq(a: String, l)) => LessThan(a, unlit(l))
+      case ("lte", Seq(a: String, l)) => LessThanOrEqual(a, unlit(l))
+      case ("in", Seq(a: String, vs: Vector[_])) => In(a, vs.map(unlit).toArray)
+      case ("isnull", Seq(a: String)) => IsNull(a)
+      case ("notnull", Seq(a: String)) => IsNotNull(a)
+      case ("and", Seq(l, r)) => And(readFilter(l), readFilter(r))
+      case ("or", Seq(l, r)) => Or(readFilter(l), readFilter(r))
+      case ("not", Seq(c)) => Not(readFilter(c))
+      case other => throw new IllegalArgumentException(s"wire query: bad filter node $other")
+    }
+    case other => throw new IllegalArgumentException(s"wire query: bad filter $other")
+  }
+
+  /** The one-line query request. Throws IllegalArgumentException on any
+    * literal/filter shape outside the wire vocabulary (caller falls back). */
+  def render(collection: String, start: Int, end: Int, spec: QuerySpec): String = {
+    val sb = new StringBuilder
+    sb.append("{\"op\":\"query\",\"collection\":").append(WireJson.q(collection))
+      .append(",\"start\":").append(start).append(",\"end\":").append(end)
+      .append(",\"served\":").append(spec.countServed)
+    sb.append(",\"filters\":[")
+    spec.filters.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) sb.append(','); writeFilter(f, sb)
+    }
+    sb.append(']')
+    sb.append(",\"proj\":[")
+    spec.projection.zipWithIndex.foreach { case (c, i) =>
+      if (i > 0) sb.append(','); sb.append(WireJson.q(c))
+    }
+    sb.append(']')
+    if (spec.topN.nonEmpty) {
+      sb.append(",\"topn\":[")
+      spec.topN.zipWithIndex.foreach { case ((c, desc), i) =>
+        if (i > 0) sb.append(',')
+        sb.append('[').append(WireJson.q(c)).append(',').append(desc).append(']')
+      }
+      sb.append(']')
+    }
+    if (spec.offset > 0) sb.append(",\"offset\":").append(spec.offset)
+    spec.limit.foreach(n => sb.append(",\"limit\":").append(n))
+    spec.sample.foreach { case (lo, hi, seed) =>
+      sb.append(",\"sample\":[\"").append(lo).append("\",\"").append(hi)
+        .append("\",\"").append(seed).append("\"]")
+    }
+    sb.append('}').toString
+  }
+
+  /** Server side: reconstruct the spec from the parsed request object. */
+  def parseSpec(fields: Map[String, Any]): QuerySpec = {
+    def vec(k: String): Vector[Any] = fields.get(k) match {
+      case Some(v: Vector[_]) => v.toVector
+      case _ => Vector.empty
+    }
+    QuerySpec(
+      filters = vec("filters").map(readFilter),
+      sample = fields.get("sample").collect {
+        case Vector(lo: String, hi: String, seed: String) =>
+          (lo.toDouble, hi.toDouble, seed.toLong)
+      },
+      topN = vec("topn").map {
+        case Vector(c: String, desc: Boolean) => (c, desc)
+        case other => throw new IllegalArgumentException(s"wire query: bad topn $other")
+      },
+      offset = fields.get("offset").collect { case n: Long => n.toInt }.getOrElse(0),
+      limit = fields.get("limit").collect { case n: Long => n.toInt },
+      projection = vec("proj").map {
+        case c: String => c
+        case other => throw new IllegalArgumentException(s"wire query: bad proj $other")
+      },
+      countServed = fields.get("served").collect { case b: Boolean => b }.getOrElse(true))
+  }
+}
+
 /** The server end: serves MemStore collections over loopback TCP. One
   * request per connection (the per-cursor connection shape — each
   * partition reader dials its own socket, like a driver opens a cursor). */
@@ -142,7 +410,15 @@ class MemWireServer private (server: ServerSocket, acceptor: Thread) {
 }
 
 object MemWireServer {
-  private val field = """"(\w+)":("?[^",}]*"?)""".r
+  /** Data rows actually WRITTEN to sockets per collection (cumulative,
+    * instrumentation): the wire-volume measure the r12 verdict demanded —
+    * a selective pushed filter must shrink this, and a pushed TopN must
+    * bound it at limit × cursors, because with the `query` op the server
+    * evaluates the pipeline before anything crosses the socket. */
+  val rowsShipped = TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def shipped(coll: String, n: Long): Unit =
+    rowsShipped.getOrElseUpdate(coll,
+      new java.util.concurrent.atomic.AtomicLong(0L)).addAndGet(n)
 
   def start(): MemWireServer = {
     val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
@@ -173,27 +449,55 @@ object MemWireServer {
     try {
       val req = in.readLine()
       if (req == null) return
-      val fields = field.findAllMatchIn(req)
-        .map(m => m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\"")).toMap
-      val op = fields.getOrElse("op", "?")
-      val coll = fields.getOrElse("collection", "?")
-      op match {
+      val fields = WireJson.parse(req) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case other => throw new IllegalArgumentException(
+          s"wire: request must be a JSON object, got $other")
+      }
+      def strField(k: String): String = fields.get(k) match {
+        case Some(s: String) => s
+        case _ => throw new IllegalArgumentException(s"wire: missing string field '$k'")
+      }
+      def intField(k: String, dflt: => Int): Int = fields.get(k) match {
+        case Some(n: Long) => n.toInt
+        case _ => dflt
+      }
+      strField("op") match {
         case "schema" =>
-          reply(Iterator.single(MemStore.schemaOf(coll).json))
+          reply(Iterator.single(MemStore.schemaOf(strField("collection")).json))
         case "count" =>
-          reply(Iterator.single(MemStore.rowsOf(coll).length.toString))
+          reply(Iterator.single(
+            MemStore.rowsOf(strField("collection")).length.toString))
         case "rows" =>
-          val start = fields.get("start").map(_.toInt).getOrElse(0)
-          val end = fields.get("end").map(_.toInt)
-            .getOrElse(MemStore.rowsOf(coll).length)
+          val coll = strField("collection")
+          val start = intField("start", 0)
+          val end = intField("end", MemStore.rowsOf(coll).length)
+          var n = 0L
           reply(MemStore.rowsOf(coll).iterator.slice(start, end)
-            .map(WireCodec.writeRow) ++ Iterator.single(""))
+            .map { r => n += 1; WireCodec.writeRow(r) } ++
+            Iterator.single({ shipped(coll, n); "" }))
+        case "query" =>
+          // SERVER-SIDE evaluation of the pushed pipeline: the same
+          // QueryEval every in-process client runs, so a wire round-trip
+          // is bit-identical — but only matching projected rows are
+          // written to the socket
+          val coll = strField("collection")
+          val start = intField("start", 0)
+          val end = intField("end", MemStore.rowsOf(coll).length)
+          val spec = WireQuery.parseSpec(fields)
+          val schema = MemStore.schemaOf(coll)
+          val slice = MemStore.rowsOf(coll).slice(start, end)
+          var n = 0L
+          reply(QueryEval.run(slice, schema, start, spec,
+              if (spec.countServed) Some(coll) else None)
+            .map { r => n += 1; WireCodec.writeRow(r) } ++
+            Iterator.single({ shipped(coll, n); "" }))
         case "register" =>
           val schema = DataType.fromJson(in.readLine()).asInstanceOf[StructType]
           val rows = Iterator.continually(in.readLine())
             .takeWhile(l => l != null && l.nonEmpty)
             .map(WireCodec.readRow(_, schema)).toArray
-          MemStore.registerRaw(coll, schema, rows)
+          MemStore.registerRaw(strField("collection"), schema, rows)
           reply(Iterator.single("ok"))
         case other =>
           reply(Iterator.single(s"!unknown op '$other'"))
@@ -232,41 +536,87 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
       l
     }
 
+  private def readRowsTo(in: BufferedReader, schema: StructType): Iterator[Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var l = in.readLine()
+    while (l != null && l.nonEmpty) {
+      if (l.startsWith("!")) throw new java.io.IOException(s"wire: ${l.drop(1)}")
+      buf += WireCodec.readRow(l, schema)
+      l = in.readLine()
+    }
+    buf.iterator
+  }
+
   def hasCollection(name: String): Boolean =
     try { schemaOf(name); true } catch { case _: Throwable => false }
 
   def schemaOf(name: String): StructType =
     SocketStoreClient.schemaCache.getOrElseUpdate((host, port, name),
       DataType.fromJson(
-        callOneLine(s"""{"op":"schema","collection":"$name"}"""))
+        callOneLine(s"""{"op":"schema","collection":${WireJson.q(name)}}"""))
         .asInstanceOf[StructType])
 
   def rowCount(name: String): Int =
-    callOneLine(s"""{"op":"count","collection":"$name"}""").toInt
+    callOneLine(s"""{"op":"count","collection":${WireJson.q(name)}}""").toInt
 
   def rows(name: String, start: Int, end: Int): Iterator[Row] = {
     val schema = schemaOf(name)
     // materialize the page inside the connection scope (cursor semantics:
     // the slice is bounded by construction — partition planning sized it)
-    call(s"""{"op":"rows","collection":"$name","start":$start,"end":$end}""") { in =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var l = in.readLine()
-      while (l != null && l.nonEmpty) {
-        if (l.startsWith("!")) throw new java.io.IOException(s"wire: ${l.drop(1)}")
-        buf += WireCodec.readRow(l, schema)
-        l = in.readLine()
-      }
-      buf.iterator
+    call(s"""{"op":"rows","collection":${WireJson.q(name)},"start":$start,"end":$end}""") {
+      readRowsTo(_, schema)
+    }
+  }
+
+  /** The wire pushdown (r12 verdict #1): the spec ships to the server,
+    * which evaluates filters/sample/sort/skip/limit/projection against
+    * its own rows — only matching projected rows cross the socket, the
+    * reference's compile-the-query-into-the-store premise. A spec outside
+    * the wire vocabulary (exotic literal type) falls back to the default
+    * client-side evaluation — correct, just not wire-optimal, the same
+    * posture as declining a pushdown. */
+  override def query(name: String, start: Int, end: Int, spec: QuerySpec): Iterator[Row] = {
+    val request =
+      try Some(WireQuery.render(name, start, end, spec))
+      catch { case _: IllegalArgumentException => None }
+    request match {
+      case None => super.query(name, start, end, spec)
+      case Some(req) =>
+        val full = schemaOf(name)
+        val projSchema = StructType(
+          spec.projection.map(c => full(full.fieldIndex(c))))
+        call(req) { readRowsTo(_, projSchema) }
     }
   }
 
   def registerDerived(name: String, schema: StructType, rs: Array[Row]): Unit = {
-    val req = new StringBuilder(s"""{"op":"register","collection":"$name"}""")
-    req.append('\n').append(schema.json)
-    rs.foreach(r => req.append('\n').append(WireCodec.writeRow(r)))
-    req.append('\n') // blank terminator
-    callOneLine(req.toString)
-    SocketStoreClient.schemaCache((host, port, name)) = schema
+    // STREAM rows to the socket (r12 verdict #3 hardening) — the former
+    // single StringBuilder materialized the whole derived relation a
+    // second time as rendered text before the first byte was written;
+    // a large pushed-join result now flows row-by-row through the
+    // BufferedWriter
+    val sock = new Socket(host, port)
+    try {
+      val out = new BufferedWriter(new OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val in = new BufferedReader(new InputStreamReader(
+        sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      out.write(s"""{"op":"register","collection":${WireJson.q(name)}}""")
+      out.write('\n')
+      out.write(schema.json); out.write('\n') // StructType.json is one line
+      var i = 0
+      while (i < rs.length) {
+        out.write(WireCodec.writeRow(rs(i))); out.write('\n')
+        i += 1
+      }
+      out.write('\n') // blank terminator
+      out.flush()
+      val l = in.readLine()
+      if (l == null) throw new java.io.IOException("wire: connection closed")
+      if (l.startsWith("!")) throw new java.io.IOException(s"wire: ${l.drop(1)}")
+      require(l == "ok", s"wire: unexpected register reply '$l'")
+      SocketStoreClient.schemaCache((host, port, name)) = schema
+    } finally sock.close()
   }
 
   def clientKey: String = s"wire:$host:$port"

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.sources.mem.{MemStore, MemWireServer, SocketStoreClient, WireCodec}
+import graft.sources.mem.QuerySpec
 
 /** The WIRE-LEVEL StoreClient (r11 verdict's #1 missing item, within
   * sandbox bounds): a loopback TCP row server over the embedded store, a
@@ -57,6 +58,15 @@ class MemWireSpec extends AnyFunSuite {
     val nulls = org.apache.spark.sql.Row(null, null, null, null, null,
       null, null, null, null, null)
     assert(WireCodec.readRow(WireCodec.writeRow(nulls), schema) === nulls)
+    // pre-epoch fractional second (ADVICE r12): getTime is negative while
+    // getNanos is always positive, so truncating division encoded -1.5s
+    // as -0.5s — the reader's floorDiv then "round-tripped" a corrupted
+    // value. floorDiv on the writer makes it exact.
+    val pre = new java.sql.Timestamp(-1500L)
+    assert(pre.getNanos === 500000000) // the shape under test
+    val preRow = org.apache.spark.sql.Row(null, null, null, null, null,
+      null, null, null, pre, java.sql.Date.valueOf("1969-07-20"))
+    assert(WireCodec.readRow(WireCodec.writeRow(preRow), schema) === preRow)
   }
 
   test("full scan over the wire equals the registered data; 4 cursor connections") {
@@ -143,7 +153,18 @@ class MemWireSpec extends AnyFunSuite {
     val schema = StructType(Seq(
       StructField("s", StringType), StructField("l", LongType),
       StructField("d", DoubleType), StructField("i", IntegerType),
-      StructField("b", BooleanType)))
+      StructField("b", BooleanType), StructField("ts", TimestampType)))
+    // timestamps SPAN THE EPOCH with micro precision — the pre-epoch
+    // fractional-second regime is where truncating division corrupted
+    // the encoding (ADVICE r12)
+    val tsGen = for {
+      ms <- Gen.chooseNum(-4000000000000L, 4000000000000L)
+      micro <- Gen.chooseNum(0, 999)
+    } yield {
+      val t = new java.sql.Timestamp(ms)
+      t.setNanos((Math.floorMod(ms, 1000L) * 1000000L + micro * 1000L).toInt)
+      t
+    }
     val str = Gen.oneOf(
       Gen.asciiPrintableStr,
       Gen.listOf(Gen.oneOf('"', '\\', '\n', '', 'é', '中', 'a'))
@@ -159,14 +180,100 @@ class MemWireSpec extends AnyFunSuite {
       d <- Gen.option(dbl)
       i <- Gen.option(Gen.chooseNum(Int.MinValue, Int.MaxValue))
       b <- Gen.option(Gen.oneOf(true, false))
+      ts <- Gen.option(tsGen)
     } yield org.apache.spark.sql.Row(
       s.orNull, l.map(Long.box).orNull, d.map(Double.box).orNull,
-      i.map(Int.box).orNull, b.map(Boolean.box).orNull)
+      i.map(Int.box).orNull, b.map(Boolean.box).orNull, ts.orNull)
     val prop = Prop.forAll(rowGen) { row =>
       WireCodec.readRow(WireCodec.writeRow(row), schema) == row
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, s"wire codec property failed: ${res.status}")
+  }
+
+  test("query op: a selective pushed filter shrinks rows ON THE WIRE") {
+    // the r12 gap: SocketStoreClient shipped the FULL row slice and the
+    // pushed filters evaluated on the Spark side of the socket. With the
+    // `query` op the server evaluates them, so the server-side shipped
+    // count equals the matching rows — not the collection size.
+    MemWireServer.rowsShipped.remove("wire_programmers")
+    val matching = MemStore.rowsOf("wire_programmers").count(_.getInt(1) == 3)
+    val got = load("wire_programmers").where(col("lang") === 3).collect()
+    assert(got.length === matching && matching < 100)
+    val shipped = MemWireServer.rowsShipped.get("wire_programmers")
+      .map(_.get()).getOrElse(-1L)
+    assert(shipped === matching.toLong,
+      s"server wrote $shipped rows to the wire for $matching matches")
+  }
+
+  test("query op: pushed TopN serves at most n rows per cursor connection") {
+    MemWireServer.rowsShipped.remove("wire_programmers")
+    val top = load("wire_programmers").orderBy(col("name").desc).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val expect = MemStore.rowsOf("wire_programmers").map(_.getString(0))
+      .sorted(Ordering[String].reverse).take(5).toSeq
+    assert(top === expect)
+    val shipped = MemWireServer.rowsShipped.get("wire_programmers")
+      .map(_.get()).getOrElse(-1L)
+    // 4 cursor connections × ≤5 rows each — the 100-row collection never
+    // crosses the socket
+    assert(shipped > 0 && shipped <= 20,
+      s"server wrote $shipped rows under a pushed TopN 5 over 4 cursors")
+  }
+
+  test("query op: projection prunes columns on the wire; pushed join leaves ship filtered") {
+    // row width: a 2-column collection projected to 1 column crosses the
+    // wire as 1-field rows (the client parses with the projected schema)
+    val client = new SocketStoreClient("127.0.0.1", server.port)
+    val rows = client.query("wire_programmers", 0, 100,
+      QuerySpec(Nil, None, Nil, 0, None, Seq("lang"))).toSeq
+    assert(rows.length === 100 && rows.head.length === 1)
+    // and a filtered projected query ships only matches
+    MemWireServer.rowsShipped.remove("wire_programmers")
+    val f = org.apache.spark.sql.sources.EqualTo("lang", 3)
+    val hits = client.query("wire_programmers", 0, 100,
+      QuerySpec(Seq(f), None, Nil, 0, None, Seq("name"))).toSeq
+    assert(hits.length === MemStore.rowsOf("wire_programmers").count(_.getInt(1) == 3))
+    assert(MemWireServer.rowsShipped.get("wire_programmers")
+      .map(_.get()).getOrElse(-1L) === hits.length.toLong)
+  }
+
+  test("collection names with quotes/braces frame correctly (JSON parser, not regex)") {
+    import spark.implicits._
+    val weird = """wire_we"ird}{\coll"""
+    MemStore.register(weird, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val got = load(weird).where(col("id") > 1).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((2, "b"), (3, "c")))
+  }
+
+  test("register streams a large derived relation row-by-row") {
+    import org.apache.spark.sql.types._
+    val client = new SocketStoreClient("127.0.0.1", server.port)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val big = Array.tabulate(20000)(i =>
+      org.apache.spark.sql.Row(Long.box(i.toLong), s"payload_$i"))
+    client.registerDerived("wire_big#join#s", schema, big)
+    assert(client.rowCount("wire_big#join#s") === 20000)
+    // spot-read through the cursor path
+    assert(client.rows("wire_big#join#s", 19998, 20000)
+      .map(_.getLong(0)).toSeq === Seq(19998L, 19999L))
+  }
+
+  test("re-registering a derived collection over the wire replaces the data (ADVICE r12)") {
+    import org.apache.spark.sql.types._
+    // registerRaw's putIfAbsent had no else-branch: the server acked "ok"
+    // on a re-register while serving the stale rows — now it updates in
+    // place (without growing the bounded FIFO's order queue)
+    val client = new SocketStoreClient("127.0.0.1", server.port)
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    val name = "wire_rereg#join#t"
+    client.registerDerived(name, schema, Array(org.apache.spark.sql.Row(Int.box(1))))
+    client.registerDerived(name, schema,
+      Array(org.apache.spark.sql.Row(Int.box(2)), org.apache.spark.sql.Row(Int.box(3))))
+    assert(client.rowCount(name) === 2)
+    assert(client.rows(name, 0, 2).map(_.getInt(0)).toSeq === Seq(2, 3))
   }
 
   test("unknown collection / closed server fail loudly, never empty") {
