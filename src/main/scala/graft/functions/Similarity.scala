@@ -670,27 +670,102 @@ object Similarity {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         l2norm(col(vecCol)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-band sign bucket (planesPerBand sign bits packed into a long),
-    // ALL bands in one codegen'd primitive loop — the composed
-    // transform/aggregate form ran bands×planesPerBand interpreted lambdas
-    // per row and dominated this query's cost
-    val buckets = graft.expressions.LshFunctions.lsh_band_buckets(
-      col("v"), hyperplanes(nBands * nPlanes, dim, seed), nPlanes)
-    val banded = base.select(col("id"), posexplode(buckets))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "bucket")
-    val candidates = banded.alias("a").join(banded.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = lshCandidatePairs(base, nBands, nPlanes, dim, seed)
     candidates
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
       .withColumn("cos", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Banded LSH candidate generation over a prepared `(id, v)` relation:
+    * per-band sign buckets (planesPerBand sign bits packed into a long),
+    * ALL bands in one codegen'd primitive loop — the composed
+    * transform/aggregate form ran bands×planesPerBand interpreted lambdas
+    * per row and dominated the query's cost — then an equi-self-join on
+    * (band_idx, bucket). Shared by [[cosinePairsLsh]] and the N-scaled
+    * path; exposed package-private so specs can measure CANDIDATE volume
+    * (the quadratic term) independently of verification. */
+  private[graft] def lshCandidatePairs(
+      base: DataFrame,
+      bands: Int,
+      planesPerBand: Int,
+      dim: Int,
+      seed: Long): DataFrame = {
+    val buckets = graft.expressions.LshFunctions.lsh_band_buckets(
+      col("v"), hyperplanes(bands * planesPerBand, dim, seed), planesPerBand)
+    val banded = base.select(col("id"), posexplode(buckets))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bucket")
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** N-SCALED band geometry for the LOW-θ regime (r12 verdict #6): at
+    * θ < 0.6 no hyperplane geometry can hold per-pair miss ≤ 1e-5 while
+    * pruning (see [[cosinePairsLsh]] — the exhaustive answer there is
+    * output-quadratic by problem definition), so at corpus scale the
+    * honest dial is BOUNDED WORK at recorded recall: plane count grows
+    * ~log₂(corpusSize) so the expected RANDOM-pair candidate mass per row
+    * (≈ n · bands · 2^-planes; uniform sign bits collide a random pair
+    * per plane with q ≈ 1/2) stays under `budgetPerRow`, and among the
+    * admissible settings the one maximizing expected recall at exactly
+    * cos = θ (S-curve 1 − (1 − p^planes)^bands, p = 1 − acos(θ)/π) wins.
+    * Recall FALLS as n grows at a fixed budget — that is the trade, and
+    * it is returned, not hidden: callers log it next to the run.
+    *
+    * Returns (bands, planesPerBand, expectedRecallAtTheta). planes ≤ 48
+    * keeps the packed sign bucket inside a long; at 100 TB scale
+    * (n ≈ 10^11) the solver lands around 35 planes — still in range. */
+  def lshGeometryForCorpus(
+      threshold: Double,
+      corpusSize: Long,
+      budgetPerRow: Double = 32.0,
+      maxBands: Int = 128): (Int, Int, Double) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshGeometryForCorpus: threshold must be in (0,1), got $threshold")
+    require(corpusSize > 0 && budgetPerRow > 0,
+      s"lshGeometryForCorpus: need corpusSize > 0 and budgetPerRow > 0")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val options = for {
+      planes <- 4 to 48
+      cap = budgetPerRow * math.pow(2.0, planes) / corpusSize.toDouble
+      bands = math.min(maxBands.toDouble, math.floor(cap)).toInt
+      if bands >= 1
+      recall = 1.0 - math.pow(1.0 - math.pow(p, planes), bands)
+    } yield (bands, planes, recall)
+    require(options.nonEmpty,
+      s"lshGeometryForCorpus: no admissible geometry for n=$corpusSize " +
+        s"under budget $budgetPerRow (raise the budget)")
+    // max recall; among ties the narrower (fewer-plane) projection wins
+    options.maxBy { case (_, planes, recall) => (recall, -planes) }
+  }
+
+  /** The at-scale posture for low-θ embedding dedup: an exact-verified
+    * SUBSET of the all-pairs answer whose candidate volume is bounded
+    * ~linear in corpus size by construction ([[lshGeometryForCorpus]]),
+    * with the expected recall at θ RETURNED alongside the pairs. Use when
+    * the output-quadratic exact regime ([[cosinePairsExact]], what
+    * [[cosinePairsLsh]] auto-delegates to below θ = 0.6) stops being
+    * computable — the caller chooses the budget and logs the recall. */
+  def cosinePairsLshScaled(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      corpusSize: Long,
+      budgetPerRow: Double = 32.0,
+      dim: Int = 64,
+      seed: Long = 42L): (DataFrame, Double) = {
+    val (bands, planes, recall) =
+      lshGeometryForCorpus(threshold, corpusSize, budgetPerRow)
+    (cosinePairsLsh(emb, idCol, vecCol, threshold, bands, planes, dim, seed),
+      recall)
   }
 
   /** Threshold-aware LSH band geometry: choose (bands, planesPerBand) so

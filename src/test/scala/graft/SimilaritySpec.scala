@@ -459,4 +459,67 @@ class SimilaritySpec extends AnyFunSuite {
       assert(res.select("query_id", "neighbor_id").except(bruteTop).count() === 0)
     } finally { res.unpersist(); () }
   }
+
+  // deterministic pseudo-random embeddings, uniform in [-1, 1] per
+  // element — seeded by (row id, element index) so corpora of different
+  // sizes share their common prefix
+  private def randEmb(n: Int, dim: Int) =
+    spark.range(n.toLong).select(col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        ((pmod(xxhash64(col("id"), lit(i)), lit(20001L)) - 10000L) / 10000.0)
+          .cast("float")): _*).as("embedding"))
+
+  test("N-scaled LSH planes bound θ=0.45 candidates ~linearly in corpus size (r12 verdict #6)") {
+    // dim 64 = the testdata embedding width: at low dims the cosine mass
+    // has a fat tail (σ ≈ 1/√dim), and the correlated-pair collision mass
+    // shrinks slower with planes than the random 2^-planes budget — at
+    // dim 16 candidate growth measured ~27× at 10× rows for that reason
+    // alone. The budget model targets realistic embedding widths.
+    val dim = 64
+    val small = 1500
+    val big = 15000
+    val (bS, pS, rS) = Similarity.lshGeometryForCorpus(0.45, small)
+    val (bB, pB, rB) = Similarity.lshGeometryForCorpus(0.45, big)
+    // plane count GROWS with corpus size; the recorded expected recall
+    // falls — the honest trade of the low-θ regime, returned not hidden
+    assert(pB > pS, s"planes must grow with n: $pS -> $pB")
+    assert(rB < rS && rB > 0.0 && rS < 1.0, s"recall $rS -> $rB")
+    // and at 100 TB corpus sizes the solver stays in the packed-long range
+    val (_, pHuge, _) = Similarity.lshGeometryForCorpus(0.45, 100000000000L)
+    assert(pHuge > pB && pHuge <= 48)
+    def base(n: Int) = randEmb(n, dim)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val candS = Similarity.lshCandidatePairs(base(small), bS, pS, dim, 42L).count()
+    val candB = Similarity.lshCandidatePairs(base(big), bB, pB, dim, 42L).count()
+    // 10× rows: candidate volume grows ~linearly under the budget
+    // (quadratic would be 100×; the fixed 64×4 geometry admits ~all pairs)
+    assert(candS > 0 && candB > 0)
+    assert(candB < candS * 25,
+      s"candidates grew superlinearly at 10x rows: $candS -> $candB")
+    // the scaled pairs are an exact-verified SUBSET with measured recall
+    // in line with the returned estimate (the at-θ S-curve understates
+    // recall for pairs above θ; halve it for sampling headroom).
+    // Plant 15 mixture pairs (w = 0.55·v + 0.835·r → cos ≈ 0.55 ± noise)
+    // so the θ=0.45 exact answer is never empty on the random corpus.
+    val planted = randEmb(small, dim).where(col("vec_id") < 15)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * 0.55 + ((pmod(xxhash64(col("vec_id"), i, lit("p")), lit(20001L))
+            - 10000L) / 10000.0) * 0.835).cast("float")).as("embedding"))
+    val corpus = randEmb(small, dim).unionByName(planted)
+    val (pairsDf, expRecall) = Similarity.cosinePairsLshScaled(
+      corpus, "vec_id", "embedding", 0.45, small, dim = dim)
+    val got = pairsDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.cosinePairsExact(corpus, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    assert(got.keySet.subsetOf(exact.keySet), "scaled LSH must never invent a pair")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) < 1e-12, s"cosine drift on $k") }
+    val measured = got.size.toDouble / exact.size
+    assert(measured >= expRecall * 0.5 && measured <= 1.0,
+      s"measured recall $measured vs expected $expRecall")
+  }
 }
