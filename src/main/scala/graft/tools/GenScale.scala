@@ -83,12 +83,37 @@ object GenScale {
         min(size(split(col("text"), " "))), max(size(split(col("text"), " ")))).head()
       (r.getInt(0), r.getInt(1))
     }
+    // HEAPS-LAW vocabulary growth (r12 verdict #5): reusing the measured
+    // vocabulary verbatim at any factor makes every shingle's document
+    // frequency — and thus every dedup pair set — grow quadratically BY
+    // CONSTRUCTION, masking real operator scaling. Real corpora grow
+    // their type inventory as V(n) ≈ K·n^β (Heaps' law, β ≈ 0.5), so the
+    // token stream here is a mixture: measured head words at their
+    // empirical distribution, plus V0·(√factor − 1) scale-indexed
+    // synthetic tail types. Tail mass is sized so each tail type lands at
+    // ≈ the source's mean per-word frequency (tailMass = nTail/(V0·f)):
+    // head-word df still grows ~linearly (genuinely common words do), but
+    // the SHINGLE space now grows with the vocabulary, so shingle df —
+    // the dedup candidate driver — stays in a natural band instead of
+    // scaling with the corpus.
+    val v0 = vocabCum.length
+    val tailTypes = math.max(0,
+      math.round(v0 * (math.sqrt(factor.toDouble) - 1.0)).toInt)
+    val tailMass =
+      if (tailTypes == 0) 0.0 else tailTypes.toDouble / (v0.toDouble * factor)
     val docs = spark.range(nDocs).select(col("id").as("doc_id"))
       .withColumn("nw", (lit(minW) +
         floor(u(lit("nw"), col("doc_id")) * (maxW - minW + 1))).cast("int"))
       .select(col("doc_id"), col("nw"),
         explode(sequence(lit(0), col("nw") - 1)).as("pos"))
-      .withColumn("w", pickByCum(u(lit("w"), col("doc_id"), col("pos")), vocabCum))
+      .withColumn("uw", u(lit("w"), col("doc_id"), col("pos")))
+      .withColumn("w",
+        if (tailTypes == 0) pickByCum(col("uw"), vocabCum)
+        else when(col("uw") < lit(tailMass),
+            concat(lit("heaps"), floor(
+              u(lit("tw"), col("doc_id"), col("pos")) * tailTypes).cast("long")))
+          .otherwise(pickByCum(
+            (col("uw") - lit(tailMass)) / lit(1.0 - tailMass), vocabCum)))
       .groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("w")))),
@@ -99,7 +124,8 @@ object GenScale {
       .withColumn("n_chars", length(col("text")))
       .select("doc_id", "text", "lang", "source", "n_chars")
     writeSingle(docs, outDir, "documents")
-    println(s"[genscale] documents: $nDocs")
+    println(s"[genscale] documents: $nDocs (vocab: $v0 head + $tailTypes " +
+      f"heaps tail types, tail mass $tailMass%.3f)")
 
     // ---- embeddings: fresh unit-norm vectors, measured label count ----
     val srcEmb = spark.read.parquet(s"$srcDir/embeddings.parquet")

@@ -2,19 +2,34 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** sf1 spot-bench (r11 verdict #6): times the pinned 10 most expensive
-  * gates plus the full dedup family at sf0.1 AND at the GenScale-staged
-  * sf1 dir in ONE session (growth ratios are therefore machine-
-  * independent), with a per-run timeout that cancels the job group so a
-  * blown-up candidate space cannot wedge the sweep — a timeout is itself
-  * the measurement (the gate does NOT survive the scale-up).
+/** sf1 spot-bench (r11 verdict #6; median-of-3 + pinned baseline r12
+  * verdict #3): times the pinned 10 most expensive gates plus the full
+  * dedup family at sf0.1 AND at the GenScale-staged sf1 dir in ONE
+  * session (growth ratios are therefore machine-independent), with a
+  * per-run timeout that cancels the job group so a blown-up candidate
+  * space cannot wedge the sweep — a timeout is itself the measurement
+  * (the gate does NOT survive the scale-up).
+  *
+  * MEDIAN-OF-3, ALTERNATED: single-run sf1 timings swung ±50% under host
+  * contention (four r12 readings of keep_best spanned 340→72s), so each
+  * gate is timed once per ROUND and the sweep runs 3 rounds — a
+  * contention burst lands on one round's window and biases every gate
+  * once, instead of landing on one gate three back-to-back times; the
+  * per-gate median then discards it. A gate that times out in a round is
+  * not retried in later rounds (no 3× timeout bills); its median covers
+  * the successful rounds only.
+  *
+  * PINNED BASELINE + DELTAS (the sf0.1 calibration lesson applied at
+  * sf1): the committed BENCH_SPOT_sf1.json is the baseline. A run with
+  * no baseline (or SPARK_GRAFT_REFRESH_SPOT=1 — required after a
+  * GenScale change, which redefines the staged corpus) writes it;
+  * otherwise results land in BENCH_SPOT_RUN_sf1.json with a deltas block
+  * of growth-ratio ratios vs baseline, flagging > 1.5× on stderr —
+  * growth is a same-machine quotient, so machine speed divides out.
   *
   * Also measures `dedup_containment` BEFORE the r12 prefix filter
   * (containmentPairsBrute, same planted-fragment gate shape) against the
   * shipped form, at both scales.
-  *
-  * Writes BENCH_SPOT_sf1.json:
-  *   {"metric":"spot","gates":{name:{"sf01":s,"sf1":s,"growth":r}},...}
   *
   * usage: runMain graft.tools.SpotBench [sf1Dir] [refDir]
   */
@@ -40,10 +55,12 @@ object SpotBench {
     val sf1Dir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
     val refDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_SPOT_TIMEOUT", "360").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SPOT_ROUNDS", "3").toInt
     // SPARK_GRAFT_SPOT_ONLY=a,b,... — run a chunk; results MERGE into the
-    // existing BENCH_SPOT_sf1.json so the sweep can run in bounded slices
+    // output file so the sweep can run in bounded slices
     val only = sys.env.get("SPARK_GRAFT_SPOT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val refresh = sys.env.get("SPARK_GRAFT_REFRESH_SPOT").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SparkEntry.sessionBuilder(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,36 +131,90 @@ object SpotBench {
       spark.catalog.clearCache()
     }
 
-    val results = gates.map { case (name, fn) =>
-      // min-of-2 at the reference sf; single timed run at sf1 (the heavy
-      // side — a second pass would double a multi-minute measurement)
-      val r1 = timed(s"$name@ref1", fn, refDir)
-      val r2 = timed(s"$name@ref2", fn, refDir)
-      val tRef = (r1.toSeq ++ r2.toSeq).sorted.headOption
-      val t1 = timed(s"$name@sf1", fn, sf1Dir)
+    // ROUND-ALTERNATED measurement: rounds × (every gate once at each
+    // scale). A timeout/failure removes the gate from later rounds.
+    val refTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    val sf1Times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val dead = scala.collection.mutable.Set.empty[String]
+    for (r <- 1 to rounds) {
+      gates.foreach { case (name, fn) =>
+        if (!dead(name)) {
+          timed(s"$name@ref$r", fn, refDir) match {
+            case Some(t) => refTimes(name) = t :: refTimes.getOrElse(name, Nil)
+            case None => dead += name
+          }
+        }
+      }
+      gates.foreach { case (name, fn) =>
+        if (!dead(name)) {
+          timed(s"$name@sf1r$r", fn, sf1Dir) match {
+            case Some(t) => sf1Times(name) = t :: sf1Times.getOrElse(name, Nil)
+            case None => dead += name
+          }
+        }
+      }
+      System.err.println(s"[spot] round $r/$rounds done")
+    }
+    def median(xs: List[Double]): Option[Double] =
+      if (xs.isEmpty) None else Some(xs.sorted.apply(xs.size / 2))
+    def spread(xs: List[Double]): Option[Double] =
+      if (xs.size < 2 || xs.min <= 0) None else Some(xs.max / xs.min)
+
+    val results = gates.map { case (name, _) =>
+      val tRef = median(refTimes.getOrElse(name, Nil))
+      val t1 = median(sf1Times.getOrElse(name, Nil))
       val growth = for (a <- tRef; b <- t1) yield b / a
       System.err.println(s"[spot] $name ref=${tRef.map(num)} sf1=${t1.map(num)} " +
-        s"growth=${growth.map(g => num(g) + "x")}")
-      (name, tRef, t1, growth)
+        s"growth=${growth.map(g => num(g) + "x")} " +
+        s"spread=${spread(sf1Times.getOrElse(name, Nil)).map(s => num(s) + "x")}")
+      (name, tRef, t1, growth, spread(sf1Times.getOrElse(name, Nil)))
     }
-    // merge with any prior chunk's entries (latest run of a gate wins)
-    val outFile = new java.io.File("BENCH_SPOT_sf1.json")
+
+    // ---- baseline / deltas (growth is the machine-independent signal) ----
+    val baseFile = new java.io.File("BENCH_SPOT_sf1.json")
+    val baseGrowth: Map[String, Double] =
+      if (baseFile.isFile) {
+        val txt = scala.io.Source.fromFile(baseFile).mkString
+        """"([A-Za-z0-9_]+)":\{[^}]*"growth":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val bootstrap = baseGrowth.isEmpty
+    val outFile =
+      if (bootstrap || refresh) baseFile
+      else new java.io.File("BENCH_SPOT_RUN_sf1.json")
+
+    val flags = results.flatMap { case (name, _, _, growth, _) =>
+      for {
+        g <- growth
+        b <- baseGrowth.get(name)
+        if b > 0 && g / b > 1.5 && !refresh && !bootstrap
+      } yield {
+        System.err.println(f"[spot] GROWTH REGRESSION $name: ${g}%.2fx vs " +
+          f"baseline ${b}%.2fx (${g / b}%.2fx worse)")
+        s"""{"gate":"$name","growth":${num(g)},"baseline":${num(b)},"ratio":${num(g / b)}}"""
+      }
+    }
+
+    // merge with any prior chunk's entries in the TARGET file (latest wins)
     val prior: Seq[(String, String)] =
       if (outFile.isFile) {
         val txt = scala.io.Source.fromFile(outFile).mkString
         """"([A-Za-z0-9_]+)":(\{"sf01":[^}]*\})""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toSeq
       } else Nil
-    val fresh = results.map { case (n, tRef, t1, g) =>
+    val fresh = results.map { case (n, tRef, t1, g, sp) =>
       def v(o: Option[Double]) = o.map(num).getOrElse("\"timeout\"")
-      n -> s"""{"sf01":${v(tRef)},"sf1":${v(t1)},"growth":${v(g)}}"""
+      n -> (s"""{"sf01":${v(tRef)},"sf1":${v(t1)},"growth":${v(g)}""" +
+        sp.map(s => s""","sf1_spread":${num(s)}""").getOrElse("") + "}")
     }
     val merged = (prior.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
     val gatesJson = merged.map { case (n, b) => s""""$n":$b""" }
       .mkString("{", ",", "}")
+    val flagsJson = flags.mkString("[", ",", "]")
     val json =
       s"""{"metric":"spot","unit":"sec","timeout_sec":$timeoutSec,""" +
-        s""""row_factor":10,"sf1_dir":"$sf1Dir","gates":$gatesJson}"""
+        s""""rounds":$rounds,"row_factor":10,"sf1_dir":"$sf1Dir",""" +
+        s""""flags":$flagsJson,"gates":$gatesJson}"""
     java.nio.file.Files.write(outFile.toPath,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
