@@ -507,6 +507,46 @@ final case class QuerySpec(
     projection: Seq[String],
     countServed: Boolean = true) extends Serializable
 
+/** Shared store-side evaluation for the KEYED streaming cursor (reference
+  * S3/S4: `(persistence_id, sequence_nr)` resume): per-key high-watermark
+  * counts and one key's rank slice. Ranks count the key's rows in cursor
+  * order BEFORE pushed filters (the resume offset is a position in the
+  * log, not in a filtered view), exactly like [[MemKeyedReaderFactory]]
+  * always evaluated — hoisted here so the wire server runs it on its end
+  * and only the key's slice crosses the socket. */
+object KeyedEval {
+  def counts(rows: Iterator[Row], keyIdx: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { r =>
+      val k = String.valueOf(r.get(keyIdx))
+      m(k) = m.getOrElse(k, 0L) + 1L
+    }
+    m.toMap
+  }
+
+  def slice(
+      rows: Iterator[Row],
+      schema: StructType,
+      keyIdx: Int,
+      key: String,
+      startRank: Long,
+      endRank: Long,
+      filters: Seq[Filter],
+      projection: Seq[String],
+      servedKey: Option[String]): Iterator[Row] = {
+    val idx = projection.map(schema.fieldIndex).toIndexedSeq
+    var rank = -1L
+    rows
+      .filter(r => String.valueOf(r.get(keyIdx)) == key)
+      .filter { _ => rank += 1; rank >= startRank && rank < endRank }
+      .filter(r => filters.forall(MemStore.eval(r, schema, _)))
+      .map { r =>
+        servedKey.foreach(k => MemStore.served.get(k).foreach(_.incrementAndGet()))
+        Row.fromSeq(idx.map(r.get))
+      }
+  }
+}
+
 object QueryEval {
   /** Evaluate `spec` over the [start, end) slice of a collection's stable
     * cursor order. `sliceStart` seeds the pushed TABLESAMPLE (per-cursor
@@ -571,6 +611,23 @@ trait StoreClient extends Serializable {
   def query(name: String, start: Int, end: Int, spec: QuerySpec): Iterator[Row] =
     QueryEval.run(rows(name, start, end).toArray, schemaOf(name), start, spec,
       if (spec.countServed) Some(name) else None)
+  /** Per-key row counts over `keyColumn` — the keyed stream's
+    * high-watermarks (a real keyed log serves these from per-partition
+    * metadata). Wire client overrides: only (key, count) pairs cross. */
+  def keyCounts(name: String, keyColumn: String): Map[String, Long] =
+    KeyedEval.counts(rows(name, 0, rowCount(name)),
+      schemaOf(name).fieldIndex(keyColumn))
+  /** One key's [startRank, endRank) rank slice (ranks in cursor order
+    * before filters — a resume offset addresses the log, not a filtered
+    * view), filtered + projected store-side. */
+  def keySlice(name: String, keyColumn: String, key: String,
+      startRank: Long, endRank: Long, filters: Seq[Filter],
+      projection: Seq[String]): Iterator[Row] = {
+    val schema = schemaOf(name)
+    KeyedEval.slice(rows(name, 0, rowCount(name)), schema,
+      schema.fieldIndex(keyColumn), key, startRank, endRank, filters,
+      projection, Some(name))
+  }
   /** Register a store-computed derived relation (pushed-join result). */
   def registerDerived(name: String, schema: StructType, rows: Array[Row]): Unit
   /** Identity of the backing STORE — join pushdown is accepted only
@@ -1257,19 +1314,11 @@ class MemKeyedMicroBatchStream(
 
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
-  private val keyIdx = fullSchema.fieldIndex(keyColumn)
-
-  /** Current per-key row counts in the store (one pass over the
-    * collection — a real keyed log serves these from per-partition
-    * high-watermarks). */
-  private def keyCounts(): Map[String, Long] = {
-    val m = scala.collection.mutable.HashMap.empty[String, Long]
-    client.rows(collection, 0, client.rowCount(collection)).foreach { r =>
-      val k = String.valueOf(r.get(keyIdx))
-      m(k) = m.getOrElse(k, 0L) + 1L
-    }
-    m.toMap
-  }
+  /** Current per-key row counts in the store, through the client seam —
+    * for the wire client only (key, count) pairs cross the socket (a real
+    * keyed log serves these from per-partition high-watermarks). */
+  private def keyCounts(): Map[String, Long] =
+    client.keyCounts(collection, keyColumn)
 
   @volatile private var availableNowEnd: Option[Map[String, Long]] = None
   override def prepareForTriggerAvailableNow(): Unit =
@@ -1320,38 +1369,30 @@ class MemKeyedMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     MemStore.lastPushed(collection) = pushed.toSeq
-    new MemKeyedReaderFactory(fullSchema, required, pushed, keyIdx, client)
+    new MemKeyedReaderFactory(fullSchema, required, pushed, keyColumn, client)
   }
 }
 
-/** Serves one key's rank slice: scans the collection in registration
-  * order, counts ranks for the partition's key only, and ships rows in
-  * [startRank, endRank) through the same pushed-filter + projection path
-  * as the positional reader (a real keyed store would seek by clustering
-  * key instead of scanning — the contract is identical). */
+/** Serves one key's rank slice through the client's keySlice seam: the
+  * store scans its cursor order, counts ranks for the partition's key
+  * only, and ships [startRank, endRank) rows through the same pushed-
+  * filter + projection path as the positional reader — for the wire
+  * client only that key's filtered projected slice crosses the socket
+  * (a real keyed store would seek by clustering key instead of scanning
+  * — the contract is identical). */
 class MemKeyedReaderFactory(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    keyIdx: Int,
+    keyColumn: String,
     client: StoreClient) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemKeyedInputPartition]
     val toInternal = ExpressionEncoder(RowEncoder.encoderFor(required))
       .createSerializer()
-    val idx = required.fields.map(f => fullSchema.fieldIndex(f.name))
-    val it = {
-      var rank = -1L
-      client.rows(p.collection, 0, client.rowCount(p.collection))
-        .filter(r => String.valueOf(r.get(keyIdx)) == p.key)
-        .filter { _ => rank += 1; rank >= p.startRank && rank < p.endRank }
-        .filter(r => pushed.forall(MemStore.eval(r, fullSchema, _)))
-        .map { r =>
-          MemStore.served.get(p.collection).foreach(_.incrementAndGet())
-          Row.fromSeq(idx.toIndexedSeq.map(r.get))
-        }
-    }
+    val it = client.keySlice(p.collection, keyColumn, p.key,
+      p.startRank, p.endRank, pushed.toSeq, required.fields.map(_.name).toSeq)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -373,6 +373,33 @@ private[mem] object WireQuery {
     sb.append('}').toString
   }
 
+  /** The keyed-cursor slice request (streaming resume path). */
+  def renderKeySlice(
+      collection: String,
+      keyColumn: String,
+      key: String,
+      startRank: Long,
+      endRank: Long,
+      filters: Seq[Filter],
+      projection: Seq[String]): String = {
+    val sb = new StringBuilder
+    sb.append("{\"op\":\"keyslice\",\"collection\":").append(WireJson.q(collection))
+      .append(",\"key_col\":").append(WireJson.q(keyColumn))
+      .append(",\"key\":").append(WireJson.q(key))
+      .append(",\"start_rank\":").append(startRank)
+      .append(",\"end_rank\":").append(endRank)
+    sb.append(",\"filters\":[")
+    filters.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) sb.append(','); writeFilter(f, sb)
+    }
+    sb.append(']')
+    sb.append(",\"proj\":[")
+    projection.zipWithIndex.foreach { case (c, i) =>
+      if (i > 0) sb.append(','); sb.append(WireJson.q(c))
+    }
+    sb.append("]}").toString
+  }
+
   /** Server side: reconstruct the spec from the parsed request object. */
   def parseSpec(fields: Map[String, Any]): QuerySpec = {
     def vec(k: String): Vector[Any] = fields.get(k) match {
@@ -492,6 +519,32 @@ object MemWireServer {
               if (spec.countServed) Some(coll) else None)
             .map { r => n += 1; WireCodec.writeRow(r) } ++
             Iterator.single({ shipped(coll, n); "" }))
+        case "keycounts" =>
+          // keyed-stream high-watermarks: only (key, count) pairs cross
+          val coll = strField("collection")
+          val keyIdx = MemStore.schemaOf(coll).fieldIndex(strField("key_col"))
+          reply(KeyedEval.counts(MemStore.rowsOf(coll).iterator, keyIdx)
+            .toSeq.sortBy(_._1).iterator
+            .map { case (k, n) => s"[${WireJson.q(k)},$n]" } ++
+            Iterator.single(""))
+        case "keyslice" =>
+          // one key's rank slice, filtered + projected server-side — the
+          // keyed streaming analog of the `query` op
+          val coll = strField("collection")
+          val spec = WireQuery.parseSpec(fields)
+          val schema = MemStore.schemaOf(coll)
+          def longField(k: String): Long = fields.get(k) match {
+            case Some(n: Long) => n
+            case _ => throw new IllegalArgumentException(
+              s"wire: missing integer field '$k'")
+          }
+          var n = 0L
+          reply(KeyedEval.slice(MemStore.rowsOf(coll).iterator, schema,
+              schema.fieldIndex(strField("key_col")), strField("key"),
+              longField("start_rank"), longField("end_rank"),
+              spec.filters, spec.projection, Some(coll))
+            .map { r => n += 1; WireCodec.writeRow(r) } ++
+            Iterator.single({ shipped(coll, n); "" }))
         case "register" =>
           val schema = DataType.fromJson(in.readLine()).asInstanceOf[StructType]
           val rows = Iterator.continually(in.readLine())
@@ -585,6 +638,45 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
         val full = schemaOf(name)
         val projSchema = StructType(
           spec.projection.map(c => full(full.fieldIndex(c))))
+        call(req) { readRowsTo(_, projSchema) }
+    }
+  }
+
+  /** Keyed-stream high-watermarks over the wire: only (key, count) pairs
+    * cross — the former default shipped the whole collection per
+    * latestOffset() poll. */
+  override def keyCounts(name: String, keyColumn: String): Map[String, Long] =
+    call(s"""{"op":"keycounts","collection":${WireJson.q(name)},""" +
+        s""""key_col":${WireJson.q(keyColumn)}}""") { in =>
+      val m = Map.newBuilder[String, Long]
+      var l = in.readLine()
+      while (l != null && l.nonEmpty) {
+        if (l.startsWith("!")) throw new java.io.IOException(s"wire: ${l.drop(1)}")
+        WireJson.parse(l) match {
+          case Vector(k: String, n: Long) => m += k -> n
+          case other => throw new java.io.IOException(s"wire: bad keycounts line $other")
+        }
+        l = in.readLine()
+      }
+      m.result()
+    }
+
+  /** One key's rank slice evaluated server-side — only that key's
+    * filtered projected rows cross the socket (the keyed streaming analog
+    * of [[query]]); un-encodable filters fall back to client-side eval. */
+  override def keySlice(name: String, keyColumn: String, key: String,
+      startRank: Long, endRank: Long, filters: Seq[Filter],
+      projection: Seq[String]): Iterator[Row] = {
+    val request =
+      try Some(WireQuery.renderKeySlice(name, keyColumn, key, startRank,
+        endRank, filters, projection))
+      catch { case _: IllegalArgumentException => None }
+    request match {
+      case None =>
+        super.keySlice(name, keyColumn, key, startRank, endRank, filters, projection)
+      case Some(req) =>
+        val full = schemaOf(name)
+        val projSchema = StructType(projection.map(c => full(full.fieldIndex(c))))
         call(req) { readRowsTo(_, projSchema) }
     }
   }

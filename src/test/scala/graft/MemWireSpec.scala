@@ -135,6 +135,7 @@ class MemWireSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    MemWireServer.rowsShipped.remove(coll)
     incarnation()
     MemStore.append(coll, part2)
     incarnation()
@@ -143,6 +144,16 @@ class MemWireSpec extends AnyFunSuite {
     val want = ((0 until 15).map(i => ("a", i.toLong)) ++
       (0 until 10).map(i => ("b", i.toLong))).sorted
     assert(all === want, "per-key exactly-once delivery over the wire")
+    // keyslice/keycounts ops: each row crossed the socket exactly once
+    // across both incarnations (16 + 9) — the former rows-op path shipped
+    // the WHOLE collection once per key partition per micro-batch
+    val shipped = MemWireServer.rowsShipped.get(coll).map(_.get()).getOrElse(-1L)
+    assert(shipped === 25L, s"keyed stream shipped $shipped rows for 25 delivered")
+    // and the ops work standalone
+    val kc = new SocketStoreClient("127.0.0.1", server.port)
+    assert(kc.keyCounts(coll, "pkey") === Map("a" -> 15L, "b" -> 10L))
+    assert(kc.keySlice(coll, "pkey", "a", 3, 6, Nil, Seq("seq"))
+      .map(_.getLong(0)).toSeq === Seq(3L, 4L, 5L))
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(ckpt))
     graft.gates.GateSupport.deleteRecursively(java.nio.file.Paths.get(out))
   }
