@@ -507,6 +507,51 @@ final case class QuerySpec(
     projection: Seq[String],
     countServed: Boolean = true) extends Serializable
 
+/** Store-side PARTIAL aggregation over one filtered slice — one partial
+  * row per group, or EXACTLY one row for a global aggregate even on an
+  * empty slice (the engine's final merge is a SUM over partial counts;
+  * an all-empty store must still yield count = 0, not NULL). Shared by
+  * the in-process agg reader and the wire server's `agg` op, so a wire
+  * round-trip ships partials, not filtered input rows. `schema` is the
+  * PROJECTED slice schema (group keys + aggregated columns). */
+object AggEval {
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (a: Number, b: Number) => MemStore.numCmp(a, b) // exact for big longs
+    case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
+  }
+
+  def run(
+      rows: Seq[Row],
+      schema: StructType,
+      groups: Seq[String],
+      funcs: Seq[MemAgg]): Iterator[Row] = {
+    def aggVals(rs: Seq[Row]): Seq[Any] = funcs.map {
+      case MemAgg.CountAll => rs.length.toLong
+      case MemAgg.CountCol(c) =>
+        val i = schema.fieldIndex(c); rs.count(_.get(i) != null).toLong
+      case MemAgg.MinCol(c) =>
+        val i = schema.fieldIndex(c)
+        val vs = rs.map(_.get(i)).filter(_ != null)
+        if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+      case MemAgg.MaxCol(c) =>
+        val i = schema.fieldIndex(c)
+        val vs = rs.map(_.get(i)).filter(_ != null)
+        if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+      case s @ MemAgg.SumCol(c) =>
+        val i = schema.fieldIndex(c)
+        val vs = rs.map(_.get(i)).filter(_ != null).map(_.asInstanceOf[Number])
+        if (vs.isEmpty) null
+        else if (s.resultType(schema) == org.apache.spark.sql.types.LongType)
+          Long.box(vs.map(_.longValue()).sum)
+        else Double.box(vs.map(_.doubleValue()).sum)
+    }
+    val gIdx = groups.map(schema.fieldIndex)
+    if (groups.isEmpty) Iterator(Row.fromSeq(aggVals(rows)))
+    else rows.groupBy(r => gIdx.map(r.get)).iterator
+      .map { case (k, rs) => Row.fromSeq(k ++ aggVals(rs)) }
+  }
+}
+
 /** Shared store-side evaluation for the KEYED streaming cursor (reference
   * S3/S4: `(persistence_id, sequence_nr)` resume): per-key high-watermark
   * counts and one key's rank slice. Ranks count the key's rows in cursor
@@ -611,6 +656,19 @@ trait StoreClient extends Serializable {
   def query(name: String, start: Int, end: Int, spec: QuerySpec): Iterator[Row] =
     QueryEval.run(rows(name, start, end).toArray, schemaOf(name), start, spec,
       if (spec.countServed) Some(name) else None)
+  /** The [start, end) slice filtered/sampled/projected AND partially
+    * AGGREGATED store-side — one partial row per group crosses the seam
+    * (the Mongo aggregation-pipeline shape; Spark's retained final
+    * aggregate merges partials, exact under any sharding). Default runs
+    * the shared [[AggEval]] over [[query]]'s output; the wire client
+    * overrides it so only partials cross the socket. `spec.projection`
+    * must list exactly the columns `groups`/`funcs` read. */
+  def queryAgg(name: String, start: Int, end: Int, spec: QuerySpec,
+      groups: Seq[String], funcs: Seq[MemAgg]): Iterator[Row] = {
+    val full = schemaOf(name)
+    val projSchema = StructType(spec.projection.map(c => full(full.fieldIndex(c))))
+    AggEval.run(query(name, start, end, spec).toSeq, projSchema, groups, funcs)
+  }
   /** Per-key row counts over `keyColumn` — the keyed stream's
     * high-watermarks (a real keyed log serves these from per-partition
     * metadata). Wire client overrides: only (key, count) pairs cross. */
@@ -1420,56 +1478,25 @@ class MemAggReaderFactory(
     sample: Option[(Double, Double, Long)] = None,
     client: StoreClient = MemStoreClient) extends PartitionReaderFactory {
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (a: Number, b: Number) => MemStore.numCmp(a, b) // exact for big longs
-    case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
-  }
-
-  // only the columns the aggregation READS cross the client seam (and,
-  // for the wire client, the socket): group keys + aggregated columns —
-  // the store projects before shipping, like the row path does
+  // only the columns the aggregation READS cross the client seam: group
+  // keys + aggregated columns — the store projects before aggregating
   private val needed: Seq[String] = (groups ++ funcs.collect {
     case MemAgg.CountCol(c) => c
     case MemAgg.MinCol(c) => c
     case MemAgg.MaxCol(c) => c
     case MemAgg.SumCol(c) => c
   }).distinct
-  private val projSchema =
-    StructType(needed.map(c => fullSchema(fullSchema.fieldIndex(c))))
-
-  private def aggVals(rs: Seq[Row]): Seq[Any] = funcs.map {
-    case MemAgg.CountAll => rs.length.toLong
-    case MemAgg.CountCol(c) =>
-      val i = projSchema.fieldIndex(c); rs.count(_.get(i) != null).toLong
-    case MemAgg.MinCol(c) =>
-      val i = projSchema.fieldIndex(c)
-      val vs = rs.map(_.get(i)).filter(_ != null)
-      if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
-    case MemAgg.MaxCol(c) =>
-      val i = projSchema.fieldIndex(c)
-      val vs = rs.map(_.get(i)).filter(_ != null)
-      if (vs.isEmpty) null else vs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
-    case s @ MemAgg.SumCol(c) =>
-      val i = projSchema.fieldIndex(c)
-      val vs = rs.map(_.get(i)).filter(_ != null).map(_.asInstanceOf[Number])
-      if (vs.isEmpty) null
-      else if (s.resultType(fullSchema) == org.apache.spark.sql.types.LongType)
-        Long.box(vs.map(_.longValue()).sum)
-      else Double.box(vs.map(_.doubleValue()).sum)
-  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemInputPartition]
-    // countServed = false: this reader's contract counts the PARTIALS it
-    // ships (in next() below), not the input rows the store read
-    val rows = client.query(p.collection, p.start, p.end,
+    // the whole slice aggregates STORE-SIDE through the client seam
+    // (AggEval shared with the wire server's `agg` op): one partial row
+    // per group crosses, never the filtered input rows. countServed =
+    // false: this reader's contract counts the PARTIALS it ships (in
+    // next() below), not the rows the store read.
+    val partials: Iterator[Row] = client.queryAgg(p.collection, p.start, p.end,
       QuerySpec(pushed.toSeq, sample, Nil, 0, None, needed,
-        countServed = false)).toSeq
-    val gIdx = groups.map(projSchema.fieldIndex)
-    val partials: Iterator[Row] =
-      if (groups.isEmpty) Iterator(Row.fromSeq(aggVals(rows)))
-      else rows.groupBy(r => gIdx.map(r.get)).iterator
-        .map { case (k, rs) => Row.fromSeq(k ++ aggVals(rs)) }
+        countServed = false), groups, funcs)
     val toInternal = ExpressionEncoder(RowEncoder.encoderFor(aggSchema))
       .createSerializer()
     new PartitionReader[InternalRow] {

@@ -373,6 +373,59 @@ private[mem] object WireQuery {
     sb.append('}').toString
   }
 
+  private def writeAgg(a: MemAgg, sb: StringBuilder): Unit = a match {
+    case MemAgg.CountAll => sb.append("[\"countall\"]")
+    case MemAgg.CountCol(c) => sb.append("[\"count\",").append(WireJson.q(c)).append(']')
+    case MemAgg.MinCol(c) => sb.append("[\"min\",").append(WireJson.q(c)).append(']')
+    case MemAgg.MaxCol(c) => sb.append("[\"max\",").append(WireJson.q(c)).append(']')
+    case MemAgg.SumCol(c) => sb.append("[\"sum\",").append(WireJson.q(c)).append(']')
+  }
+
+  private def readAgg(v: Any): MemAgg = v match {
+    case Vector("countall") => MemAgg.CountAll
+    case Vector("count", c: String) => MemAgg.CountCol(c)
+    case Vector("min", c: String) => MemAgg.MinCol(c)
+    case Vector("max", c: String) => MemAgg.MaxCol(c)
+    case Vector("sum", c: String) => MemAgg.SumCol(c)
+    case other => throw new IllegalArgumentException(s"wire agg: bad function $other")
+  }
+
+  /** The partial-aggregation request: the query spec fields plus group
+    * columns and aggregate functions — the server ships one partial row
+    * per group per slice (the aggregation-pipeline shape). */
+  def renderAgg(collection: String, start: Int, end: Int, spec: QuerySpec,
+      groups: Seq[String], funcs: Seq[MemAgg]): String = {
+    // reuse the query rendering, rewriting the op tag and appending the
+    // aggregation fields before the closing brace
+    val base = render(collection, start, end, spec)
+    val out = new StringBuilder(
+      "{\"op\":\"agg\"" + base.drop("{\"op\":\"query\"".length).dropRight(1))
+    out.append(",\"groups\":[")
+    groups.zipWithIndex.foreach { case (g, i) =>
+      if (i > 0) out.append(','); out.append(WireJson.q(g))
+    }
+    out.append("],\"funcs\":[")
+    funcs.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) out.append(','); writeAgg(f, out)
+    }
+    out.append("]}").toString
+  }
+
+  def parseGroups(fields: Map[String, Any]): Seq[String] =
+    fields.get("groups") match {
+      case Some(v: Vector[_]) => v.map {
+        case s: String => s
+        case other => throw new IllegalArgumentException(s"wire agg: bad group $other")
+      }
+      case _ => Nil
+    }
+
+  def parseFuncs(fields: Map[String, Any]): Seq[MemAgg] =
+    fields.get("funcs") match {
+      case Some(v: Vector[_]) => v.map(readAgg)
+      case _ => Nil
+    }
+
   /** The keyed-cursor slice request (streaming resume path). */
   def renderKeySlice(
       collection: String,
@@ -519,6 +572,24 @@ object MemWireServer {
               if (spec.countServed) Some(coll) else None)
             .map { r => n += 1; WireCodec.writeRow(r) } ++
             Iterator.single({ shipped(coll, n); "" }))
+        case "agg" =>
+          // partial aggregation SERVER-SIDE (the aggregation-pipeline
+          // shape): one partial row per group per slice crosses the
+          // socket, never the filtered input rows
+          val coll = strField("collection")
+          val start = intField("start", 0)
+          val end = intField("end", MemStore.rowsOf(coll).length)
+          val spec = WireQuery.parseSpec(fields)
+          val schema = MemStore.schemaOf(coll)
+          val projSchema = StructType(
+            spec.projection.map(c => schema(schema.fieldIndex(c))))
+          val slice = MemStore.rowsOf(coll).slice(start, end)
+          val rows = QueryEval.run(slice, schema, start, spec, None).toSeq
+          var n = 0L
+          reply(AggEval.run(rows, projSchema,
+              WireQuery.parseGroups(fields), WireQuery.parseFuncs(fields))
+            .map { r => n += 1; WireCodec.writeRow(r) } ++
+            Iterator.single({ shipped(coll, n); "" }))
         case "keycounts" =>
           // keyed-stream high-watermarks: only (key, count) pairs cross
           val coll = strField("collection")
@@ -639,6 +710,32 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
         val projSchema = StructType(
           spec.projection.map(c => full(full.fieldIndex(c))))
         call(req) { readRowsTo(_, projSchema) }
+    }
+  }
+
+  /** Partial aggregation over the wire: the server groups and aggregates
+    * its own filtered slice, so only partial rows — one per group per
+    * cursor — cross the socket (the aggregation-pipeline shape of the
+    * `query` op). Partial-row schema is derived the same way on both
+    * ends: group columns at their stored types, then each aggregate's
+    * Spark result type. Un-encodable specs fall back client-side. */
+  override def queryAgg(name: String, start: Int, end: Int, spec: QuerySpec,
+      groups: Seq[String], funcs: Seq[MemAgg]): Iterator[Row] = {
+    val request =
+      try Some(WireQuery.renderAgg(name, start, end, spec, groups, funcs))
+      catch { case _: IllegalArgumentException => None }
+    request match {
+      case None => super.queryAgg(name, start, end, spec, groups, funcs)
+      case Some(req) =>
+        val full = schemaOf(name)
+        val projSchema = StructType(
+          spec.projection.map(c => full(full.fieldIndex(c))))
+        val partialSchema = StructType(
+          groups.map(g => projSchema(projSchema.fieldIndex(g))) ++
+            funcs.zipWithIndex.map { case (f, i) =>
+              StructField(s"agg_$i", f.resultType(projSchema), nullable = true)
+            })
+        call(req) { readRowsTo(_, partialSchema) }
     }
   }
 

@@ -249,6 +249,27 @@ class MemWireSpec extends AnyFunSuite {
       .map(_.get()).getOrElse(-1L) === hits.length.toLong)
   }
 
+  test("agg op: grouped aggregation ships partials over the wire, not rows") {
+    MemWireServer.rowsShipped.remove("wire_programmers")
+    val got = load("wire_programmers").groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("name")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val want = MemStore.rowsOf("wire_programmers").groupBy(_.getInt(1))
+      .map { case (k, vs) => k -> ((vs.length.toLong, vs.map(_.getString(0)).max)) }
+    assert(got === want)
+    val shipped = MemWireServer.rowsShipped.get("wire_programmers")
+      .map(_.get()).getOrElse(-1L)
+    // 4 cursors × ≤5 groups of PARTIALS — the 100 input rows stay server-side
+    assert(shipped > 0 && shipped <= 20,
+      s"grouped agg shipped $shipped rows over the wire")
+    // a global count ships exactly one partial per cursor
+    MemWireServer.rowsShipped.remove("wire_programmers")
+    assert(load("wire_programmers").count() === 100L)
+    val g = MemWireServer.rowsShipped.get("wire_programmers")
+      .map(_.get()).getOrElse(-1L)
+    assert(g > 0 && g <= 4, s"global count shipped $g partials")
+  }
+
   test("collection names with quotes/braces frame correctly (JSON parser, not regex)") {
     import spark.implicits._
     val weird = """wire_we"ird}{\coll"""
