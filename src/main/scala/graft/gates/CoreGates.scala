@@ -1182,6 +1182,35 @@ object CoreGates {
     }),
 
 
+    // r13 wire AGGREGATION, data-checked: the connector pushes the
+    // grouped aggregate to the store (SupportsPushDownAggregates,
+    // partial-only) and the wire client's `agg` op makes the SERVER
+    // group/aggregate its slice — one partial row per group per cursor
+    // crosses the socket (MemWireSpec proves the volume; this gate
+    // proves the VALUES through the DuckDB oracle in the driver sweep).
+    // Integer sum + count + min/max only — exact under any partial
+    // merge order, so the hash is deterministic.
+    "s25_wire_agg" -> ((s, dir) => {
+      val coll = "li_wire" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val port = stageCache.getOrElseUpdate(s"wire#$dir", {
+        graft.sources.mem.MemStore.register(coll,
+          t(s, dir, "lineitem")
+            .where(pmod(col("l_orderkey"), lit(20)) === 1)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        graft.sources.mem.MemWireServer.start().port.toString
+      }).toInt
+      s.read.format("graft.sources.mem.GraftMemSource")
+        .option("collection", coll)
+        .option("client", "wire").option("port", port.toString)
+        .load()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_ln"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
+
     // r12 StoreClient seam, data-checked: the SAME connector pushdown
     // pipeline (filters, projection, cursor TopN) served by the READ-ONLY
     // PARQUET-BACKED client instead of MemStore — the in-repo second
@@ -1210,6 +1239,13 @@ object CoreGates {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_orderkey % 20 = 1 AND l_quantity >= 25
          ORDER BY l_orderkey, l_linenumber LIMIT 300""",
+
+    "s25_wire_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+              CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+              min(l_orderkey) AS min_ok, max(l_quantity) AS max_qty
+         FROM lineitem WHERE l_orderkey % 20 = 1
+         GROUP BY l_returnflag""",
 
     "s24_join3_pushdown" ->
       """SELECT c.c_name, c.c_mktsegment, o.o_orderkey, o.o_orderstatus,
