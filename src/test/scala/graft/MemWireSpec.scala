@@ -230,6 +230,13 @@ class MemWireSpec extends AnyFunSuite {
     // crosses the socket
     assert(shipped > 0 && shipped <= 20,
       s"server wrote $shipped rows under a pushed TopN 5 over 4 cursors")
+    // offset paging stays exact through the wire pipeline (when pushed,
+    // the single global cursor's skip runs server-side)
+    val page = load("wire_programmers").orderBy(col("name").asc)
+      .offset(10).limit(5).collect().map(_.getString(0)).toSeq
+    val sortedNames = MemStore.rowsOf("wire_programmers")
+      .map(_.getString(0)).sorted.toSeq
+    assert(page === sortedNames.slice(10, 15))
   }
 
   test("query op: projection prunes columns on the wire; pushed join leaves ship filtered") {
