@@ -45,7 +45,17 @@ object Bench {
     // manufactured a uniform phantom 4.3× "regression" across all 186
     // queries. The basket IS Spark wall time at the same overhead regime,
     // so its ratio tracks what the per-query timings actually do.
-    val basketNames = Seq("q3_shipping", "s4_stream_window", "text_quality")
+    // r13 addition: sim_brute_topk as a FOURTH basket entry covering the
+    // CPU-float-bound workload class (vectorized dot products). Measured
+    // same-machine this round: a contention window slowed every float
+    // gate ~1.8× while the three original (shuffle/stream/text) basket
+    // queries ran at baseline speed — machine speed is workload-class
+    // dependent, and a basket blind to a class cannot adjudicate that
+    // class's flags. The per-entry `basket_sec` ratios in BENCH_DELTAS
+    // are the diagnostic: a lone `_basket_sim_brute_topk` excursion
+    // marks a float-class window, not a code regression.
+    val basketNames =
+      Seq("q3_shipping", "s4_stream_window", "text_quality", "sim_brute_topk")
     // basket runs at the BENCHED sf: the point is measuring Spark wall
     // time in the exact regime being normalized — the first cut measured
     // it at sf0.01 regardless, and those sub-second timings swung ~30%
@@ -268,16 +278,25 @@ object Bench {
     // Mid-round merges into the pinned baseline — entries are SCALED to
     // the baseline machine's speed (store v / speedRatio) so the file
     // stays internally consistent:
-    //  * clean FULL run: merge only queries the baseline has never seen
-    //    (new gates this round, and the basket entries themselves the
-    //    first time) — existing entries stay pinned;
-    //  * clean PARTIAL run: merge the selected entries (the documented
-    //    path for entries whose cost legitimately changed — when host
-    //    contention comes in bursts a full sweep can never fit inside a
-    //    clean window, but a handful of queries can).
-    if (!contaminated && !bootstrap && !refreshRequested && speedRatio > 0) {
+    //  * clean run (full OR partial): merge only queries the baseline has
+    //    never seen (new gates this round, and the basket entries
+    //    themselves the first time) — existing entries stay pinned.
+    //    Partial runs used to overwrite their selected entries ("refresh
+    //    entries whose cost legitimately changed"), but that let a
+    //    workload-class contention window silently re-pin a family ~1.7×
+    //    slower (measured r13: float-CPU gates 1.8× slow while the basket
+    //    read 1.05 — the scaled merge wrote the inflated values and would
+    //    have masked every later regression in the family);
+    //  * re-pinning EXISTING entries now always requires the explicit
+    //    SPARK_GRAFT_REFRESH_BASELINE=1 A/B protocol — with a PARTIAL
+    //    selection that merges exactly the selected entries (the targeted
+    //    re-pin for deliberate plan changes), with a full run it
+    //    overwrites the whole baseline (handled via outFile above).
+    if (!contaminated && !bootstrap && speedRatio > 0 &&
+        !(refreshRequested && !partial)) {
       val candidates =
-        if (partial) basketEntries.filterNot(e => prev.contains(e._1)) ++ healthy
+        if (partial && refreshRequested)
+          basketEntries.filterNot(e => prev.contains(e._1)) ++ healthy
         else (basketEntries ++ healthy).filterNot(e => prev.contains(e._1))
       if (candidates.nonEmpty) {
         val merged = prev ++ candidates.map { case (k, v) => k -> v / speedRatio }
@@ -287,7 +306,8 @@ object Bench {
           mergedJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         System.err.println(f"[bench] clean ${if (partial) "partial" else "full"} " +
           f"run (noise ${noise}%.2fx): merged ${candidates.size} " +
-          s"${if (partial) "selected" else "NEW"} entries into $prevFile " +
+          s"${if (partial && refreshRequested) "selected (REFRESH)" else "NEW"} " +
+          s"entries into $prevFile " +
           f"scaled by 1/speed = ${1.0 / speedRatio}%.3f")
       }
     }
