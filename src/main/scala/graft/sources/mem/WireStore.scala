@@ -24,7 +24,12 @@ import org.apache.spark.sql.types._
   *   {"op":"count","collection":c}
   *   {"op":"rows","collection":c,"start":i,"end":j}
   *   {"op":"query","collection":c,"start":i,"end":j, ...spec fields}
-  *   {"op":"register","collection":c}  + schema-json line + row lines + blank
+  *   {"op":"register","collection":c,"rows":n}
+  *                                     + schema-json line + row lines + blank
+  *                                     (n = declared row count; the server
+  *                                     refuses a mismatch, so a client that
+  *                                     dies mid-stream cannot leave a
+  *                                     truncated relation registered)
   * Response:
   *   schema   -> one line: Spark StructType.json (public round-trip form)
   *   count    -> one line: decimal integer
@@ -621,6 +626,18 @@ object MemWireServer {
           val rows = Iterator.continually(in.readLine())
             .takeWhile(l => l != null && l.nonEmpty)
             .map(WireCodec.readRow(_, schema)).toArray
+          // the declared count guards against a client that died
+          // mid-stream: EOF reads like the blank terminator, and without
+          // the check the server would register the TRUNCATED relation
+          // under the name and serve silently-short results forever after
+          val declared = fields.get("rows") match {
+            case Some(n: Long) => n
+            case _ => throw new IllegalArgumentException(
+              "wire: register request missing declared row count")
+          }
+          require(rows.length.toLong == declared,
+            s"wire: register received ${rows.length} rows, expected $declared " +
+              "(client stream truncated?) - collection NOT registered")
           MemStore.registerRaw(strField("collection"), schema, rows)
           reply(Iterator.single("ok"))
         case other =>
@@ -790,7 +807,8 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
         sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
       val in = new BufferedReader(new InputStreamReader(
         sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-      out.write(s"""{"op":"register","collection":${WireJson.q(name)}}""")
+      out.write(s"""{"op":"register","collection":${WireJson.q(name)},""" +
+        s""""rows":${rs.length}}""")
       out.write('\n')
       out.write(schema.json); out.write('\n') // StructType.json is one line
       var i = 0

@@ -315,6 +315,45 @@ class MemWireSpec extends AnyFunSuite {
     assert(client.rows(name, 0, 2).map(_.getInt(0)).toSeq === Seq(2, 3))
   }
 
+  test("a client dying mid-register cannot leave a truncated relation") {
+    import org.apache.spark.sql.types._
+    val client = new SocketStoreClient("127.0.0.1", server.port)
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    val name = "wire_trunc#join#u"
+    client.registerDerived(name, schema,
+      Array(org.apache.spark.sql.Row(Int.box(1)), org.apache.spark.sql.Row(Int.box(2))))
+    // raw socket simulating a client that declares 5 rows, streams 2,
+    // then dies (socket close = EOF, which reads like the terminator)
+    val sock = new java.net.Socket("127.0.0.1", server.port)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    out.write(s"""{"op":"register","collection":"$name","rows":5}""")
+    out.write('\n')
+    out.write(schema.json); out.write('\n')
+    out.write("[97]"); out.write('\n')
+    out.write("[98]"); out.write('\n')
+    out.flush()
+    sock.close()
+    // give the handler thread a moment to hit EOF and reject
+    Thread.sleep(300)
+    // the earlier registration is intact - neither truncated nor replaced
+    assert(client.rowCount(name) === 2)
+    assert(client.rows(name, 0, 2).map(_.getInt(0)).toSeq === Seq(1, 2))
+    // and a request with NO declared count is refused outright
+    val sock2 = new java.net.Socket("127.0.0.1", server.port)
+    val out2 = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      sock2.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    val in2 = new java.io.BufferedReader(new java.io.InputStreamReader(
+      sock2.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    out2.write(s"""{"op":"register","collection":"$name"}"""); out2.write('\n')
+    out2.write(schema.json); out2.write('\n')
+    out2.write("[99]"); out2.write('\n')
+    out2.write('\n'); out2.flush()
+    assert(in2.readLine().startsWith("!"))
+    sock2.close()
+    assert(client.rows(name, 0, 2).map(_.getInt(0)).toSeq === Seq(1, 2))
+  }
+
   test("unknown collection / closed server fail loudly, never empty") {
     val e = intercept[Exception] { load("wire_nope").collect() }
     assert(e.getMessage != null)
