@@ -345,10 +345,16 @@ private[mem] object WireQuery {
   }
 
   /** The one-line query request. Throws IllegalArgumentException on any
-    * literal/filter shape outside the wire vocabulary (caller falls back). */
-  def render(collection: String, start: Int, end: Int, spec: QuerySpec): String = {
+    * literal/filter shape outside the wire vocabulary (caller falls back).
+    * `op` selects the request tag ("query"/"agg") and `extra` appends
+    * op-specific fields before the closing brace — [[renderAgg]] reuses
+    * the whole spec rendering this way instead of string surgery on the
+    * finished line. */
+  def render(collection: String, start: Int, end: Int, spec: QuerySpec,
+      op: String = "query", extra: StringBuilder => Unit = _ => ()): String = {
     val sb = new StringBuilder
-    sb.append("{\"op\":\"query\",\"collection\":").append(WireJson.q(collection))
+    sb.append("{\"op\":").append(WireJson.q(op))
+      .append(",\"collection\":").append(WireJson.q(collection))
       .append(",\"start\":").append(start).append(",\"end\":").append(end)
       .append(",\"served\":").append(spec.countServed)
     sb.append(",\"filters\":[")
@@ -375,6 +381,7 @@ private[mem] object WireQuery {
       sb.append(",\"sample\":[\"").append(lo).append("\",\"").append(hi)
         .append("\",\"").append(seed).append("\"]")
     }
+    extra(sb)
     sb.append('}').toString
   }
 
@@ -399,22 +406,18 @@ private[mem] object WireQuery {
     * columns and aggregate functions — the server ships one partial row
     * per group per slice (the aggregation-pipeline shape). */
   def renderAgg(collection: String, start: Int, end: Int, spec: QuerySpec,
-      groups: Seq[String], funcs: Seq[MemAgg]): String = {
-    // reuse the query rendering, rewriting the op tag and appending the
-    // aggregation fields before the closing brace
-    val base = render(collection, start, end, spec)
-    val out = new StringBuilder(
-      "{\"op\":\"agg\"" + base.drop("{\"op\":\"query\"".length).dropRight(1))
-    out.append(",\"groups\":[")
-    groups.zipWithIndex.foreach { case (g, i) =>
-      if (i > 0) out.append(','); out.append(WireJson.q(g))
-    }
-    out.append("],\"funcs\":[")
-    funcs.zipWithIndex.foreach { case (f, i) =>
-      if (i > 0) out.append(','); writeAgg(f, out)
-    }
-    out.append("]}").toString
-  }
+      groups: Seq[String], funcs: Seq[MemAgg]): String =
+    render(collection, start, end, spec, op = "agg", extra = { out =>
+      out.append(",\"groups\":[")
+      groups.zipWithIndex.foreach { case (g, i) =>
+        if (i > 0) out.append(','); out.append(WireJson.q(g))
+      }
+      out.append("],\"funcs\":[")
+      funcs.zipWithIndex.foreach { case (f, i) =>
+        if (i > 0) out.append(','); writeAgg(f, out)
+      }
+      out.append(']')
+    })
 
   def parseGroups(fields: Map[String, Any]): Seq[String] =
     fields.get("groups") match {
@@ -458,29 +461,47 @@ private[mem] object WireQuery {
     sb.append("]}").toString
   }
 
-  /** Server side: reconstruct the spec from the parsed request object. */
+  /** Server side: reconstruct the spec from the parsed request object.
+    * ABSENT optional fields take their defaults; a PRESENT field with the
+    * wrong shape throws ("anything else fails loudly" — a malformed
+    * `sample` that silently disabled sampling, or a non-array `filters`
+    * that silently dropped every filter, would return wrong rows with a
+    * success reply). */
   def parseSpec(fields: Map[String, Any]): QuerySpec = {
     def vec(k: String): Vector[Any] = fields.get(k) match {
       case Some(v: Vector[_]) => v.toVector
-      case _ => Vector.empty
+      case Some(other) => throw new IllegalArgumentException(
+        s"wire query: field '$k' must be an array, got $other")
+      case None => Vector.empty
     }
     QuerySpec(
       filters = vec("filters").map(readFilter),
-      sample = fields.get("sample").collect {
+      sample = fields.get("sample").map {
         case Vector(lo: String, hi: String, seed: String) =>
           (lo.toDouble, hi.toDouble, seed.toLong)
+        case other => throw new IllegalArgumentException(
+          s"wire query: bad sample $other")
       },
       topN = vec("topn").map {
         case Vector(c: String, desc: Boolean) => (c, desc)
         case other => throw new IllegalArgumentException(s"wire query: bad topn $other")
       },
-      offset = fields.get("offset").collect { case n: Long => n.toInt }.getOrElse(0),
-      limit = fields.get("limit").collect { case n: Long => n.toInt },
+      offset = fields.get("offset").map {
+        case n: Long => n.toInt
+        case other => throw new IllegalArgumentException(s"wire query: bad offset $other")
+      }.getOrElse(0),
+      limit = fields.get("limit").map {
+        case n: Long => n.toInt
+        case other => throw new IllegalArgumentException(s"wire query: bad limit $other")
+      },
       projection = vec("proj").map {
         case c: String => c
         case other => throw new IllegalArgumentException(s"wire query: bad proj $other")
       },
-      countServed = fields.get("served").collect { case b: Boolean => b }.getOrElse(true))
+      countServed = fields.get("served").map {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(s"wire query: bad served $other")
+      }.getOrElse(true))
   }
 }
 
@@ -685,6 +706,11 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
       buf += WireCodec.readRow(l, schema)
       l = in.readLine()
     }
+    // EOF before the blank terminator = the server died mid-stream; the
+    // partial buffer must throw, not pass as a short result (the read-path
+    // mirror of the register op's declared-count guard)
+    if (l == null) throw new java.io.IOException(
+      s"wire: connection closed mid-stream after ${buf.length} rows")
     buf.iterator
   }
 
@@ -772,6 +798,8 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
         }
         l = in.readLine()
       }
+      if (l == null) throw new java.io.IOException(
+        "wire: connection closed mid-stream in keycounts")
       m.result()
     }
 

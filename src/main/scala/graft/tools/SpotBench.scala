@@ -175,7 +175,13 @@ object SpotBench {
     val baseGrowth: Map[String, Double] =
       if (baseFile.isFile) {
         val txt = scala.io.Source.fromFile(baseFile).mkString
-        """"([A-Za-z0-9_]+)":\{[^}]*"growth":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        // anchor on the per-gate {"sf01": shape (like the `prior` regex
+        // below): an unanchored {...growth} match latched leftmost onto
+        // the top-level "gates":{ wrapper, consuming the alphabetically
+        // FIRST gate's entry — that gate was silently absent from
+        // baseGrowth and its growth regressions never flagged
+        """"([A-Za-z0-9_]+)":\{"sf01":[^}]*"growth":([0-9.Ee+-]+)""".r
+          .findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     val bootstrap = baseGrowth.isEmpty
