@@ -354,6 +354,43 @@ class MemWireSpec extends AnyFunSuite {
     assert(client.rows(name, 0, 2).map(_.getInt(0)).toSeq === Seq(1, 2))
   }
 
+  test("a server dying mid-stream makes the client throw, never a short result") {
+    // fake server: valid schema, two rows, then socket close with NO blank
+    // terminator - EOF must read as an error, not as end-of-rows
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    val fake = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        while (!fake.isClosed) {
+          val s = fake.accept()
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+          val req = in.readLine()
+          if (req != null) {
+            if (req.contains("\"schema\"")) out.write(schema.json + "\n")
+            else { out.write("[1]\n[2]\n") } // rows/query: truncated stream
+            out.flush()
+          }
+          s.close()
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    val client = new SocketStoreClient("127.0.0.1", fake.getLocalPort)
+    val e = intercept[java.io.IOException] { client.rows("fake", 0, 10).toSeq }
+    assert(e.getMessage.contains("mid-stream"))
+    val e2 = intercept[java.io.IOException] {
+      client.query("fake", 0, 10,
+        QuerySpec(Nil, None, Nil, 0, None, Seq("x"))).toSeq
+    }
+    assert(e2.getMessage.contains("mid-stream"))
+    fake.close()
+  }
+
   test("unknown collection / closed server fail loudly, never empty") {
     val e = intercept[Exception] { load("wire_nope").collect() }
     assert(e.getMessage != null)
