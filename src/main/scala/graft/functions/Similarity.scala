@@ -746,6 +746,55 @@ object Similarity {
     options.maxBy { case (_, planes, recall) => (recall, -planes) }
   }
 
+  /** N-SCALED IVF geometry — the coarse-quantizer analog of
+    * [[lshGeometryForCorpus]]: pick (nlist, nprobe) from the corpus size
+    * instead of hardcoding them. Candidates scanned per query ≈
+    * nprobe · n / nlist (cells are ~uniform after Lloyd training), so for
+    * a per-query candidate budget B the solver takes the FAISS-shaped
+    * nlist ≈ √n — cell size and cell count grow together, keeping both
+    * the assignment argmin (O(nlist·dim) per row) and the probe scan
+    * (O(n/nlist) per probed cell) at O(√n) — then clamps by the REAL
+    * resource bounds of the build:
+    *  - the centroid table must broadcast: nlist ≤ maxCentroidBytes/(8·dim)
+    *  - the quantizer must train: nlist ≤ maxTrainVectors/39 (the
+    *    classical ≥39-points-per-centroid floor for a stable k-means)
+    * and finally nprobe = ceil(B · nlist / n) clamped to [1, nlist] —
+    * coverage RISES toward exhaustive as n shrinks (tiny corpora probe
+    * every cell and IVF equals brute force, the invariant
+    * [[ivfTopK]]'s exhaustive gate already proves).
+    *
+    * Returns (nlist, nprobe, expectedCandidatesPerQuery). Like the LSH
+    * dial, what degrades at scale is RETURNED, not hidden: once a cap
+    * binds, nlist stops growing and the FLOOR on candidates per query is
+    * the cell size n/nlist — which can exceed the budget (the returned
+    * expectedCandidates says so; nprobe is already 1). At the defaults
+    * the training floor binds first (200k/39 ≈ 5128 cells); raising
+    * maxTrainVectors to 4·10^6 lets the 64 MiB broadcast cap set
+    * nlist = 65536 at dim 128, so n = 10^11 probes ~1.5·10^6 candidates
+    * per query at nprobe = 1 — a 65000× scan reduction, but 15× over a
+    * 10^5 budget: meeting THAT budget needs nlist ≈ n/B = 10^6, a ~1 GiB
+    * centroid table that no longer broadcasts. That wall is exactly why
+    * billion-scale indexes move to compressed residual quantizers
+    * ([[ivfPqTopK]] — the composed IVF·PQ probe this repo ships). */
+  def ivfGeometryForCorpus(
+      corpusSize: Long,
+      dim: Int,
+      budgetPerQuery: Double = 100000.0,
+      maxTrainVectors: Int = 200000,
+      maxCentroidBytes: Long = 64L << 20): (Int, Int, Double) = {
+    require(corpusSize > 0 && dim > 0 && budgetPerQuery > 0,
+      s"ivfGeometryForCorpus: need corpusSize/dim/budget > 0, got " +
+        s"($corpusSize, $dim, $budgetPerQuery)")
+    val byData = math.sqrt(corpusSize.toDouble)
+    val byBroadcast = maxCentroidBytes.toDouble / (8.0 * dim)
+    val byTraining = maxTrainVectors / 39.0
+    val nlist = math.max(1, math.min(byData, math.min(byBroadcast, byTraining)).toInt)
+    val cellSize = corpusSize.toDouble / nlist
+    val nprobe = math.max(1, math.min(nlist.toDouble,
+      math.ceil(budgetPerQuery / cellSize)).toInt)
+    (nlist, nprobe, nprobe * cellSize)
+  }
+
   /** The at-scale posture for low-θ embedding dedup: an exact-verified
     * SUBSET of the all-pairs answer whose candidate volume is bounded
     * ~linear in corpus size by construction ([[lshGeometryForCorpus]]),

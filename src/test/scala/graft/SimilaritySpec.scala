@@ -469,6 +469,42 @@ class SimilaritySpec extends AnyFunSuite {
         ((pmod(xxhash64(col("id"), lit(i)), lit(20001L)) - 10000L) / 10000.0)
           .cast("float")): _*).as("embedding"))
 
+  test("N-scaled IVF geometry: √n cells until a cap binds; tiny corpora go exhaustive") {
+    // √n region: 100× rows ⇒ ~10× cells, and the candidate budget holds
+    // (expected candidates land within one cell size above the budget)
+    // (training budget 400k keeps its ≥39/centroid floor above √n here)
+    val (nl1, np1, c1) = Similarity.ivfGeometryForCorpus(1000000L, 64, 10000.0,
+      maxTrainVectors = 400000)
+    val (nl2, np2, c2) = Similarity.ivfGeometryForCorpus(100000000L, 64, 10000.0,
+      maxTrainVectors = 400000)
+    assert(nl1 === 1000 && nl2 === 10000, s"sqrt scaling: $nl1, $nl2")
+    assert(np1 >= 1 && np2 >= 1)
+    assert(c1 >= 10000.0 && c1 <= 10000.0 + 1000000.0 / nl1, s"budget: $c1")
+    assert(c2 >= 10000.0 && c2 <= 10000.0 + 100000000.0 / nl2, s"budget: $c2")
+    // caps bind at 100 TB scale: with the default 200k training sample the
+    // ≥39-points-per-centroid floor stops nlist at 5128, nprobe pins to 1,
+    // and the returned expected candidates EXCEED the budget - degradation
+    // is returned, not hidden
+    val (nlH, npH, cH) = Similarity.ivfGeometryForCorpus(100000000000L, 128, 100000.0)
+    assert(nlH === (200000 / 39.0).toInt && npH === 1)
+    assert(cH > 100000.0, s"capped geometry must report the real cost: $cH")
+    // raising the training budget lets the 64 MiB broadcast cap take over
+    val (nlB, _, _) = Similarity.ivfGeometryForCorpus(
+      100000000000L, 128, 100000.0, maxTrainVectors = 4000000)
+    assert(nlB === (64L << 20).toInt / (8 * 128), s"broadcast cap: $nlB")
+    // tiny corpus: coverage rises to exhaustive and IVF == brute force
+    val n = emb.count()
+    val (nlS, npS, _) = Similarity.ivfGeometryForCorpus(n, 64, budgetPerQuery = n.toDouble)
+    assert(npS === nlS, s"tiny corpus must probe every cell: $npS of $nlS")
+    val queries = emb.where(col("vec_id") < 10)
+    val viaDial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = nlS, nprobe = npS)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaDial === brute)
+  }
+
   test("N-scaled LSH planes bound θ=0.45 candidates ~linearly in corpus size (r12 verdict #6)") {
     // dim 64 = the testdata embedding width: at low dims the cosine mass
     // has a fat tail (σ ≈ 1/√dim), and the correlated-pair collision mass
