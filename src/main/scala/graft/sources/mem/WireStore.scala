@@ -43,6 +43,13 @@ import org.apache.spark.sql.types._
   *   register -> one line: "ok"
   * Errors -> one line starting with "!" and the message; clients throw.
   *
+  * Row-serving requests (rows/query/agg/keyslice) carry a `schema_fp`
+  * field — the fingerprint of the schema the client will parse rows
+  * with. The server refuses a mismatch ("schema_changed") instead of
+  * streaming rows a stale cache would silently misparse; the client
+  * drops its cache entry, re-fetches the schema, and retries once (the
+  * driver re-prepare shape).
+  *
   * Supported field types: boolean, byte/short/int/long, float/double,
   * string, timestamp (wire form: epoch micros), date (wire form: epoch
   * days). Anything else fails loudly server-side — a real driver would
@@ -157,6 +164,19 @@ object WireCodec {
   * forms as Double; object values keep insertion independence (Map). */
 private[mem] object WireJson {
   def q(s: String): String = "\"" + WireCodec.esc(s) + "\""
+
+  /** Schema fingerprint for the prepared-statement-style staleness guard:
+    * row-serving requests carry the fingerprint of the schema the CLIENT
+    * will parse rows with; the server refuses a mismatch (the collection
+    * was re-registered with a different shape since the client cached it)
+    * instead of streaming rows the client would silently misparse — the
+    * same protocol shape as a driver's re-prepare on "cached plan must
+    * not change result type". */
+  def schemaFp(s: StructType): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
 
   def parse(line: String): Any = {
     val p = new P(line)
@@ -406,7 +426,8 @@ private[mem] object WireQuery {
     * columns and aggregate functions — the server ships one partial row
     * per group per slice (the aggregation-pipeline shape). */
   def renderAgg(collection: String, start: Int, end: Int, spec: QuerySpec,
-      groups: Seq[String], funcs: Seq[MemAgg]): String =
+      groups: Seq[String], funcs: Seq[MemAgg],
+      extra: StringBuilder => Unit = _ => ()): String =
     render(collection, start, end, spec, op = "agg", extra = { out =>
       out.append(",\"groups\":[")
       groups.zipWithIndex.foreach { case (g, i) =>
@@ -417,6 +438,7 @@ private[mem] object WireQuery {
         if (i > 0) out.append(','); writeAgg(f, out)
       }
       out.append(']')
+      extra(out)
     })
 
   def parseGroups(fields: Map[String, Any]): Seq[String] =
@@ -442,7 +464,8 @@ private[mem] object WireQuery {
       startRank: Long,
       endRank: Long,
       filters: Seq[Filter],
-      projection: Seq[String]): String = {
+      projection: Seq[String],
+      extra: StringBuilder => Unit = _ => ()): String = {
     val sb = new StringBuilder
     sb.append("{\"op\":\"keyslice\",\"collection\":").append(WireJson.q(collection))
       .append(",\"key_col\":").append(WireJson.q(keyColumn))
@@ -458,7 +481,9 @@ private[mem] object WireQuery {
     projection.zipWithIndex.foreach { case (c, i) =>
       if (i > 0) sb.append(','); sb.append(WireJson.q(c))
     }
-    sb.append("]}").toString
+    sb.append(']')
+    extra(sb)
+    sb.append('}').toString
   }
 
   /** Server side: reconstruct the spec from the parsed request object.
@@ -568,6 +593,17 @@ object MemWireServer {
         case Some(n: Long) => n.toInt
         case _ => dflt
       }
+      // staleness guard on every row-serving op: refuse to stream rows
+      // the client would parse with an outdated cached schema
+      def checkFp(coll: String, schema: StructType): Unit =
+        fields.get("schema_fp") match {
+          case Some(fp: String) =>
+            val cur = WireJson.schemaFp(schema)
+            if (fp != cur) throw new IllegalArgumentException(
+              s"schema_changed: collection '$coll' fingerprint is $cur, " +
+                s"request expected $fp (re-fetch the schema)")
+          case _ => ()
+        }
       strField("op") match {
         case "schema" =>
           reply(Iterator.single(MemStore.schemaOf(strField("collection")).json))
@@ -576,6 +612,7 @@ object MemWireServer {
             MemStore.rowsOf(strField("collection")).length.toString))
         case "rows" =>
           val coll = strField("collection")
+          checkFp(coll, MemStore.schemaOf(coll))
           val start = intField("start", 0)
           val end = intField("end", MemStore.rowsOf(coll).length)
           var n = 0L
@@ -592,6 +629,7 @@ object MemWireServer {
           val end = intField("end", MemStore.rowsOf(coll).length)
           val spec = WireQuery.parseSpec(fields)
           val schema = MemStore.schemaOf(coll)
+          checkFp(coll, schema)
           val slice = MemStore.rowsOf(coll).slice(start, end)
           var n = 0L
           reply(QueryEval.run(slice, schema, start, spec,
@@ -607,6 +645,7 @@ object MemWireServer {
           val end = intField("end", MemStore.rowsOf(coll).length)
           val spec = WireQuery.parseSpec(fields)
           val schema = MemStore.schemaOf(coll)
+          checkFp(coll, schema)
           val projSchema = StructType(
             spec.projection.map(c => schema(schema.fieldIndex(c))))
           val slice = MemStore.rowsOf(coll).slice(start, end)
@@ -630,6 +669,7 @@ object MemWireServer {
           val coll = strField("collection")
           val spec = WireQuery.parseSpec(fields)
           val schema = MemStore.schemaOf(coll)
+          checkFp(coll, schema)
           def longField(k: String): Long = fields.get(k) match {
             case Some(n: Long) => n
             case _ => throw new IllegalArgumentException(
@@ -714,6 +754,27 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
     buf.iterator
   }
 
+  /** Prepared-statement-style staleness recovery: run `f` with the cached
+    * schema; if the server refuses the request because the collection was
+    * re-registered with a DIFFERENT schema since this JVM cached it (the
+    * request carries [[WireJson.schemaFp]] and the server checks), drop
+    * the cache entry, re-fetch, and retry ONCE — the wire analog of a
+    * driver's re-prepare on "cached plan must not change result type".
+    * Without the guard the client would misparse every row silently. */
+  private def withFreshSchema[A](name: String)(f: StructType => A): A = {
+    val cached = schemaOf(name)
+    try f(cached) catch {
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("schema_changed") =>
+        SocketStoreClient.schemaCache.remove((host, port, name))
+        f(schemaOf(name))
+    }
+  }
+
+  private def fpField(schema: StructType): StringBuilder => Unit =
+    sb => sb.append(",\"schema_fp\":")
+      .append(WireJson.q(WireJson.schemaFp(schema)))
+
   def hasCollection(name: String): Boolean =
     try { schemaOf(name); true } catch { case _: Throwable => false }
 
@@ -726,14 +787,17 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
   def rowCount(name: String): Int =
     callOneLine(s"""{"op":"count","collection":${WireJson.q(name)}}""").toInt
 
-  def rows(name: String, start: Int, end: Int): Iterator[Row] = {
-    val schema = schemaOf(name)
-    // materialize the page inside the connection scope (cursor semantics:
-    // the slice is bounded by construction — partition planning sized it)
-    call(s"""{"op":"rows","collection":${WireJson.q(name)},"start":$start,"end":$end}""") {
-      readRowsTo(_, schema)
+  def rows(name: String, start: Int, end: Int): Iterator[Row] =
+    withFreshSchema(name) { schema =>
+      // materialize the page inside the connection scope (cursor
+      // semantics: the slice is bounded by construction — partition
+      // planning sized it)
+      call(s"""{"op":"rows","collection":${WireJson.q(name)},""" +
+          s""""start":$start,"end":$end,""" +
+          s""""schema_fp":${WireJson.q(WireJson.schemaFp(schema))}}""") {
+        readRowsTo(_, schema)
+      }
     }
-  }
 
   /** The wire pushdown (r12 verdict #1): the spec ships to the server,
     * which evaluates filters/sample/sort/skip/limit/projection against
@@ -742,19 +806,19 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
     * the wire vocabulary (exotic literal type) falls back to the default
     * client-side evaluation — correct, just not wire-optimal, the same
     * posture as declining a pushdown. */
-  override def query(name: String, start: Int, end: Int, spec: QuerySpec): Iterator[Row] = {
-    val request =
-      try Some(WireQuery.render(name, start, end, spec))
-      catch { case _: IllegalArgumentException => None }
-    request match {
-      case None => super.query(name, start, end, spec)
-      case Some(req) =>
-        val full = schemaOf(name)
-        val projSchema = StructType(
-          spec.projection.map(c => full(full.fieldIndex(c))))
-        call(req) { readRowsTo(_, projSchema) }
+  override def query(name: String, start: Int, end: Int, spec: QuerySpec): Iterator[Row] =
+    withFreshSchema(name) { full =>
+      val request =
+        try Some(WireQuery.render(name, start, end, spec, extra = fpField(full)))
+        catch { case _: IllegalArgumentException => None }
+      request match {
+        case None => super.query(name, start, end, spec)
+        case Some(req) =>
+          val projSchema = StructType(
+            spec.projection.map(c => full(full.fieldIndex(c))))
+          call(req) { readRowsTo(_, projSchema) }
+      }
     }
-  }
 
   /** Partial aggregation over the wire: the server groups and aggregates
     * its own filtered slice, so only partial rows — one per group per
@@ -763,24 +827,25 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
     * ends: group columns at their stored types, then each aggregate's
     * Spark result type. Un-encodable specs fall back client-side. */
   override def queryAgg(name: String, start: Int, end: Int, spec: QuerySpec,
-      groups: Seq[String], funcs: Seq[MemAgg]): Iterator[Row] = {
-    val request =
-      try Some(WireQuery.renderAgg(name, start, end, spec, groups, funcs))
-      catch { case _: IllegalArgumentException => None }
-    request match {
-      case None => super.queryAgg(name, start, end, spec, groups, funcs)
-      case Some(req) =>
-        val full = schemaOf(name)
-        val projSchema = StructType(
-          spec.projection.map(c => full(full.fieldIndex(c))))
-        val partialSchema = StructType(
-          groups.map(g => projSchema(projSchema.fieldIndex(g))) ++
-            funcs.zipWithIndex.map { case (f, i) =>
-              StructField(s"agg_$i", f.resultType(projSchema), nullable = true)
-            })
-        call(req) { readRowsTo(_, partialSchema) }
+      groups: Seq[String], funcs: Seq[MemAgg]): Iterator[Row] =
+    withFreshSchema(name) { full =>
+      val request =
+        try Some(WireQuery.renderAgg(name, start, end, spec, groups, funcs,
+          extra = fpField(full)))
+        catch { case _: IllegalArgumentException => None }
+      request match {
+        case None => super.queryAgg(name, start, end, spec, groups, funcs)
+        case Some(req) =>
+          val projSchema = StructType(
+            spec.projection.map(c => full(full.fieldIndex(c))))
+          val partialSchema = StructType(
+            groups.map(g => projSchema(projSchema.fieldIndex(g))) ++
+              funcs.zipWithIndex.map { case (f, i) =>
+                StructField(s"agg_$i", f.resultType(projSchema), nullable = true)
+              })
+          call(req) { readRowsTo(_, partialSchema) }
+      }
     }
-  }
 
   /** Keyed-stream high-watermarks over the wire: only (key, count) pairs
     * cross — the former default shipped the whole collection per
@@ -808,20 +873,20 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
     * of [[query]]); un-encodable filters fall back to client-side eval. */
   override def keySlice(name: String, keyColumn: String, key: String,
       startRank: Long, endRank: Long, filters: Seq[Filter],
-      projection: Seq[String]): Iterator[Row] = {
-    val request =
-      try Some(WireQuery.renderKeySlice(name, keyColumn, key, startRank,
-        endRank, filters, projection))
-      catch { case _: IllegalArgumentException => None }
-    request match {
-      case None =>
-        super.keySlice(name, keyColumn, key, startRank, endRank, filters, projection)
-      case Some(req) =>
-        val full = schemaOf(name)
-        val projSchema = StructType(projection.map(c => full(full.fieldIndex(c))))
-        call(req) { readRowsTo(_, projSchema) }
+      projection: Seq[String]): Iterator[Row] =
+    withFreshSchema(name) { full =>
+      val request =
+        try Some(WireQuery.renderKeySlice(name, keyColumn, key, startRank,
+          endRank, filters, projection, extra = fpField(full)))
+        catch { case _: IllegalArgumentException => None }
+      request match {
+        case None =>
+          super.keySlice(name, keyColumn, key, startRank, endRank, filters, projection)
+        case Some(req) =>
+          val projSchema = StructType(projection.map(c => full(full.fieldIndex(c))))
+          call(req) { readRowsTo(_, projSchema) }
+      }
     }
-  }
 
   def registerDerived(name: String, schema: StructType, rs: Array[Row]): Unit = {
     // STREAM rows to the socket (r12 verdict #3 hardening) — the former

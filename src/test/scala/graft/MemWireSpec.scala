@@ -354,6 +354,41 @@ class MemWireSpec extends AnyFunSuite {
     assert(client.rows(name, 0, 2).map(_.getInt(0)).toSeq === Seq(1, 2))
   }
 
+  test("schema change under a cached client: refused by fingerprint, healed by re-prepare") {
+    import org.apache.spark.sql.types._
+    val client = new SocketStoreClient("127.0.0.1", server.port)
+    val name = "wire_reshape#join#v"
+    val schemaA = StructType(Seq(StructField("x", IntegerType)))
+    client.registerDerived(name, schemaA,
+      Array(org.apache.spark.sql.Row(Int.box(7))))
+    assert(client.rows(name, 0, 1).map(_.getInt(0)).toSeq === Seq(7))
+    // re-register with a DIFFERENT schema through a raw socket, so the
+    // client's cached schema (shared via the in-JVM cache) goes stale -
+    // the cross-JVM shape an executor sees after a driver re-registers
+    val schemaB = StructType(Seq(
+      StructField("x", LongType), StructField("tag", StringType)))
+    val sock = new java.net.Socket("127.0.0.1", server.port)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    out.write(s"""{"op":"register","collection":"$name","rows":2}""")
+    out.write('\n')
+    out.write(schemaB.json); out.write('\n')
+    out.write("[100,\"a\"]\n[200,\"b\"]\n\n"); out.flush()
+    assert(in.readLine() === "ok"); sock.close()
+    // without the fingerprint guard this would misparse [100,"a"] as an
+    // int-only row; with it, the server refuses, the client re-fetches
+    // the schema and the SAME calls return the new shape transparently
+    val again = client.rows(name, 0, 2)
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again === Seq((100L, "a"), (200L, "b")))
+    val viaQuery = client.query(name, 0, 2,
+        QuerySpec(Nil, None, Nil, 0, None, Seq("tag")))
+      .map(_.getString(0)).toSeq
+    assert(viaQuery === Seq("a", "b"))
+  }
+
   test("a server dying mid-stream makes the client throw, never a short result") {
     // fake server: valid schema, two rows, then socket close with NO blank
     // terminator - EOF must read as an error, not as end-of-rows
