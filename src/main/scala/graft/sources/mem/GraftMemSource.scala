@@ -711,7 +711,10 @@ object StoreClient {
       case "wire" =>
         val port = Option(get("port")).getOrElse(throw new IllegalArgumentException(
           "client=wire requires option 'port'")).toInt
-        new SocketStoreClient(Option(get("host")).getOrElse("127.0.0.1"), port)
+        // deflate=true: responses zlib-compress on the wire (MongoDB's
+        // OP_COMPRESSED shape) — same rows, fewer bytes per cursor
+        new SocketStoreClient(Option(get("host")).getOrElse("127.0.0.1"), port,
+          deflate = Option(get("deflate")).exists(_.toBoolean))
       case other => throw new IllegalArgumentException(
         s"unknown store client '$other' (supported: mem, parquet, wire)")
     }

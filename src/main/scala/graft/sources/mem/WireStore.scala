@@ -50,6 +50,14 @@ import org.apache.spark.sql.types._
   * drops its cache entry, re-fetches the schema, and retries once (the
   * driver re-prepare shape).
   *
+  * Any request may carry `"deflate":true`: the server zlib-compresses
+  * the WHOLE response stream (MongoDB's OP_COMPRESSED shape) — same
+  * protocol above the inflater, fewer bytes on the wire. The request
+  * line itself is always plain (the server must read it first);
+  * register uploads stay plain too. Per-collection rows AND bytes
+  * written are instrumented ([[MemWireServer.rowsShipped]]/
+  * [[MemWireServer.bytesShipped]]).
+  *
   * Supported field types: boolean, byte/short/int/long, float/double,
   * string, timestamp (wire form: epoch micros), date (wire form: epoch
   * days). Anything else fails loudly server-side — a real driver would
@@ -551,6 +559,21 @@ object MemWireServer {
     rowsShipped.getOrElseUpdate(coll,
       new java.util.concurrent.atomic.AtomicLong(0L)).addAndGet(n)
 
+  /** BYTES actually written to sockets per collection (cumulative) — the
+    * other half of the wire-volume instrumentation: row counts prove the
+    * pushdown shipped fewer ROWS; this proves the optional deflate
+    * shipped fewer BYTES for the same rows. */
+  val bytesShipped = TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private final class CountingOutputStream(underlying: java.io.OutputStream)
+      extends java.io.FilterOutputStream(underlying) {
+    var count = 0L
+    override def write(b: Int): Unit = { count += 1; underlying.write(b) }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      count += len; underlying.write(b, off, len)
+    }
+  }
+
   def start(): MemWireServer = {
     val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
     val acceptor = new Thread(() => {
@@ -571,11 +594,22 @@ object MemWireServer {
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(
       sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-    val out = new BufferedWriter(new OutputStreamWriter(
-      sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    val counting = new CountingOutputStream(sock.getOutputStream)
+    // the response writer is selected AFTER the request parses: a request
+    // carrying "deflate":true gets its whole response deflated (the
+    // MongoDB OP_COMPRESSED shape — zlib over the reply); the request
+    // line itself is always plain so the server can read it first
+    var deflateOut: java.util.zip.DeflaterOutputStream = null
+    var out = new BufferedWriter(new OutputStreamWriter(
+      counting, java.nio.charset.StandardCharsets.UTF_8))
+    var byteKey: String = null
     def reply(lines: Iterator[String]): Unit = {
       lines.foreach { l => out.write(l); out.write('\n') }
       out.flush()
+      if (deflateOut != null) deflateOut.finish()
+      if (byteKey != null)
+        bytesShipped.getOrElseUpdate(byteKey,
+          new java.util.concurrent.atomic.AtomicLong(0L)).addAndGet(counting.count)
     }
     try {
       val req = in.readLine()
@@ -588,6 +622,13 @@ object MemWireServer {
       def strField(k: String): String = fields.get(k) match {
         case Some(s: String) => s
         case _ => throw new IllegalArgumentException(s"wire: missing string field '$k'")
+      }
+      byteKey = fields.get("collection").collect { case s: String => s }.orNull
+      if (fields.get("deflate").contains(true)) {
+        deflateOut = new java.util.zip.DeflaterOutputStream(
+          counting, new java.util.zip.Deflater(), 8192, true)
+        out = new BufferedWriter(new OutputStreamWriter(
+          deflateOut, java.nio.charset.StandardCharsets.UTF_8))
       }
       def intField(k: String, dflt: => Int): Int = fields.get(k) match {
         case Some(n: Long) => n.toInt
@@ -717,18 +758,29 @@ object MemWireServer {
   * the row server — partition readers (which may run in executor tasks)
   * each dial their own connection, exactly like a database driver opens a
   * cursor per shard. Only `host`/`port` serialize into the task closure. */
-class SocketStoreClient(host: String, port: Int) extends StoreClient {
+class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
+    extends StoreClient {
   private def call[A](request: String)(read: BufferedReader => A): A = {
     val sock = new Socket(host, port)
     try {
       val out = new BufferedWriter(new OutputStreamWriter(
         sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-      val in = new BufferedReader(new InputStreamReader(
-        sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
       out.write(request); out.write('\n'); out.flush()
+      // with "deflate":true in the request the server zlib-compresses the
+      // WHOLE response (the MongoDB OP_COMPRESSED shape); the inflater
+      // sits below the line reader so the protocol is unchanged above it
+      val raw: java.io.InputStream =
+        if (deflate) new java.util.zip.InflaterInputStream(sock.getInputStream)
+        else sock.getInputStream
+      val in = new BufferedReader(new InputStreamReader(
+        raw, java.nio.charset.StandardCharsets.UTF_8))
       read(in)
     } finally sock.close()
   }
+
+  /** Request-field suffix every op appends: the deflate ask (when this
+    * client is configured for compressed responses). */
+  private def optDeflate: String = if (deflate) ",\"deflate\":true" else ""
 
   private def callOneLine(request: String): String =
     call(request) { in =>
@@ -772,8 +824,11 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
   }
 
   private def fpField(schema: StructType): StringBuilder => Unit =
-    sb => sb.append(",\"schema_fp\":")
-      .append(WireJson.q(WireJson.schemaFp(schema)))
+    sb => {
+      sb.append(",\"schema_fp\":")
+        .append(WireJson.q(WireJson.schemaFp(schema)))
+      sb.append(optDeflate)
+    }
 
   def hasCollection(name: String): Boolean =
     try { schemaOf(name); true } catch { case _: Throwable => false }
@@ -781,11 +836,11 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
   def schemaOf(name: String): StructType =
     SocketStoreClient.schemaCache.getOrElseUpdate((host, port, name),
       DataType.fromJson(
-        callOneLine(s"""{"op":"schema","collection":${WireJson.q(name)}}"""))
+        callOneLine(s"""{"op":"schema","collection":${WireJson.q(name)}$optDeflate}"""))
         .asInstanceOf[StructType])
 
   def rowCount(name: String): Int =
-    callOneLine(s"""{"op":"count","collection":${WireJson.q(name)}}""").toInt
+    callOneLine(s"""{"op":"count","collection":${WireJson.q(name)}$optDeflate}""").toInt
 
   def rows(name: String, start: Int, end: Int): Iterator[Row] =
     withFreshSchema(name) { schema =>
@@ -794,7 +849,7 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
       // planning sized it)
       call(s"""{"op":"rows","collection":${WireJson.q(name)},""" +
           s""""start":$start,"end":$end,""" +
-          s""""schema_fp":${WireJson.q(WireJson.schemaFp(schema))}}""") {
+          s""""schema_fp":${WireJson.q(WireJson.schemaFp(schema))}$optDeflate}""") {
         readRowsTo(_, schema)
       }
     }
@@ -852,7 +907,7 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
     * latestOffset() poll. */
   override def keyCounts(name: String, keyColumn: String): Map[String, Long] =
     call(s"""{"op":"keycounts","collection":${WireJson.q(name)},""" +
-        s""""key_col":${WireJson.q(keyColumn)}}""") { in =>
+        s""""key_col":${WireJson.q(keyColumn)}$optDeflate}""") { in =>
       val m = Map.newBuilder[String, Long]
       var l = in.readLine()
       while (l != null && l.nonEmpty) {
@@ -919,7 +974,7 @@ class SocketStoreClient(host: String, port: Int) extends StoreClient {
     } finally sock.close()
   }
 
-  def clientKey: String = s"wire:$host:$port"
+  def clientKey: String = s"wire:$host:$port${if (deflate) ":z" else ""}"
 }
 
 object SocketStoreClient {

@@ -354,6 +354,32 @@ class MemWireSpec extends AnyFunSuite {
     assert(client.rows(name, 0, 2).map(_.getInt(0)).toSeq === Seq(1, 2))
   }
 
+  test("deflate: compressed responses serve identical rows in measurably fewer bytes") {
+    val plain = new SocketStoreClient("127.0.0.1", server.port)
+    val z = new SocketStoreClient("127.0.0.1", server.port, deflate = true)
+    MemWireServer.bytesShipped.remove("wire_programmers")
+    val a = plain.rows("wire_programmers", 0, 100).toSeq
+    val plainBytes = MemWireServer.bytesShipped("wire_programmers").get()
+    MemWireServer.bytesShipped.remove("wire_programmers")
+    val b = z.rows("wire_programmers", 0, 100).toSeq
+    val zBytes = MemWireServer.bytesShipped("wire_programmers").get()
+    assert(a === b, "compressed and plain cursors must serve identical rows")
+    assert(plainBytes > 0 && zBytes > 0 && zBytes < plainBytes,
+      s"deflate must shrink the wire: $plainBytes plain vs $zBytes deflated")
+    // the whole pushed pipeline works through the compressed reader
+    val got = spark.read.format(fmt)
+      .option("collection", "wire_programmers")
+      .option("client", "wire").option("port", server.port.toString)
+      .option("deflate", "true")
+      .load().where(col("lang") === 3).collect()
+      .map(_.getString(0)).sorted.toSeq
+    val expect = MemStore.rowsOf("wire_programmers")
+      .filter(_.getInt(1) == 3).map(_.getString(0)).sorted.toSeq
+    assert(got === expect && got.nonEmpty)
+    // errors still surface through the inflater, loudly
+    intercept[Exception] { z.rowCount("wire_nope") }
+  }
+
   test("schema change under a cached client: refused by fingerprint, healed by re-prepare") {
     import org.apache.spark.sql.types._
     val client = new SocketStoreClient("127.0.0.1", server.port)
