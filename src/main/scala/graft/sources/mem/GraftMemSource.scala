@@ -149,6 +149,15 @@ object MemStore {
 
   def rowsOf(name: String): Array[Row] = collections(name)._2
 
+  /** Atomic (schema, rows) snapshot of ONE registration. A fingerprint
+    * check and the rows it guards must come from the same tuple —
+    * separate schemaOf/rowsOf reads can straddle a concurrent
+    * re-registration (registerRaw swaps the tuple atomically), validating
+    * the fp against the old schema and then serving the new rows. */
+  def snapshot(name: String): (StructType, Array[Row]) =
+    collections.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown collection '$name'"))
+
   /** Exact cross-type numeric comparison. Widening everything to double
     * (the former comparator) collapses distinct longs above 2^53 — under a
     * partially-pushed TopN each cursor prunes to `limit` rows, so a row in

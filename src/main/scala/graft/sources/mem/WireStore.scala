@@ -565,6 +565,21 @@ object MemWireServer {
     * shipped fewer BYTES for the same rows. */
   val bytesShipped = TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
 
+  // fingerprint memo keyed by registration IDENTITY (eq on the StructType
+  // inside the collection tuple): the fp is a schema serialization + hash
+  // and runs on every row-serving request — recomputing it per cursor per
+  // poll is pure waste, while the eq check stays correct across
+  // re-registration because registerRaw installs a new StructType instance
+  private val fpCache = TrieMap[String, (StructType, String)]()
+  private def cachedFp(coll: String, schema: StructType): String =
+    fpCache.get(coll) match {
+      case Some((s, fp)) if s eq schema => fp
+      case _ =>
+        val fp = WireJson.schemaFp(schema)
+        fpCache(coll) = (schema, fp)
+        fp
+    }
+
   private final class CountingOutputStream(underlying: java.io.OutputStream)
       extends java.io.FilterOutputStream(underlying) {
     var count = 0L
@@ -599,6 +614,7 @@ object MemWireServer {
     // carrying "deflate":true gets its whole response deflated (the
     // MongoDB OP_COMPRESSED shape — zlib over the reply); the request
     // line itself is always plain so the server can read it first
+    var deflater: java.util.zip.Deflater = null
     var deflateOut: java.util.zip.DeflaterOutputStream = null
     var out = new BufferedWriter(new OutputStreamWriter(
       counting, java.nio.charset.StandardCharsets.UTF_8))
@@ -614,6 +630,20 @@ object MemWireServer {
     try {
       val req = in.readLine()
       if (req == null) return
+      // deflate detection BEFORE parsing, on the raw line: a parse-failure
+      // error reply must already be in the encoding the client committed
+      // to reading (a deflate client inflates unconditionally — a plain
+      // "!..." line would surface as a ZipException and lose the
+      // diagnostic). The substring is unambiguous: a quote inside any
+      // rendered string literal is always escaped as \", so the exact
+      // text "deflate":true cannot occur inside a collection name.
+      if (req.contains("\"deflate\":true")) {
+        deflater = new java.util.zip.Deflater()
+        deflateOut = new java.util.zip.DeflaterOutputStream(
+          counting, deflater, 8192, true)
+        out = new BufferedWriter(new OutputStreamWriter(
+          deflateOut, java.nio.charset.StandardCharsets.UTF_8))
+      }
       val fields = WireJson.parse(req) match {
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
         case other => throw new IllegalArgumentException(
@@ -624,9 +654,13 @@ object MemWireServer {
         case _ => throw new IllegalArgumentException(s"wire: missing string field '$k'")
       }
       byteKey = fields.get("collection").collect { case s: String => s }.orNull
-      if (fields.get("deflate").contains(true)) {
+      // authoritative field check (covers a third-party client spelling
+      // the field with whitespace the raw-substring probe missed) —
+      // nothing has been written yet, so installing here is still safe
+      if (deflateOut == null && fields.get("deflate").contains(true)) {
+        deflater = new java.util.zip.Deflater()
         deflateOut = new java.util.zip.DeflaterOutputStream(
-          counting, new java.util.zip.Deflater(), 8192, true)
+          counting, deflater, 8192, true)
         out = new BufferedWriter(new OutputStreamWriter(
           deflateOut, java.nio.charset.StandardCharsets.UTF_8))
       }
@@ -639,7 +673,7 @@ object MemWireServer {
       def checkFp(coll: String, schema: StructType): Unit =
         fields.get("schema_fp") match {
           case Some(fp: String) =>
-            val cur = WireJson.schemaFp(schema)
+            val cur = cachedFp(coll, schema)
             if (fp != cur) throw new IllegalArgumentException(
               s"schema_changed: collection '$coll' fingerprint is $cur, " +
                 s"request expected $fp (re-fetch the schema)")
@@ -653,11 +687,16 @@ object MemWireServer {
             MemStore.rowsOf(strField("collection")).length.toString))
         case "rows" =>
           val coll = strField("collection")
-          checkFp(coll, MemStore.schemaOf(coll))
+          // ONE atomic snapshot: the fp check and the rows it guards must
+          // come from the same registration, or a concurrent re-register
+          // between them serves new-shape rows past an old-schema check —
+          // the exact silent misparse the fingerprint exists to prevent
+          val (schema, all) = MemStore.snapshot(coll)
+          checkFp(coll, schema)
           val start = intField("start", 0)
-          val end = intField("end", MemStore.rowsOf(coll).length)
+          val end = intField("end", all.length)
           var n = 0L
-          reply(MemStore.rowsOf(coll).iterator.slice(start, end)
+          reply(all.iterator.slice(start, end)
             .map { r => n += 1; WireCodec.writeRow(r) } ++
             Iterator.single({ shipped(coll, n); "" }))
         case "query" =>
@@ -666,12 +705,12 @@ object MemWireServer {
           // is bit-identical — but only matching projected rows are
           // written to the socket
           val coll = strField("collection")
+          val (schema, all) = MemStore.snapshot(coll) // atomic with checkFp
           val start = intField("start", 0)
-          val end = intField("end", MemStore.rowsOf(coll).length)
+          val end = intField("end", all.length)
           val spec = WireQuery.parseSpec(fields)
-          val schema = MemStore.schemaOf(coll)
           checkFp(coll, schema)
-          val slice = MemStore.rowsOf(coll).slice(start, end)
+          val slice = all.slice(start, end)
           var n = 0L
           reply(QueryEval.run(slice, schema, start, spec,
               if (spec.countServed) Some(coll) else None)
@@ -682,14 +721,14 @@ object MemWireServer {
           // shape): one partial row per group per slice crosses the
           // socket, never the filtered input rows
           val coll = strField("collection")
+          val (schema, all) = MemStore.snapshot(coll) // atomic with checkFp
           val start = intField("start", 0)
-          val end = intField("end", MemStore.rowsOf(coll).length)
+          val end = intField("end", all.length)
           val spec = WireQuery.parseSpec(fields)
-          val schema = MemStore.schemaOf(coll)
           checkFp(coll, schema)
           val projSchema = StructType(
             spec.projection.map(c => schema(schema.fieldIndex(c))))
-          val slice = MemStore.rowsOf(coll).slice(start, end)
+          val slice = all.slice(start, end)
           val rows = QueryEval.run(slice, schema, start, spec, None).toSeq
           var n = 0L
           reply(AggEval.run(rows, projSchema,
@@ -699,8 +738,9 @@ object MemWireServer {
         case "keycounts" =>
           // keyed-stream high-watermarks: only (key, count) pairs cross
           val coll = strField("collection")
-          val keyIdx = MemStore.schemaOf(coll).fieldIndex(strField("key_col"))
-          reply(KeyedEval.counts(MemStore.rowsOf(coll).iterator, keyIdx)
+          val (schema, all) = MemStore.snapshot(coll) // key index + rows together
+          val keyIdx = schema.fieldIndex(strField("key_col"))
+          reply(KeyedEval.counts(all.iterator, keyIdx)
             .toSeq.sortBy(_._1).iterator
             .map { case (k, n) => s"[${WireJson.q(k)},$n]" } ++
             Iterator.single(""))
@@ -709,7 +749,7 @@ object MemWireServer {
           // keyed streaming analog of the `query` op
           val coll = strField("collection")
           val spec = WireQuery.parseSpec(fields)
-          val schema = MemStore.schemaOf(coll)
+          val (schema, all) = MemStore.snapshot(coll) // atomic with checkFp
           checkFp(coll, schema)
           def longField(k: String): Long = fields.get(k) match {
             case Some(n: Long) => n
@@ -717,7 +757,7 @@ object MemWireServer {
               s"wire: missing integer field '$k'")
           }
           var n = 0L
-          reply(KeyedEval.slice(MemStore.rowsOf(coll).iterator, schema,
+          reply(KeyedEval.slice(all.iterator, schema,
               schema.fieldIndex(strField("key_col")), strField("key"),
               longField("start_rank"), longField("end_rank"),
               spec.filters, spec.projection, Some(coll))
@@ -749,6 +789,11 @@ object MemWireServer {
       case e: Throwable =>
         try reply(Iterator.single(s"!${e.getMessage}")) catch { case _: Throwable => () }
     } finally {
+      // release zlib's NATIVE buffers deterministically — the explicitly
+      // constructed Deflater is not ended by DeflaterOutputStream, and
+      // one connection per cursor per poll would otherwise accumulate
+      // off-heap memory until a GC happens to run the cleaners
+      if (deflater != null) { try deflater.end() catch { case _: Throwable => () } }
       try sock.close() catch { case _: Throwable => () }
     }
   }
@@ -762,6 +807,11 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
     extends StoreClient {
   private def call[A](request: String)(read: BufferedReader => A): A = {
     val sock = new Socket(host, port)
+    // default-constructed InflaterInputStream owns its Inflater, and
+    // close() ends it — releasing zlib's native buffers deterministically
+    // instead of waiting for a GC cleaner (one connection per cursor per
+    // poll would otherwise accumulate off-heap memory on a quiet heap)
+    var inflated: java.util.zip.InflaterInputStream = null
     try {
       val out = new BufferedWriter(new OutputStreamWriter(
         sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
@@ -770,12 +820,17 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
       // WHOLE response (the MongoDB OP_COMPRESSED shape); the inflater
       // sits below the line reader so the protocol is unchanged above it
       val raw: java.io.InputStream =
-        if (deflate) new java.util.zip.InflaterInputStream(sock.getInputStream)
-        else sock.getInputStream
+        if (deflate) {
+          inflated = new java.util.zip.InflaterInputStream(sock.getInputStream)
+          inflated
+        } else sock.getInputStream
       val in = new BufferedReader(new InputStreamReader(
         raw, java.nio.charset.StandardCharsets.UTF_8))
       read(in)
-    } finally sock.close()
+    } finally {
+      if (inflated != null) { try inflated.close() catch { case _: Throwable => () } }
+      sock.close()
+    }
   }
 
   /** Request-field suffix every op appends: the deflate ask (when this
@@ -823,10 +878,22 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
     }
   }
 
-  private def fpField(schema: StructType): StringBuilder => Unit =
+  /** Fingerprint memo with the same identity discipline as the server's:
+    * eq on the cached StructType instance, so the serialization + hash
+    * runs once per (re-)prepared schema instead of once per cursor. */
+  private def fpOf(name: String, schema: StructType): String =
+    SocketStoreClient.fpCache.get((host, port, name)) match {
+      case Some((s, fp)) if s eq schema => fp
+      case _ =>
+        val fp = WireJson.schemaFp(schema)
+        SocketStoreClient.fpCache((host, port, name)) = (schema, fp)
+        fp
+    }
+
+  private def fpField(name: String, schema: StructType): StringBuilder => Unit =
     sb => {
       sb.append(",\"schema_fp\":")
-        .append(WireJson.q(WireJson.schemaFp(schema)))
+        .append(WireJson.q(fpOf(name, schema)))
       sb.append(optDeflate)
     }
 
@@ -849,7 +916,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
       // planning sized it)
       call(s"""{"op":"rows","collection":${WireJson.q(name)},""" +
           s""""start":$start,"end":$end,""" +
-          s""""schema_fp":${WireJson.q(WireJson.schemaFp(schema))}$optDeflate}""") {
+          s""""schema_fp":${WireJson.q(fpOf(name, schema))}$optDeflate}""") {
         readRowsTo(_, schema)
       }
     }
@@ -864,7 +931,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
   override def query(name: String, start: Int, end: Int, spec: QuerySpec): Iterator[Row] =
     withFreshSchema(name) { full =>
       val request =
-        try Some(WireQuery.render(name, start, end, spec, extra = fpField(full)))
+        try Some(WireQuery.render(name, start, end, spec, extra = fpField(name, full)))
         catch { case _: IllegalArgumentException => None }
       request match {
         case None => super.query(name, start, end, spec)
@@ -886,7 +953,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
     withFreshSchema(name) { full =>
       val request =
         try Some(WireQuery.renderAgg(name, start, end, spec, groups, funcs,
-          extra = fpField(full)))
+          extra = fpField(name, full)))
         catch { case _: IllegalArgumentException => None }
       request match {
         case None => super.queryAgg(name, start, end, spec, groups, funcs)
@@ -932,7 +999,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
     withFreshSchema(name) { full =>
       val request =
         try Some(WireQuery.renderKeySlice(name, keyColumn, key, startRank,
-          endRank, filters, projection, extra = fpField(full)))
+          endRank, filters, projection, extra = fpField(name, full)))
         catch { case _: IllegalArgumentException => None }
       request match {
         case None =>
@@ -974,9 +1041,18 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
     } finally sock.close()
   }
 
-  def clientKey: String = s"wire:$host:$port${if (deflate) ":z" else ""}"
+  // clientKey is the identity of the backing STORE (join-pushdown
+  // compatibility checks compare it) — the deflate flag is a property of
+  // the CONNECTION, not the store, so it must not leak into the key:
+  // two scans of the same server with different transport settings can
+  // still collapse into one store-side join
+  def clientKey: String = s"wire:$host:$port"
 }
 
 object SocketStoreClient {
   private val schemaCache = TrieMap[(String, Int, String), StructType]()
+  // fingerprint memo (same identity discipline as the server's):
+  // (schema instance, fp) — the eq check self-invalidates when the cached
+  // schema instance is replaced by a re-prepare or a registerDerived
+  private val fpCache = TrieMap[(String, Int, String), (StructType, String)]()
 }
