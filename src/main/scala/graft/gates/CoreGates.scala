@@ -1146,6 +1146,31 @@ object CoreGates {
     }),
 
 
+    // the SAME pushed cursor pipeline through zlib-compressed responses
+    // (the deflate connector option — MongoDB's OP_COMPRESSED shape):
+    // shares s23's oracle semantics on a different predicate, so the
+    // driver's DuckDB hash check covers the inflater path end-to-end,
+    // not just the spec's in-process assertions
+    "s26_wire_deflate" -> ((s, dir) => {
+      val coll = "li_wire" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val port = stageCache.getOrElseUpdate(s"wire#$dir", {
+        graft.sources.mem.MemStore.register(coll,
+          t(s, dir, "lineitem")
+            .where(pmod(col("l_orderkey"), lit(20)) === 1)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        graft.sources.mem.MemWireServer.start().port.toString
+      }).toInt
+      s.read.format("graft.sources.mem.GraftMemSource")
+        .option("collection", coll)
+        .option("client", "wire").option("port", port.toString)
+        .option("deflate", "true")
+        .load()
+        .where(col("l_returnflag") =!= "N" && col("l_quantity") < 20)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(250)
+    }),
+
+
     // r12 NESTED join pushdown, data-checked: a THREE-collection chain
     // (customer ⋈ orders ⋈ lineitem slices registered in the store)
     // collapses into ONE scan under Spark's SupportsPushDownJoin rule —
@@ -1239,6 +1264,11 @@ object CoreGates {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_orderkey % 20 = 1 AND l_quantity >= 25
          ORDER BY l_orderkey, l_linenumber LIMIT 300""",
+
+    "s26_wire_deflate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_orderkey % 20 = 1 AND l_returnflag <> 'N' AND l_quantity < 20
+         ORDER BY l_orderkey, l_linenumber LIMIT 250""",
 
     "s25_wire_agg" ->
       """SELECT l_returnflag, count(*) AS n,
