@@ -1146,6 +1146,29 @@ object CoreGates {
     }),
 
 
+    // the pushed cursor pipeline through BINARY row frames + deflate
+    // composed (rowfmt=bin — the BSON/CQL-native row shape): DuckDB
+    // checks the frame codec end-to-end across the full pipeline
+    "s27_wire_binary" -> ((s, dir) => {
+      val coll = "li_wire" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val port = stageCache.getOrElseUpdate(s"wire#$dir", {
+        graft.sources.mem.MemStore.register(coll,
+          t(s, dir, "lineitem")
+            .where(pmod(col("l_orderkey"), lit(20)) === 1)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        graft.sources.mem.MemWireServer.start().port.toString
+      }).toInt
+      s.read.format("graft.sources.mem.GraftMemSource")
+        .option("collection", coll)
+        .option("client", "wire").option("port", port.toString)
+        .option("rowfmt", "bin").option("deflate", "true")
+        .load()
+        .where(col("l_quantity") >= 20 && col("l_quantity") <= 35)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(200)
+    }),
+
+
     // the SAME pushed cursor pipeline through zlib-compressed responses
     // (the deflate connector option — MongoDB's OP_COMPRESSED shape):
     // shares s23's oracle semantics on a different predicate, so the
@@ -1269,6 +1292,11 @@ object CoreGates {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_orderkey % 20 = 1 AND l_returnflag <> 'N' AND l_quantity < 20
          ORDER BY l_orderkey, l_linenumber LIMIT 250""",
+
+    "s27_wire_binary" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_orderkey % 20 = 1 AND l_quantity BETWEEN 20 AND 35
+         ORDER BY l_orderkey, l_linenumber LIMIT 200""",
 
     "s25_wire_agg" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -164,6 +164,123 @@ object WireCodec {
   }
 }
 
+/** BINARY row frames — the compact row encoding a real driver speaks
+  * (MongoDB rows are BSON, Cassandra's native protocol is length-prefixed
+  * binary; JSON text rows spend most of their cursor CPU in char
+  * scanning). Opt-in per request via `"rowfmt":"bin"` on the row-serving
+  * ops; metadata ops (schema/count/keycounts/register) stay line-JSON.
+  * Composes under deflate (frames flow through the same deflated stream).
+  *
+  * Frame grammar, schema-directed like the text codec:
+  *   0x01 <row>   — per field: 1 null byte (0 = null), then the value at
+  *                  its schema type (fixed-width primitives big-endian;
+  *                  strings as int length + UTF-8 bytes — full fidelity
+  *                  for NUL and surrogates, unlike writeUTF; timestamps
+  *                  as long epoch micros, dates as int epoch days)
+  *   0x00         — end of rows (the blank-line terminator's analog)
+  *   0x02 <err>   — error: int length + UTF-8 message; the client throws
+  * EOF before a terminator frame throws (same truncation guard as text). */
+private[mem] object WireBinary {
+  import java.io.{DataInputStream, DataOutputStream, EOFException}
+
+  def writeRow(r: Row, schema: StructType, out: DataOutputStream): Unit = {
+    out.writeByte(0x01)
+    var i = 0
+    while (i < schema.length) {
+      val v = r.get(i)
+      if (v == null) out.writeByte(0)
+      else {
+        out.writeByte(1)
+        schema(i).dataType match {
+          case BooleanType => out.writeBoolean(v.asInstanceOf[Boolean])
+          case ByteType => out.writeByte(v.asInstanceOf[Byte].toInt)
+          case ShortType => out.writeShort(v.asInstanceOf[Short].toInt)
+          case IntegerType => out.writeInt(v.asInstanceOf[Int])
+          case LongType => out.writeLong(v.asInstanceOf[Long])
+          case FloatType => out.writeFloat(v.asInstanceOf[Float])
+          case DoubleType => out.writeDouble(v.asInstanceOf[Double])
+          case StringType =>
+            val b = v.asInstanceOf[String]
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.writeInt(b.length); out.write(b)
+          case TimestampType =>
+            val t = v.asInstanceOf[java.sql.Timestamp]
+            out.writeLong(
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+          case DateType =>
+            out.writeInt(
+              v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+          case dt => throw new IllegalArgumentException(
+            s"wire binary: unsupported type $dt")
+        }
+      }
+      i += 1
+    }
+  }
+
+  def writeEnd(out: DataOutputStream): Unit = out.writeByte(0x00)
+
+  def writeError(out: DataOutputStream, msg: String): Unit = {
+    out.writeByte(0x02)
+    val b = String.valueOf(msg).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length); out.write(b)
+  }
+
+  private def readField(in: DataInputStream, dt: DataType): Any =
+    if (in.readByte() == 0) null
+    else dt match {
+      case BooleanType => Boolean.box(in.readBoolean())
+      case ByteType => Byte.box(in.readByte())
+      case ShortType => Short.box(in.readShort())
+      case IntegerType => Int.box(in.readInt())
+      case LongType => Long.box(in.readLong())
+      case FloatType => Float.box(in.readFloat())
+      case DoubleType => Double.box(in.readDouble())
+      case StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case TimestampType =>
+        val micros = in.readLong()
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(in.readInt().toLong))
+      case other => throw new IllegalArgumentException(
+        s"wire binary: unsupported type $other")
+    }
+
+  /** Read frames until the end marker; throws on an error frame, and on
+    * EOF before the terminator (truncation guard, like the text reader). */
+  def readRows(in: DataInputStream, schema: StructType): Iterator[Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var done = false
+    while (!done) {
+      val tag =
+        try in.readByte()
+        catch { case _: EOFException => throw new java.io.IOException(
+          s"wire: connection closed mid-stream after ${buf.length} rows") }
+      tag match {
+        case 0x00 => done = true
+        case 0x01 =>
+          val out = new Array[Any](schema.length)
+          var i = 0
+          while (i < schema.length) {
+            out(i) = readField(in, schema(i).dataType); i += 1
+          }
+          buf += Row.fromSeq(out.toIndexedSeq)
+        case 0x02 =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          throw new java.io.IOException(
+            "wire: " + new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        case other => throw new java.io.IOException(
+          s"wire binary: unknown frame tag $other")
+      }
+    }
+    buf.iterator
+  }
+}
+
 /** One-line JSON reader/writer for protocol REQUESTS — a real recursive
   * parser (objects, arrays, strings with the codec's escapes, integral/
   * decimal numbers, booleans, null) replacing the former field regex,
@@ -616,6 +733,7 @@ object MemWireServer {
     // line itself is always plain so the server can read it first
     var deflater: java.util.zip.Deflater = null
     var deflateOut: java.util.zip.DeflaterOutputStream = null
+    var binaryMode = false
     var out = new BufferedWriter(new OutputStreamWriter(
       counting, java.nio.charset.StandardCharsets.UTF_8))
     var byteKey: String = null
@@ -664,6 +782,39 @@ object MemWireServer {
         out = new BufferedWriter(new OutputStreamWriter(
           deflateOut, java.nio.charset.StandardCharsets.UTF_8))
       }
+      binaryMode = fields.get("rowfmt").contains("bin")
+      // one sink for binary frames: through the deflater when installed
+      def binSink: java.io.OutputStream =
+        if (deflateOut != null) deflateOut else counting
+      // row-serving dispatch: text lines (blank terminator) or binary
+      // frames (end marker), same truncation-guarded grammar either way.
+      // A lazy evaluation error BETWEEN rows becomes an in-band error
+      // frame/line; row writes themselves are atomic in both forms (text
+      // rows render fully before writing; binary rows only write after
+      // the iterator produced the Row).
+      def serveRows(coll: String, schema: StructType, rows: Iterator[Row]): Unit =
+        if (!binaryMode) {
+          var n = 0L
+          reply(rows.map { r => n += 1; WireCodec.writeRow(r) } ++
+            Iterator.single({ shipped(coll, n); "" }))
+        } else {
+          val dos = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(binSink, 8192))
+          var n = 0L
+          try {
+            rows.foreach { r => WireBinary.writeRow(r, schema, dos); n += 1 }
+            WireBinary.writeEnd(dos)
+          } catch { case e: Throwable =>
+            WireBinary.writeError(dos, String.valueOf(e.getMessage))
+          }
+          dos.flush()
+          if (deflateOut != null) deflateOut.finish()
+          shipped(coll, n)
+          if (byteKey != null)
+            bytesShipped.getOrElseUpdate(byteKey,
+              new java.util.concurrent.atomic.AtomicLong(0L))
+              .addAndGet(counting.count)
+        }
       def intField(k: String, dflt: => Int): Int = fields.get(k) match {
         case Some(n: Long) => n.toInt
         case _ => dflt
@@ -695,10 +846,7 @@ object MemWireServer {
           checkFp(coll, schema)
           val start = intField("start", 0)
           val end = intField("end", all.length)
-          var n = 0L
-          reply(all.iterator.slice(start, end)
-            .map { r => n += 1; WireCodec.writeRow(r) } ++
-            Iterator.single({ shipped(coll, n); "" }))
+          serveRows(coll, schema, all.iterator.slice(start, end))
         case "query" =>
           // SERVER-SIDE evaluation of the pushed pipeline: the same
           // QueryEval every in-process client runs, so a wire round-trip
@@ -711,11 +859,10 @@ object MemWireServer {
           val spec = WireQuery.parseSpec(fields)
           checkFp(coll, schema)
           val slice = all.slice(start, end)
-          var n = 0L
-          reply(QueryEval.run(slice, schema, start, spec,
-              if (spec.countServed) Some(coll) else None)
-            .map { r => n += 1; WireCodec.writeRow(r) } ++
-            Iterator.single({ shipped(coll, n); "" }))
+          val projSchema = StructType(
+            spec.projection.map(c => schema(schema.fieldIndex(c))))
+          serveRows(coll, projSchema, QueryEval.run(slice, schema, start, spec,
+            if (spec.countServed) Some(coll) else None))
         case "agg" =>
           // partial aggregation SERVER-SIDE (the aggregation-pipeline
           // shape): one partial row per group per slice crosses the
@@ -730,11 +877,16 @@ object MemWireServer {
             spec.projection.map(c => schema(schema.fieldIndex(c))))
           val slice = all.slice(start, end)
           val rows = QueryEval.run(slice, schema, start, spec, None).toSeq
-          var n = 0L
-          reply(AggEval.run(rows, projSchema,
-              WireQuery.parseGroups(fields), WireQuery.parseFuncs(fields))
-            .map { r => n += 1; WireCodec.writeRow(r) } ++
-            Iterator.single({ shipped(coll, n); "" }))
+          val groups = WireQuery.parseGroups(fields)
+          val funcs = WireQuery.parseFuncs(fields)
+          // partial-row schema, derived the same way the client derives it
+          val partialSchema = StructType(
+            groups.map(g => projSchema(projSchema.fieldIndex(g))) ++
+              funcs.zipWithIndex.map { case (f, i) =>
+                StructField(s"agg_$i", f.resultType(projSchema), nullable = true)
+              })
+          serveRows(coll, partialSchema,
+            AggEval.run(rows, projSchema, groups, funcs))
         case "keycounts" =>
           // keyed-stream high-watermarks: only (key, count) pairs cross
           val coll = strField("collection")
@@ -756,13 +908,12 @@ object MemWireServer {
             case _ => throw new IllegalArgumentException(
               s"wire: missing integer field '$k'")
           }
-          var n = 0L
-          reply(KeyedEval.slice(all.iterator, schema,
-              schema.fieldIndex(strField("key_col")), strField("key"),
-              longField("start_rank"), longField("end_rank"),
-              spec.filters, spec.projection, Some(coll))
-            .map { r => n += 1; WireCodec.writeRow(r) } ++
-            Iterator.single({ shipped(coll, n); "" }))
+          val projSchema = StructType(
+            spec.projection.map(c => schema(schema.fieldIndex(c))))
+          serveRows(coll, projSchema, KeyedEval.slice(all.iterator, schema,
+            schema.fieldIndex(strField("key_col")), strField("key"),
+            longField("start_rank"), longField("end_rank"),
+            spec.filters, spec.projection, Some(coll)))
         case "register" =>
           val schema = DataType.fromJson(in.readLine()).asInstanceOf[StructType]
           val rows = Iterator.continually(in.readLine())
@@ -787,7 +938,17 @@ object MemWireServer {
       }
     } catch {
       case e: Throwable =>
-        try reply(Iterator.single(s"!${e.getMessage}")) catch { case _: Throwable => () }
+        // a binary-mode client reads frames, not lines — the error must
+        // arrive as an 0x02 frame or the diagnostic is lost to misframing
+        try {
+          if (binaryMode) {
+            val dos = new java.io.DataOutputStream(
+              if (deflateOut != null) deflateOut else counting)
+            WireBinary.writeError(dos, String.valueOf(e.getMessage))
+            dos.flush()
+            if (deflateOut != null) deflateOut.finish()
+          } else reply(Iterator.single(s"!${e.getMessage}"))
+        } catch { case _: Throwable => () }
     } finally {
       // release zlib's NATIVE buffers deterministically — the explicitly
       // constructed Deflater is not ended by DeflaterOutputStream, and
@@ -803,9 +964,9 @@ object MemWireServer {
   * the row server — partition readers (which may run in executor tasks)
   * each dial their own connection, exactly like a database driver opens a
   * cursor per shard. Only `host`/`port` serialize into the task closure. */
-class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
-    extends StoreClient {
-  private def call[A](request: String)(read: BufferedReader => A): A = {
+class SocketStoreClient(host: String, port: Int, deflate: Boolean = false,
+    binaryRows: Boolean = false) extends StoreClient {
+  private def callRaw[A](request: String)(read: java.io.InputStream => A): A = {
     val sock = new Socket(host, port)
     // default-constructed InflaterInputStream owns its Inflater, and
     // close() ends it — releasing zlib's native buffers deterministically
@@ -818,24 +979,41 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
       out.write(request); out.write('\n'); out.flush()
       // with "deflate":true in the request the server zlib-compresses the
       // WHOLE response (the MongoDB OP_COMPRESSED shape); the inflater
-      // sits below the line reader so the protocol is unchanged above it
+      // sits below the line reader / frame reader so the protocol is
+      // unchanged above it
       val raw: java.io.InputStream =
         if (deflate) {
           inflated = new java.util.zip.InflaterInputStream(sock.getInputStream)
           inflated
         } else sock.getInputStream
-      val in = new BufferedReader(new InputStreamReader(
-        raw, java.nio.charset.StandardCharsets.UTF_8))
-      read(in)
+      read(raw)
     } finally {
       if (inflated != null) { try inflated.close() catch { case _: Throwable => () } }
       sock.close()
     }
   }
 
+  private def call[A](request: String)(read: BufferedReader => A): A =
+    callRaw(request) { raw =>
+      read(new BufferedReader(new InputStreamReader(
+        raw, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+
   /** Request-field suffix every op appends: the deflate ask (when this
     * client is configured for compressed responses). */
   private def optDeflate: String = if (deflate) ",\"deflate\":true" else ""
+
+  /** Binary-frame ask — ONLY on row-serving requests ([[WireBinary]]);
+    * metadata ops stay line-JSON so their one-line readers keep working. */
+  private def optBinary: String = if (binaryRows) ",\"rowfmt\":\"bin\"" else ""
+
+  /** Row-response reader at this client's configured encoding. */
+  private def readRowsFrom(raw: java.io.InputStream, schema: StructType): Iterator[Row] =
+    if (binaryRows)
+      WireBinary.readRows(new java.io.DataInputStream(
+        new java.io.BufferedInputStream(raw, 8192)), schema)
+    else readRowsTo(new BufferedReader(new InputStreamReader(
+      raw, java.nio.charset.StandardCharsets.UTF_8)), schema)
 
   private def callOneLine(request: String): String =
     call(request) { in =>
@@ -895,6 +1073,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
       sb.append(",\"schema_fp\":")
         .append(WireJson.q(fpOf(name, schema)))
       sb.append(optDeflate)
+      sb.append(optBinary)
     }
 
   def hasCollection(name: String): Boolean =
@@ -914,11 +1093,10 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
       // materialize the page inside the connection scope (cursor
       // semantics: the slice is bounded by construction — partition
       // planning sized it)
-      call(s"""{"op":"rows","collection":${WireJson.q(name)},""" +
+      callRaw(s"""{"op":"rows","collection":${WireJson.q(name)},""" +
           s""""start":$start,"end":$end,""" +
-          s""""schema_fp":${WireJson.q(fpOf(name, schema))}$optDeflate}""") {
-        readRowsTo(_, schema)
-      }
+          s""""schema_fp":${WireJson.q(fpOf(name, schema))}$optDeflate$optBinary}""")(
+        readRowsFrom(_, schema))
     }
 
   /** The wire pushdown (r12 verdict #1): the spec ships to the server,
@@ -938,7 +1116,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
         case Some(req) =>
           val projSchema = StructType(
             spec.projection.map(c => full(full.fieldIndex(c))))
-          call(req) { readRowsTo(_, projSchema) }
+          callRaw(req)(readRowsFrom(_, projSchema))
       }
     }
 
@@ -965,7 +1143,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
               funcs.zipWithIndex.map { case (f, i) =>
                 StructField(s"agg_$i", f.resultType(projSchema), nullable = true)
               })
-          call(req) { readRowsTo(_, partialSchema) }
+          callRaw(req)(readRowsFrom(_, partialSchema))
       }
     }
 
@@ -1006,7 +1184,7 @@ class SocketStoreClient(host: String, port: Int, deflate: Boolean = false)
           super.keySlice(name, keyColumn, key, startRank, endRank, filters, projection)
         case Some(req) =>
           val projSchema = StructType(projection.map(c => full(full.fieldIndex(c))))
-          call(req) { readRowsTo(_, projSchema) }
+          callRaw(req)(readRowsFrom(_, projSchema))
       }
     }
 

@@ -380,6 +380,63 @@ class MemWireSpec extends AnyFunSuite {
     intercept[Exception] { z.rowCount("wire_nope") }
   }
 
+  test("binary row frames: identical rows across every type, composing with deflate") {
+    import spark.implicits._
+    // every supported wire type, including the historically-dangerous
+    // corners: pre-epoch fractional timestamp, NUL/quote/unicode strings,
+    // nulls in every column, 2^53+1 long
+    val ts1 = { val t = new java.sql.Timestamp(-1500L); t.setNanos(500000000); t }
+    val ts2 = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")
+    val rows = Seq(
+      (true, 1.toByte, 2.toShort, 3, (1L << 53) + 1L, 0.5f, 1.0 / 3.0,
+        "we\"ird uni中code", ts1, java.sql.Date.valueOf("1969-07-20")),
+      (false, -1.toByte, -2.toShort, -3, -4L, -1.25f, -0.0,
+        "", ts2, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("b", "y", "h", "i", "l", "f", "d", "s", "t", "dt")
+    val withNulls = rows.unionByName(
+      spark.sql("select cast(null as boolean) b, cast(null as byte) y, " +
+        "cast(null as short) h, cast(null as int) i, cast(null as long) l, " +
+        "cast(null as float) f, cast(null as double) d, " +
+        "cast(null as string) s, cast(null as timestamp) t, cast(null as date) dt"))
+    MemStore.register("wire_alltypes", withNulls)
+    val text = new SocketStoreClient("127.0.0.1", server.port)
+    val bin = new SocketStoreClient("127.0.0.1", server.port, binaryRows = true)
+    val binZ = new SocketStoreClient("127.0.0.1", server.port,
+      deflate = true, binaryRows = true)
+    val expect = text.rows("wire_alltypes", 0, 3).toSeq
+    assert(bin.rows("wire_alltypes", 0, 3).toSeq === expect)
+    assert(binZ.rows("wire_alltypes", 0, 3).toSeq === expect)
+    assert(expect.length === 3)
+    // the pushed pipeline through binary frames via the connector option
+    val got = spark.read.format(fmt)
+      .option("collection", "wire_alltypes")
+      .option("client", "wire").option("port", server.port.toString)
+      .option("rowfmt", "bin")
+      .load().where(col("i") === 3).collect()
+    assert(got.length === 1 && got(0).getAs[String]("s").contains("uni中code"))
+    // binary frames are smaller than JSON text for the same rows
+    MemWireServer.bytesShipped.remove("wire_alltypes")
+    text.rows("wire_alltypes", 0, 3).toSeq
+    val textBytes = MemWireServer.bytesShipped("wire_alltypes").get()
+    MemWireServer.bytesShipped.remove("wire_alltypes")
+    bin.rows("wire_alltypes", 0, 3).toSeq
+    val binBytes = MemWireServer.bytesShipped("wire_alltypes").get()
+    assert(binBytes > 0 && binBytes < textBytes,
+      s"binary should out-pack text: $binBytes vs $textBytes")
+    // errors arrive as 0x02 frames, loudly, in both binary modes
+    val e1 = intercept[java.io.IOException] { bin.rows("wire_nope", 0, 1).toSeq }
+    assert(e1.getMessage.contains("wire_nope"))
+    val e2 = intercept[java.io.IOException] { binZ.rowCount("wire_nope") }
+    assert(e2.getMessage != null)
+    // agg partials cross as binary frames too
+    val partials = bin.queryAgg("wire_alltypes", 0, 3,
+      QuerySpec(Nil, None, Nil, 0, None, Seq("b", "i")),
+      groups = Seq("b"), funcs = Seq(graft.sources.mem.MemAgg.CountAll,
+        graft.sources.mem.MemAgg.SumCol("i"))).toSeq
+    assert(partials.map(r => (r.get(0), r.getLong(1))).toSet ===
+      Set((true, 1L), (false, 1L), (null, 1L)))
+  }
+
   test("schema change under a cached client: refused by fingerprint, healed by re-prepare") {
     import org.apache.spark.sql.types._
     val client = new SocketStoreClient("127.0.0.1", server.port)
