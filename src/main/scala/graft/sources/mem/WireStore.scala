@@ -801,8 +801,22 @@ object MemWireServer {
           val dos = new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(binSink, 8192))
           var n = 0L
+          // each row renders FULLY into rowBuf before any byte reaches the
+          // stream: a mid-row codec failure (a stored value whose runtime
+          // class mismatches the declared schema type) must not leave a
+          // partial frame in front of the error frame, or the client reads
+          // the 0x02 frame's bytes as field data and the diagnostic is
+          // lost to misframing (text rows get this atomicity for free —
+          // they render to a String before write)
+          val rowBuf = new java.io.ByteArrayOutputStream(256)
+          val rowDos = new java.io.DataOutputStream(rowBuf)
           try {
-            rows.foreach { r => WireBinary.writeRow(r, schema, dos); n += 1 }
+            rows.foreach { r =>
+              rowBuf.reset()
+              WireBinary.writeRow(r, schema, rowDos)
+              rowBuf.writeTo(dos)
+              n += 1
+            }
             WireBinary.writeEnd(dos)
           } catch { case e: Throwable =>
             WireBinary.writeError(dos, String.valueOf(e.getMessage))

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.sources.mem.{MemStore, MemWireServer, SocketStoreClient, WireCodec}
+import graft.sources.mem.{MemStore, MemStoreClient, MemWireServer, SocketStoreClient, WireCodec}
 import graft.sources.mem.QuerySpec
 
 /** The WIRE-LEVEL StoreClient (r11 verdict's #1 missing item, within
@@ -435,6 +435,28 @@ class MemWireSpec extends AnyFunSuite {
         graft.sources.mem.MemAgg.SumCol("i"))).toSeq
     assert(partials.map(r => (r.get(0), r.getLong(1))).toSet ===
       Set((true, 1L), (false, 1L), (null, 1L)))
+  }
+
+  test("a mid-row codec failure arrives as a clean error frame, never misframed") {
+    import org.apache.spark.sql.types._
+    // a stored value whose runtime class mismatches the declared schema
+    // (registerRaw trusts its caller): binary encoding fails mid-row at
+    // field b of row 2 — the frame for that row must not reach the wire
+    // at all, or the client reads the 0x02 error frame's bytes as field
+    // data and the diagnostic is lost to misframing
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    MemStoreClient.registerDerived("wire_badrow", schema, Array(
+      org.apache.spark.sql.Row(Int.box(1), Int.box(2)),
+      org.apache.spark.sql.Row(Int.box(3), "not an int"),
+      org.apache.spark.sql.Row(Int.box(5), Int.box(6))))
+    val bin = new SocketStoreClient("127.0.0.1", server.port, binaryRows = true)
+    val e = intercept[java.io.IOException] { bin.rows("wire_badrow", 0, 3).toSeq }
+    // the failure surfaces as the server's in-band error, not a frame
+    // desync ("unknown frame tag") or a truncation ("closed mid-stream")
+    assert(e.getMessage.startsWith("wire: "), e.getMessage)
+    assert(!e.getMessage.contains("unknown frame tag"), e.getMessage)
+    assert(!e.getMessage.contains("closed mid-stream"), e.getMessage)
   }
 
   test("schema change under a cached client: refused by fingerprint, healed by re-prepare") {
