@@ -743,10 +743,7 @@ object Corpus {
               var s = cache.get(w)
               if (s == null) {
                 s = applySeq(w)
-                // bounded: a pathological all-distinct partition cannot
-                // grow the cache unboundedly; after a clear the Zipf head
-                // refills within a few documents
-                if (cache.size >= 200000) cache.clear()
+                if (cache.size >= WordCacheCap) cache.clear()
                 cache.put(w, s)
               }
               sub ++= s
@@ -800,4 +797,383 @@ object Corpus {
         (-col("col.score")).cast("long").as("pair_hash"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-family tokenizer: shortest-path (Viterbi) segmentation over
+  // a piece table — the OTHER major subword family next to BPE
+  // (SentencePiece's unigram LM, Kudo 2018; minimal-token segmentation
+  // per PathPiece). Two scoring regimes share one lattice:
+  //  - the ORACLE-GATED integer regime ([[unigramEncode]]): minimize
+  //    piece count, tie-break by maximal summed piece frequency, then
+  //    lexicographically smallest path — every comparison is exact
+  //    integer/string, so Spark and DuckDB agree bit-for-bit (the
+  //    decimal(18,2) lesson applied to tokenization: no float logs in
+  //    the cross-engine contract);
+  //  - the EM-TRAINED float regime ([[unigramTrainEm]] +
+  //    [[unigramEncodeLogp]]): true unigram log-probabilities fitted by
+  //    expectation-maximization, spec-gated (float DP is exact within
+  //    one engine but cross-engine log/exp ulp drift makes a SQL oracle
+  //    dishonest).
+  // Scale shape mirrors BPE: corpus-sized work is ONE word-histogram
+  // partial aggregate (Heaps-bounded output); piece scoring explodes
+  // substrings of word TYPES only; encode is map-only with the bounded
+  // piece table in the task closure and a per-partition word cache.
+  // ------------------------------------------------------------------
+
+  /** All ≤`maxLen`-char substring positions of each word TYPE, weighted
+    * by corpus occurrence count — the piece-candidate stream. Bounded:
+    * |types| × maxWordLen × maxLen rows, never corpus-sized. */
+  private def pieceCandidates(docs: DataFrame, textCol: String,
+      maxLen: Int): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val subsArr = flatten(transform(
+      sequence(lit(1), length(col("word"))), i =>
+        transform(
+          sequence(lit(1), least(lit(maxLen), length(col("word")) - i + lit(1))),
+          n => col("word").substr(i, n))))
+    words.select(explode(subsArr).as("sub"), col("wc"))
+      .groupBy(col("sub")).agg(sum(col("wc")).as("cnt"))
+  }
+
+  /** The piece table: top-`topK` substrings by (count DESC, piece ASC)
+    * UNION every single character — SentencePiece's character-coverage
+    * guarantee, so every word in the training corpus is segmentable.
+    *
+    * Plan shape: the corpus-sized work is the word histogram's partial
+    * aggregate; ranking is a [[org.apache.spark.sql.Dataset.limit]] over
+    * an ordered bounded table (TakeOrderedAndProject — per-partition
+    * heaps, no global sort exchange, the [[weightedSample]] posture), and
+    * the char tier joins back anti-broadcast. Both branches read one
+    * shared aggregate whose exchange is reused (ReuseExchange). */
+  def unigramPieces(docs: DataFrame, textCol: String,
+      maxLen: Int = 4, topK: Int = 60): DataFrame = {
+    val counts = pieceCandidates(docs, textCol, maxLen)
+    val top = counts.orderBy(col("cnt").desc, col("sub").asc).limit(topK)
+    val chars = counts.where(length(col("sub")) === 1)
+      .join(broadcast(top.select(col("sub"))), Seq("sub"), "left_anti")
+    top.unionByName(chars)
+  }
+
+  /** Collected piece table for the encode closure — bounded by
+    * construction (topK + alphabet size), the [[bpeTrain]] posture of a
+    * capped driver-side table. */
+  def unigramPieceTable(docs: DataFrame, textCol: String,
+      maxLen: Int = 4, topK: Int = 60): Array[(String, Long)] = {
+    val t = unigramPieces(docs, textCol, maxLen, topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(t.length <= (1 << 20),
+      s"unigram: piece table ${t.length} exceeds the closure budget")
+    t
+  }
+
+  /** Exact-integer Viterbi segmentation of one word: minimize piece
+    * count, tie-break maximal summed frequency, then lexicographically
+    * smallest pipe-joined path. Prefix ties have equal path LENGTHS
+    * (equal piece count ⇒ equal separator count), so the per-position
+    * lexicographic minimum extends to the global one — the DP tie-break
+    * is sound. Throws on a word outside the table's character coverage
+    * (loud, never a silent skip). */
+  private[graft] def unigramSegment(word: String,
+      pm: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int): (Int, Long, String) = {
+    val L = word.length
+    val bnp = new Array[Int](L + 1)
+    java.util.Arrays.fill(bnp, Int.MaxValue)
+    val btot = new Array[Long](L + 1)
+    val bpath = new Array[String](L + 1)
+    bnp(0) = 0; btot(0) = 0L; bpath(0) = ""
+    var j = 1
+    while (j <= L) {
+      val nMax = math.min(maxLen, j)
+      var n = 1
+      while (n <= nMax) {
+        val pre = j - n
+        if (bnp(pre) != Int.MaxValue) {
+          val piece = word.substring(pre, j)
+          val c = pm.get(piece)
+          if (c != null) {
+            val cnp = bnp(pre) + 1
+            val ctot = btot(pre) + c.longValue
+            val better0 = cnp < bnp(j) ||
+              (cnp == bnp(j) && ctot > btot(j))
+            val tie = cnp == bnp(j) && ctot == btot(j)
+            if (better0 || tie) {
+              val cpath = if (pre == 0) piece else bpath(pre) + "|" + piece
+              if (better0 || cpath.compareTo(bpath(j)) < 0) {
+                bnp(j) = cnp; btot(j) = ctot; bpath(j) = cpath
+              }
+            }
+          }
+        }
+        n += 1
+      }
+      j += 1
+    }
+    if (bnp(L) == Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"unigram: word '$word' is not segmentable - the piece table " +
+          "lacks character coverage for it")
+    (bnp(L), btot(L), bpath(L))
+  }
+
+  /** Per-partition word-type memo budget shared by every word-level
+    * encoder ([[bpeEncodeSeq]], the unigram encoders): a pathological
+    * all-distinct partition cannot grow the cache unboundedly, and after
+    * a clear the Zipf head refills within a few documents. */
+  private[graft] val WordCacheCap = 200000
+
+  /** Shared map-only encode core for the unigram regimes: per-partition
+    * segment function (piece table lives in its closure, built ONCE per
+    * partition by `mkSeg`), bounded word-type memo ([[WordCacheCap]]),
+    * per-doc word loop joining pipe-joined paths with spaces. Documents
+    * with no words (null/empty text) emit nothing — the SQL oracle's
+    * join drops them identically. */
+  private def encodeCorpus(
+      docs: DataFrame, idCol: String, textCol: String, withScore: Boolean)(
+      mkSeg: () => String => (String, Int, Double)): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = docs.select(col(idCol).as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val base = Seq(
+      src.schema("doc_id"),
+      StructField("encoded", StringType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false))
+    val outSchema = StructType(
+      if (withScore) base :+ StructField("logp", DoubleType, nullable = false)
+      else base)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    src.mapPartitions { it =>
+      val seg = mkSeg()
+      val cache = new java.util.HashMap[String, (String, Int, Double)]()
+      it.flatMap { row =>
+        val text = row.getString(1)
+        if (text == null) Iterator.empty
+        else {
+          val words = text.split(" ")
+          val sb = new StringBuilder
+          var nTok = 0L
+          var score = 0.0
+          var any = false
+          var wi = 0
+          while (wi < words.length) {
+            val w = words(wi)
+            if (w.nonEmpty) {
+              var s = cache.get(w)
+              if (s == null) {
+                s = seg(w)
+                if (cache.size >= WordCacheCap) cache.clear()
+                cache.put(w, s)
+              }
+              if (any) sb.append(' ')
+              sb.append(s._1)
+              nTok += s._2
+              score += s._3
+              any = true
+            }
+            wi += 1
+          }
+          if (!any) Iterator.empty
+          else Iterator.single(
+            if (withScore)
+              org.apache.spark.sql.Row(row.get(0), sb.toString, nTok, score)
+            else org.apache.spark.sql.Row(row.get(0), sb.toString, nTok))
+        }
+      }
+    }(enc)
+  }
+
+  /** Map-only corpus encode under the exact-integer objective: per doc,
+    * each word's Viterbi path (pieces pipe-joined) joined by spaces, plus
+    * the total piece count ([[encodeCorpus]] over [[unigramSegment]]). */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Array[(String, Long)], maxLen: Int = 4): DataFrame =
+    encodeCorpus(docs, idCol, textCol, withScore = false) { () =>
+      val pm = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+      pieces.foreach { case (s, c) => pm.put(s, java.lang.Long.valueOf(c)) }
+      (w: String) => {
+        val (np, _, path) = unigramSegment(w, pm, maxLen)
+        (path, np, 0.0)
+      }
+    }
+
+  /** Unigram-LM training by expectation-maximization over the capped
+    * word-TYPE histogram (Kudo 2018 §3.2; the corpus-sized work is the
+    * same ONE histogram aggregate as [[bpeTrain]] — EM itself runs on the
+    * driver over bounded types × bounded lattice positions).
+    *
+    * Per round: E-step computes expected piece counts by forward-backward
+    * over each word's segmentation lattice (probabilities in log space,
+    * summed via log-sum-exp); M-step renormalizes; then the lowest-
+    * expected-count pieces are pruned toward `vocabSize` (never below
+    * character coverage). Returns (piece, logProb), logs base e.
+    * Likelihood is non-decreasing within every EM round between prunes
+    * (asserted in CorpusSpec). */
+  def unigramTrainEm(
+      docs: DataFrame,
+      textCol: String,
+      maxLen: Int = 4,
+      vocabSize: Int = 60,
+      emIters: Int = 2,
+      pruneRounds: Int = 3,
+      maxWords: Int = 1000000): Array[(String, Double)] = {
+    val hist: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // seed pieces: every <=maxLen substring of the word types, prob
+    // proportional to weighted occurrence count
+    val seed = scala.collection.mutable.HashMap.empty[String, Double]
+    hist.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var n = 1
+        while (n <= math.min(maxLen, w.length - i)) {
+          val s = w.substring(i, i + n)
+          seed(s) = seed.getOrElse(s, 0.0) + c.toDouble
+          n += 1
+        }
+        i += 1
+      }
+    }
+    var probs: Map[String, Double] = {
+      val tot = seed.values.sum
+      seed.iterator.map { case (s, c) => s -> c / tot }.toMap
+    }
+    def logSumExp(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val likTrace = Seq.newBuilder[Double]
+    var round = 0
+    while (round < pruneRounds) {
+      var iter = 0
+      while (iter < emIters) {
+        val expected = scala.collection.mutable.HashMap.empty[String, Double]
+        var lik = 0.0
+        hist.foreach { case (w, wc) =>
+          val L = w.length
+          // forward: alpha(j) = logsum over n of alpha(j-n) + logp(piece)
+          val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+          alpha(0) = 0.0
+          var j = 1
+          while (j <= L) {
+            var n = 1
+            while (n <= math.min(maxLen, j)) {
+              probs.get(w.substring(j - n, j)).foreach { p =>
+                alpha(j) = logSumExp(alpha(j), alpha(j - n) + math.log(p))
+              }
+              n += 1
+            }
+            j += 1
+          }
+          val z = alpha(L)
+          if (z != Double.NegativeInfinity) {
+            lik += wc * z
+            // backward
+            val beta = Array.fill(L + 1)(Double.NegativeInfinity)
+            beta(L) = 0.0
+            var i2 = L - 1
+            while (i2 >= 0) {
+              var n = 1
+              while (n <= math.min(maxLen, L - i2)) {
+                probs.get(w.substring(i2, i2 + n)).foreach { p =>
+                  beta(i2) = logSumExp(beta(i2), math.log(p) + beta(i2 + n))
+                }
+                n += 1
+              }
+              i2 -= 1
+            }
+            // expected count of each lattice edge: alpha(i)+logp+beta(j)-z
+            var i3 = 0
+            while (i3 < L) {
+              var n = 1
+              while (n <= math.min(maxLen, L - i3)) {
+                val s = w.substring(i3, i3 + n)
+                probs.get(s).foreach { p =>
+                  val e = math.exp(alpha(i3) + math.log(p) + beta(i3 + n) - z)
+                  expected(s) = expected.getOrElse(s, 0.0) + wc * e
+                }
+                n += 1
+              }
+              i3 += 1
+            }
+          }
+        }
+        likTrace += lik
+        val tot = expected.values.sum
+        probs = expected.iterator.map { case (s, e) => s -> e / tot }.toMap
+        iter += 1
+      }
+      // prune toward vocabSize: keep all single chars (coverage), then the
+      // highest-probability multi-char pieces
+      if (round < pruneRounds - 1) {
+        val (chars, multi) = probs.partition(_._1.length == 1)
+        val budget = math.max(0, vocabSize - chars.size)
+        val kept = multi.toSeq.sortBy { case (s, p) => (-p, s) }.take(budget)
+        val sum = chars.values.sum + kept.map(_._2).sum
+        probs = (chars ++ kept).map { case (s, p) => s -> p / sum }.toMap
+      }
+      round += 1
+    }
+    unigramLikTrace = likTrace.result()
+    probs.toSeq.sortBy { case (s, p) => (-p, s) }
+      .map { case (s, p) => (s, math.log(p)) }.toArray
+  }
+
+  /** Likelihood trace of the most recent [[unigramTrainEm]] call (driver-
+    * side diagnostics; CorpusSpec asserts monotonicity within EM rounds). */
+  @volatile private[graft] var unigramLikTrace: Seq[Double] = Nil
+
+  /** Float Viterbi over one word under trained log-probs: maximize the
+    * summed piece log-probability (fewer pieces win implicitly — every
+    * added piece costs its negative log-prob). */
+  private[graft] def unigramSegmentLogp(word: String,
+      pm: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): (String, Int, Double) = {
+    val L = word.length
+    val bs = Array.fill(L + 1)(Double.NegativeInfinity)
+    val bn = new Array[Int](L + 1)
+    val bp = new Array[String](L + 1)
+    bs(0) = 0.0; bp(0) = ""
+    var j = 1
+    while (j <= L) {
+      var n = 1
+      while (n <= math.min(maxLen, j)) {
+        val pre = j - n
+        if (bs(pre) != Double.NegativeInfinity) {
+          val lp = pm.get(word.substring(pre, j))
+          if (lp != null) {
+            val c = bs(pre) + lp.doubleValue
+            if (c > bs(j)) {
+              bs(j) = c; bn(j) = bn(pre) + 1
+              bp(j) = if (pre == 0) word.substring(pre, j)
+                else bp(pre) + "|" + word.substring(pre, j)
+            }
+          }
+        }
+        n += 1
+      }
+      j += 1
+    }
+    if (bs(L) == Double.NegativeInfinity)
+      throw new IllegalArgumentException(
+        s"unigram: word '$word' is not segmentable under the trained table")
+    (bp(L), bn(L), bs(L))
+  }
+
+  /** Viterbi encode under TRAINED log-probs ([[encodeCorpus]] over
+    * [[unigramSegmentLogp]]); spec-gated — float scores stay within one
+    * engine. */
+  def unigramEncodeLogp(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Array[(String, Double)], maxLen: Int = 4): DataFrame =
+    encodeCorpus(docs, idCol, textCol, withScore = true) { () =>
+      val pm = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      pieces.foreach { case (s, c) => pm.put(s, java.lang.Double.valueOf(c)) }
+      (w: String) => unigramSegmentLogp(w, pm, maxLen)
+    }
 }

@@ -23,6 +23,62 @@ object CorpusGates {
     * generated oracle unroll. */
   private[gates] val bpeN = 20
 
+  /** Unigram-tokenizer gate knobs — one place for the Spark side and the
+    * oracle interpolation (piece length cap / top-K piece budget). */
+  private[gates] val uniMaxLen = 4
+  private[gates] val uniTopK = 60
+
+  /** Shared CTE chain for the unigram gates: word-type histogram →
+    * substring piece counts → top-K ∪ single-char piece table (the
+    * character-coverage tier). MATERIALIZED: the piece table is read by
+    * the recursive lattice enumeration, and DuckDB would otherwise
+    * re-inline the corpus scan per recursion step. */
+  private def unigramPiecesSql: String =
+    s"""occ AS MATERIALIZED (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+        wt AS MATERIALIZED (SELECT word, count(*) AS wc FROM occ WHERE word <> '' GROUP BY word),
+        subs AS (
+          SELECT unnest(flatten([[word[i:i+n-1] for n in range(1,${uniMaxLen + 1}) if i+n-1 <= len(word)]
+                                 for i in range(1, len(word)+1)])) AS sub, wc
+          FROM wt),
+        pcount AS MATERIALIZED (SELECT sub, sum(wc)::BIGINT AS cnt FROM subs GROUP BY sub),
+        ranked AS (SELECT sub, cnt, row_number() OVER (ORDER BY cnt DESC, sub ASC) AS rk FROM pcount),
+        pieces AS MATERIALIZED (SELECT sub, cnt FROM ranked WHERE rk <= $uniTopK OR len(sub) = 1)"""
+
+  /** The full unigram-encode oracle — shared verbatim by the batch gate
+    * (`corpus_unigram_encode`) and its streaming twin
+    * (`s28_stream_unigram`): the streaming result must converge to
+    * exactly the batch answer, so one SQL serves both (the corpus_chunk
+    * precedent). Enumerates every lattice path per word type and ranks by
+    * the identical (fewest, max-total, lexicographic) triple the Spark
+    * Viterbi optimizes. */
+  private[gates] def unigramEncodeOracleSql: String =
+    s"""WITH RECURSIVE $unigramPiecesSql,
+              paths(word, pos, np, total, path) AS (
+                SELECT word, 0, 0, 0::BIGINT, '' FROM wt
+                UNION ALL
+                SELECT p.word, p.pos + len(pc.sub), p.np + 1, p.total + pc.cnt,
+                       CASE WHEN p.path = '' THEN pc.sub
+                            ELSE p.path || '|' || pc.sub END
+                FROM paths p JOIN pieces pc
+                  ON p.word[p.pos+1 : p.pos+len(pc.sub)] = pc.sub
+                WHERE p.pos < len(p.word)),
+              best AS (
+                SELECT word, np, path,
+                       row_number() OVER (PARTITION BY word
+                         ORDER BY np ASC, total DESC, path ASC) AS rn
+                FROM paths WHERE pos = len(word)),
+              seg AS MATERIALIZED (SELECT word, np, path FROM best WHERE rn = 1),
+              tok AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i,
+                             unnest(ws) AS word
+                      FROM (SELECT doc_id, string_split(text,' ') AS ws
+                            FROM documents))
+         SELECT t.doc_id AS doc_id,
+                string_agg(s.path, ' ' ORDER BY t.i) AS encoded,
+                sum(s.np)::BIGINT AS n_tokens
+         FROM tok t JOIN seg s ON t.word = s.word
+         WHERE t.word <> ''
+         GROUP BY t.doc_id"""
+
   /** The unrolled BPE training chain: w0 = word histogram with every
     * symbol wrapped chr(31)||sym||chr(30) (Corpus.BpeOpen/BpeClose — the
     * two-char wrapping makes replace's left-to-right non-overlapping scan
@@ -456,6 +512,34 @@ object CorpusGates {
     }),
 
 
+    // Unigram-family piece table (SentencePiece's other half next to BPE):
+    // top-K substrings of the word TYPES by weighted occurrence count,
+    // union every single character (the character-coverage tier). The
+    // corpus-sized work is one word-histogram partial aggregate; ranking
+    // is TakeOrderedAndProject over the bounded piece-count table — no
+    // global sort, no window ([[Corpus.unigramPieces]]).
+    "corpus_unigram_vocab" -> ((s, dir) => {
+      Corpus.unigramPieces(t(s, dir, "documents"), "text",
+        maxLen = uniMaxLen, topK = uniTopK)
+    }),
+
+
+    // Shortest-path (Viterbi) tokenization under the piece table — the
+    // exact-integer objective (fewest pieces, max summed frequency,
+    // lexicographic path) so Spark and the DuckDB lattice-enumeration
+    // oracle agree bit-for-bit. Map-only encode: the bounded piece table
+    // rides the closure, a per-partition word cache amortizes the DP over
+    // the Zipf head ([[Corpus.unigramEncode]]; the float log-prob EM
+    // regime is spec-gated in CorpusSpec — cross-engine log ulp drift
+    // makes a SQL oracle for it dishonest).
+    "corpus_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = Corpus.unigramPieceTable(docs, "text",
+        maxLen = uniMaxLen, topK = uniTopK)
+      Corpus.unigramEncode(docs, "doc_id", "text", pieces, maxLen = uniMaxLen)
+    }),
+
+
     // Corpus tokenization against the built vocabulary — the missing step
     // between vocab build and packing/chunking: per-doc ORDERED token-id
     // sequence, OOV → reserved id 0. One broadcast join (a vocabulary is
@@ -863,6 +947,17 @@ object CorpusGates {
                                            ORDER BY score DESC, doc_id ASC) AS rk
                  FROM q WHERE score IS NOT NULL)
          SELECT source, doc_id, score, rk FROM r WHERE rk <= 10""",
+
+    "corpus_unigram_vocab" ->
+      s"""WITH $unigramPiecesSql
+         SELECT sub, cnt FROM pieces""",
+
+    // the oracle enumerates EVERY lattice path per word type (words are
+    // bounded-length; pieces are 1..maxLen chars, so the path count per
+    // word is small) and picks the same (fewest, max-total, lexicographic)
+    // optimum the Spark Viterbi computes — integer scores and ASCII paths
+    // make the comparison exact across engines
+    "corpus_unigram_encode" -> unigramEncodeOracleSql,
 
     "corpus_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),

@@ -820,6 +820,30 @@ object StreamGates {
     }),
 
 
+    // Streaming twin of corpus_unigram_encode: the piece table trains on
+    // the batch corpus (like s20's BPE merges), then the map-only Viterbi
+    // encode runs inside a Structured Streaming micro-batch pipeline —
+    // stateless per-row, so the stream converges to EXACTLY the batch
+    // answer (one shared oracle string, the corpus_chunk precedent).
+    "s28_stream_unigram" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs = t(ss, dir, "documents")
+      val pieces = graft.functions.Corpus.unigramPieceTable(docs, "text",
+        maxLen = CorpusGates.uniMaxLen, topK = CorpusGates.uniTopK)
+      val src = ss.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val enc = graft.functions.Corpus.unigramEncode(src, "doc_id", "text",
+        pieces, maxLen = CorpusGates.uniMaxLen)
+      val sink = "s28_stream_unigram_sink"
+      val q = enc.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+
     // T2 backpressure STORE-SIDE (the t_stream_backpressure twin on the
     // connector): the `maxRowsPerTrigger` reader option becomes the
     // stream's ReadLimit, so AvailableNow drains the collection in
@@ -899,6 +923,8 @@ object StreamGates {
 
     // the streaming form must converge to exactly the batch BPE encode
     "s20_stream_bpe" -> CorpusGates.bpeEncodeOracleSql(CorpusGates.bpeN),
+
+    "s28_stream_unigram" -> CorpusGates.unigramEncodeOracleSql,
 
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

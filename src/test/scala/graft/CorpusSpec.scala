@@ -615,4 +615,100 @@ class CorpusSpec extends AnyFunSuite {
       assert(expected.except(res.select("query_id", "neg_id")).count() === 0)
     } finally { res.unpersist(); () }
   }
+
+  test("unigramSegment: DP optimum and every tie-break on a hand table") {
+    def pm(kv: (String, Long)*) = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      kv.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+      m
+    }
+    // fewest pieces wins even against higher total frequency: the
+    // all-singles path totals 400 but costs 4 pieces; among the np=2
+    // candidates ("ab|cd" total 2, "abc|d" total 101) max-total decides
+    val m1 = pm("ab" -> 1L, "cd" -> 1L, "a" -> 100L, "b" -> 100L,
+      "c" -> 100L, "d" -> 100L, "abc" -> 1L)
+    assert(Corpus.unigramSegment("abcd", m1, 4) === (2, 101L, "abc|d"))
+    // equal piece count: larger summed frequency wins
+    val m2 = pm("ab" -> 5L, "cd" -> 5L, "abc" -> 1L, "d" -> 1L,
+      "a" -> 1L, "b" -> 1L, "c" -> 1L)
+    assert(Corpus.unigramSegment("abcd", m2, 4) === (2, 10L, "ab|cd"))
+    // equal count AND equal total: lexicographically smaller path wins
+    // ("aa|b" vs "a|ab" differ at index 1: 'a' (0x61) < '|' (0x7c),
+    // so "aa|b" sorts first — same order DuckDB's binary collation gives)
+    val m3 = pm("aa" -> 3L, "b" -> 3L, "a" -> 3L, "ab" -> 3L)
+    assert(Corpus.unigramSegment("aab", m3, 4) === (2, 6L, "aa|b"))
+    // no coverage: loud failure, never a silent skip
+    val e = intercept[IllegalArgumentException] {
+      Corpus.unigramSegment("axb", pm("a" -> 1L, "b" -> 1L), 4)
+    }
+    assert(e.getMessage.contains("axb"))
+  }
+
+  test("unigramEncode: piece concat round-trips every document exactly") {
+    val pieces = Corpus.unigramPieceTable(docs, "text", maxLen = 4, topK = 60)
+    assert(pieces.count(_._1.length == 1) > 0)
+    val enc = Corpus.unigramEncode(docs, "doc_id", "text", pieces, maxLen = 4)
+    val joined = enc.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("encoded"), col("text")).collect()
+    assert(joined.length > 0)
+    joined.foreach { r =>
+      val rebuilt = r.getString(1).replace("|", "")
+      val norm = r.getString(2).split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt === norm, s"doc ${r.get(0)} failed round-trip")
+      // n_tokens == pieces in the encoding
+      ()
+    }
+    val counted = enc.select(col("n_tokens"),
+      (size(split(col("encoded"), "[ |]", -1))).cast("long").as("k")).collect()
+    counted.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("unigramTrainEm: likelihood non-decreasing per round; coverage kept; Viterbi round-trips") {
+    val small = docs.limit(120)
+    val trained = Corpus.unigramTrainEm(small, "text",
+      maxLen = 4, vocabSize = 40, emIters = 3, pruneRounds = 2)
+    // character coverage survives pruning
+    val words = small.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).collect().map(_.getString(0))
+    val chars = words.flatMap(_.toCharArray).map(_.toString).toSet
+    val kept = trained.map(_._1).toSet
+    assert(chars.subsetOf(kept), s"missing chars: ${chars -- kept}")
+    // log-probs are a distribution: all negative-or-zero, sum(exp) ~ 1
+    assert(trained.forall(_._2 <= 1e-12))
+    val mass = trained.map(t => math.exp(t._2)).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+    // EM likelihood is non-decreasing WITHIN each round (prune resets it)
+    val trace = Corpus.unigramLikTrace
+    assert(trace.size === 6)
+    trace.grouped(3).foreach { round =>
+      round.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a - 1e-9, s"likelihood dropped: $trace")
+        case _ => ()
+      }
+    }
+    // Viterbi under the trained table still reconstructs every document
+    val enc = Corpus.unigramEncodeLogp(small, "doc_id", "text", trained, maxLen = 4)
+    val joined = enc.join(small.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("encoded"), col("text"), col("logp")).collect()
+    assert(joined.length > 0)
+    joined.foreach { r =>
+      assert(r.getString(0).replace("|", "") ===
+        r.getString(1).split(" ").filter(_.nonEmpty).mkString(" "))
+      assert(r.getDouble(2) < 0.0 && !r.getDouble(2).isInfinite)
+    }
+  }
+
+  test("unigram integer regime == EM regime on lattice STRUCTURE: same reachability") {
+    // both regimes segment over the same lattice, so a word segmentable
+    // under one piece table with full char coverage is segmentable under
+    // the other — guards against a future filter dropping the char tier
+    val pieces = Corpus.unigramPieceTable(docs, "text", maxLen = 4, topK = 10)
+    val singles = pieces.filter(_._1.length == 1).map(_._1).toSet
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct().collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(w.toCharArray.forall(c => singles.contains(c.toString)),
+        s"char tier must cover '$w' even at topK=10")
+    }
+  }
 }

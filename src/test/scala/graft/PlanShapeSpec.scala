@@ -85,6 +85,18 @@ class PlanShapeSpec extends AnyFunSuite {
     vSmall.unpersist()
   }
 
+  test("unigramEncode is map-only; unigramPieces ranks via TakeOrdered, no window") {
+    val pieces = Corpus.unigramPieceTable(docs, "text", maxLen = 4, topK = 60)
+    val enc = Corpus.unigramEncode(docs, "doc_id", "text", pieces, maxLen = 4)
+    assert(!plan(enc).contains("Exchange"),
+      s"unigramEncode must be map-only:\n${plan(enc).take(800)}")
+    val pv = plan(Corpus.unigramPieces(docs, "text", maxLen = 4, topK = 60))
+    assert(pv.contains("TakeOrderedAndProject"),
+      s"piece ranking must use per-partition heaps:\n${pv.take(800)}")
+    assert(!pv.contains("Exchange rangepartitioning") && !pv.contains("Window"),
+      s"no global sort / window in the piece table:\n${pv.take(800)}")
+  }
+
   test("weightedSample plans as TakeOrderedAndProject, never a global sort") {
     val ws = Corpus.weightedSample(
       docs.select(col("doc_id"), col("n_chars")), "doc_id", col("n_chars"), k = 10)
