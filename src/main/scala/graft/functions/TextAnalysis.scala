@@ -236,6 +236,52 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Okapi BM25 per-(doc, query-term) relevance (Robertson & Zaragoza's
+    * probabilistic ranking function, with Lucene's "plus one" idf so
+    * scores stay positive): `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`,
+    * `tfNorm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))` — the lexical
+    * upgrade of [[tfIdf]] and the sparse side of hybrid (BM25 + dense)
+    * retrieval.
+    *
+    * Scale shape: the corpus stream is filtered TO THE QUERY TERMS before
+    * any aggregation, so the tf table is query-bounded, never
+    * corpus-sized; df aggregates that bounded table; N/avgdl are one
+    * partial-aggregated scalar row broadcast back. Emits per-term rows
+    * (the [[tfIdf]] shape) so no cross-engine float SUMMATION order
+    * exists — every float step is a single identical IEEE op sequence in
+    * both engines; callers fold per-doc totals with an ordered aggregate
+    * when they need them. */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    val toks = split(col(textCol), " ")
+    val dl = size(filter(toks, w => length(w) > 0)).cast("long")
+    val stream = docs.select(col(idCol).as("doc_id"),
+        explode(toks).as("term"), dl.as("dl"))
+      .where(col("term").isin(queryTerms.map(x => x: Any): _*))
+    val tf = stream.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(dl).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+        (idf * tfNorm).as("bm25"))
+  }
+
   /** Per-document BIGRAM cross-entropy against the corpus's own bigram
     * LM — the conditional upgrade of [[unigramCrossEntropy]] (KenLM-style
     * fluency is n-gram, not unigram): `xent = mean over positions of

@@ -155,6 +155,17 @@ object TextGates {
     }),
 
 
+    // Okapi BM25 over a fixed query-term set — the sparse side of hybrid
+    // retrieval, one step past text_tfidf: corpus stream filtered to the
+    // query terms BEFORE aggregation (tf table query-bounded), scalar
+    // N/avgdl broadcast back, per-term rows so no float summation order
+    // crosses engines (each score is one identical IEEE op sequence).
+    "text_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "hash", "merge", "window"))
+    }),
+
+
     // Keyword extraction — top-3 TF-IDF terms per document (the RAG
     // metadata / search-facet step downstream of text_tfidf): per-doc
     // window rank (partitioned by doc — parallel across docs, never
@@ -583,6 +594,33 @@ object TextGates {
                 CAST(tf.tf AS DOUBLE) *
                   ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
          FROM tf JOIN df USING (term), n""",
+
+    // BM25: same filtered tf/df integer aggregation; the float chain
+    // (idf ln, tf normalization) is written as the identical op tree on
+    // both sides — constants fold to the same IEEE doubles
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term,
+                             len(list_filter(string_split(text, ' '),
+                                             w -> w <> '')) AS dl
+                      FROM documents),
+              f AS (SELECT * FROM tok
+                    WHERE term IN ('spark', 'hash', 'merge', 'window')),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+                     FROM f GROUP BY 1, 2),
+              dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(len(list_filter(string_split(text, ' '),
+                                                     w -> w <> ''))) AS DOUBLE) /
+                              CAST(COUNT(*) AS DOUBLE) AS avgdl
+                     FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, tf.dl, dft.df,
+                ln((CAST(n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+                     (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+                    0.75 * CAST(tf.dl AS DOUBLE) / avgdl))) AS bm25
+         FROM tf JOIN dft USING (term), st""",
 
     // top-3 of the same tfidf values (bit-equal per text_tfidf's hash),
     // ties by term

@@ -40,6 +40,11 @@ object SpotBench {
     "s15_stream_full_outer", "s12_stream_outer_join", "s17_stream_semi_join",
     "dedup_jaccard_prefix", "t_stream_mem_backpressure", "s20_stream_bpe",
     "dedup_keep_best")
+  // r13-continuation additions: growth readings for the new operators
+  // (unigram encode/vocab are map-only / bounded-agg by design — the spot
+  // numbers verify the posture instead of asserting it)
+  private val newOps = Seq(
+    "corpus_unigram_vocab", "corpus_unigram_encode", "text_bm25")
   private val dedupFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_paragraphs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
@@ -84,7 +89,7 @@ object SpotBench {
       }
 
     val allGates: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      (top10 ++ dedupFamily).distinct.map(n => n -> graft.SparkEntry.queries(n)) :+
+      (top10 ++ dedupFamily ++ newOps).distinct.map(n => n -> graft.SparkEntry.queries(n)) :+
         ("dedup_containment_brute" -> containmentBrute)
     val gates = only match {
       case Some(names) => allGates.filter { case (n, _) => names(n) }
@@ -223,6 +228,29 @@ object SpotBench {
         s""""flags":$flagsJson,"gates":$gatesJson}"""
     java.nio.file.Files.write(outFile.toPath,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // never-seen gates ADOPT into the pinned baseline (the sf0.1 bench
+    // policy applied at sf1): a non-refresh run never touches an existing
+    // baseline entry, but a brand-new gate has no pin to regress against,
+    // so its first clean growth reading becomes the pin
+    if (!bootstrap && !refresh) {
+      val newcomers = fresh.filter { case (n, _) => !baseGrowth.contains(n) }
+      if (newcomers.nonEmpty) {
+        val txt = scala.io.Source.fromFile(baseFile).mkString
+        val basePrior = """"([A-Za-z0-9_]+)":(\{"sf01":[^}]*\})""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toSeq
+        val mergedBase = (basePrior.toMap ++ newcomers.toMap).toSeq.sortBy(_._1)
+          .map { case (n, b) => s""""$n":$b""" }.mkString("{", ",", "}")
+        val baseJson =
+          s"""{"metric":"spot","unit":"sec","timeout_sec":$timeoutSec,""" +
+            s""""rounds":$rounds,"row_factor":10,"sf1_dir":"$sf1Dir",""" +
+            s""""flags":[],"gates":$mergedBase}"""
+        java.nio.file.Files.write(baseFile.toPath,
+          baseJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[spot] adopted ${newcomers.size} never-seen " +
+          s"gate(s) into the pinned baseline: ${newcomers.map(_._1).mkString(", ")}")
+      }
+    }
     spark.stop()
     println(json)
   }

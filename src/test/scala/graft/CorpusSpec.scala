@@ -616,6 +616,33 @@ class CorpusSpec extends AnyFunSuite {
     } finally { res.unpersist(); () }
   }
 
+  test("bm25: hand-computed tiny corpus; tf and length normalization behave") {
+    import SparkTestSession.spark.implicits._
+    val tiny = Seq(
+      (1L, "a b a c"),        // tf(a)=2, dl=4
+      (2L, "a b b b"),        // tf(a)=1, dl=4
+      (3L, "a a a a a a a a") // tf(a)=3? no: 8 a's, dl=8
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.bm25(tiny, "doc_id", "text", Seq("a"),
+      k1 = 1.2, b = 0.75).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    // N=3, df(a)=3, avgdl=16/3; idf = ln((3-3+0.5)/(3+0.5)+1)
+    val idf = math.log((3.0 - 3.0 + 0.5) / (3.0 + 0.5) + 1.0)
+    def tfNorm(tf: Double, dl: Double): Double =
+      (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (16.0 / 3.0)))
+    assert(res(1L)._1 === 2L && res(1L)._2 === 4L)
+    assert(math.abs(res(1L)._3 - idf * tfNorm(2.0, 4.0)) < 1e-12)
+    assert(math.abs(res(2L)._3 - idf * tfNorm(1.0, 4.0)) < 1e-12)
+    assert(math.abs(res(3L)._3 - idf * tfNorm(8.0, 8.0)) < 1e-12)
+    // more occurrences score higher at equal length
+    assert(res(1L)._3 > res(2L)._3)
+    // saturation: 8 occurrences in a doc twice as long still beats tf=2
+    // but by less than 4x (k1 caps term-frequency growth)
+    assert(res(3L)._3 > res(1L)._3 && res(3L)._3 < 2.0 * res(1L)._3)
+    // absent term emits no row
+    assert(TextAnalysis.bm25(tiny, "doc_id", "text", Seq("zz")).count() === 0)
+  }
+
   test("unigramSegment: DP optimum and every tie-break on a hand table") {
     def pm(kv: (String, Long)*) = {
       val m = new java.util.HashMap[String, java.lang.Long]()
