@@ -290,6 +290,63 @@ object CorpusGates {
     // min(struct), no corpus-wide window) → join the document's embedding
     // payload. The shape every retrieval index build runs: chunk, score,
     // select, attach vectors.
+    // Hybrid retrieval fusion — the RAG retrieval step that composes the
+    // sparse (BM25) and dense (cosine) rankers by Reciprocal Rank Fusion
+    // (Cormack et al. 2009, k=60): three queries, each a (term,
+    // query-vector) pair over the id-aligned documents/embeddings tables.
+    // Ranks are INTEGERS and the RRF score is one fixed float expression
+    // of them, so the fusion is oracle-exact even though it fuses float
+    // rankings (both underlying rankings are themselves cross-engine
+    // bit-stable: text_bm25 and sim_brute_topk prove their score chains).
+    // Scale: both rankers bound to top-50 per query with per-query
+    // windows (parallel across the bounded query set, never a global
+    // window); the dense probe broadcasts the query vectors and streams
+    // the corpus once (the sim_* posture).
+    "pipe_hybrid_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qmap = Seq((0L, "spark"), (1L, "hash"), (2L, "window"))
+        .toDF("qid", "term")
+      val sparse = TextAnalysis.bm25(docs, "doc_id", "text",
+          queryTerms = Seq("spark", "hash", "window"))
+        .join(broadcast(qmap), Seq("term"))
+      val ws = Window.partitionBy(col("qid"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val sp = sparse.withColumn("r_sparse", row_number().over(ws))
+        .where(col("r_sparse") <= 50)
+        .select(col("qid"), col("doc_id"), col("r_sparse"))
+      val qv = broadcast(emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val dense = qv.crossJoin(
+          emb.select(col("vec_id").as("doc_id"), col("embedding").as("cv")))
+        .select(col("qid"), col("doc_id"),
+          try_divide(Similarity.dot(col("qv"), col("cv")),
+            Similarity.l2norm(col("qv")) * Similarity.l2norm(col("cv")))
+            .as("cos"))
+        .where(col("cos").isNotNull)
+      val wd = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val dn = dense.withColumn("r_dense", row_number().over(wd))
+        .where(col("r_dense") <= 50)
+        .select(col("qid"), col("doc_id"), col("r_dense"))
+      val fused = sp.join(dn, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("r_sparse").cast("double")),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast("double")),
+              lit(0.0)))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      fused.withColumn("rank", row_number().over(wr)).where(col("rank") <= 10)
+        .select(col("qid"), col("doc_id"),
+          col("r_sparse").cast("long").as("r_sparse"),
+          col("r_dense").cast("long").as("r_dense"),
+          col("rrf"), col("rank"))
+    }),
+
+
     "pipe_rag_index" -> ((s, dir) => {
       val chunks = Corpus.chunkTokens(t(s, dir, "documents"),
         "doc_id", "text", chunkSize = 64, overlap = 16)
@@ -1117,6 +1174,64 @@ object CorpusGates {
 
     // chunking + the text_quality scoring (IEEE-identical doubles) +
     // row_number arg-max + embedding payload join
+    // the two ranker CTEs replay text_bm25 and the sim-family cosine
+    // (both proven bit-stable by their own gates); RRF then only touches
+    // integer ranks inside one fixed float expression
+    "pipe_hybrid_retrieval" ->
+      """WITH qmap AS (SELECT * FROM (VALUES (0::BIGINT,'spark'),(1::BIGINT,'hash'),
+                                             (2::BIGINT,'window')) AS v(qid, term)),
+              tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+                             len(list_filter(string_split(text,' '), w -> w <> '')) AS dl
+                      FROM documents),
+              f AS (SELECT * FROM tok WHERE term IN ('spark','hash','window')),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM f GROUP BY 1,2),
+              dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(len(list_filter(string_split(text,' '), w -> w <> ''))) AS DOUBLE) /
+                              CAST(COUNT(*) AS DOUBLE) AS avgdl
+                     FROM documents),
+              bm AS (SELECT tf.doc_id, tf.term,
+                            ln((CAST(n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+                                 (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                            ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                             (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+                                0.75 * CAST(tf.dl AS DOUBLE) / avgdl))) AS bm25
+                     FROM tf JOIN dft USING (term), st),
+              sp AS (SELECT q.qid, b.doc_id, b.bm25,
+                            ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY b.bm25 DESC, b.doc_id ASC) AS r_sparse
+                     FROM bm b JOIN qmap q USING (term)),
+              sp50 AS (SELECT qid, doc_id, r_sparse FROM sp WHERE r_sparse <= 50),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 3),
+              dn AS (SELECT qv.qid, c.vec_id AS doc_id,
+                            CASE WHEN list_dot_product(qv.v, qv.v) = 0
+                                   OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                                 ELSE list_dot_product(qv.v, c.v) /
+                                      (sqrt(list_dot_product(qv.v, qv.v)) *
+                                       sqrt(list_dot_product(c.v, c.v)))
+                            END AS cos
+                     FROM qv JOIN e c ON TRUE),
+              dr AS (SELECT qid, doc_id, cos,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, doc_id ASC) AS r_dense
+                     FROM dn WHERE cos IS NOT NULL),
+              dr50 AS (SELECT qid, doc_id, r_dense FROM dr WHERE r_dense <= 50),
+              fused AS (SELECT COALESCE(s.qid, d.qid) AS qid,
+                               COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                               s.r_sparse, d.r_dense,
+                               COALESCE(1.0 / (60.0 + CAST(s.r_sparse AS DOUBLE)), 0.0) +
+                               COALESCE(1.0 / (60.0 + CAST(d.r_dense AS DOUBLE)), 0.0) AS rrf
+                        FROM sp50 s FULL OUTER JOIN dr50 d
+                          ON s.qid = d.qid AND s.doc_id = d.doc_id),
+              ranked AS (SELECT qid, doc_id, r_sparse, r_dense, rrf,
+                                ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rrf DESC, doc_id ASC) AS rank
+                         FROM fused)
+         SELECT qid, doc_id, CAST(r_sparse AS BIGINT) AS r_sparse,
+                CAST(r_dense AS BIGINT) AS r_dense, rrf, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 10""",
+
     "pipe_rag_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
               c AS (SELECT doc_id, toks,
