@@ -49,4 +49,24 @@ object TextNormalize {
     * whitespace collapse (which destroys line structure last). */
   def normalize(text: Column, boilerplate: String = defaultBoilerplate): Column =
     collapseWhitespace(foldCase(nfc(stripBoilerplate(text, boilerplate))))
+
+  /** Canonical URL for dedup keying — the FIRST dedup stage of web-scale
+    * corpora (CCNet/FineWeb dedupe by canonical URL before any text
+    * pass): lowercase host with a leading `www.` stripped, path with the
+    * trailing slash stripped, tracking (`utm_*`) query params dropped
+    * with the remaining params kept IN ORDER, scheme and fragment
+    * removed. Pure codegen'd string expressions (regexp extracts + an
+    * array filter), map-only at any scale; a non-URL input canonicalizes
+    * to its query-less tail via empty regexp matches — garbage in,
+    * deterministic garbage out, never an error. */
+  def urlCanonicalize(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    val q = array_join(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_")), "&")
+    concat(host, path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
 }

@@ -28,6 +28,37 @@ object DedupGates {
     }),
 
 
+    // URL dedup — the FIRST dedup stage of web-scale pipelines (CCNet/
+    // FineWeb dedupe by canonical URL before any text pass): the corpus
+    // has no URL column, so each doc gets a deterministic one whose
+    // VARIANT dimensions (http/https, www., host case, utm_ tracking
+    // params, trailing slash, fragment) are hash-chosen per doc while the
+    // canonical identity is (source, doc_id % 50) — every group of ~N/100
+    // byte-DIFFERENT urls must collapse to one canonical key. Map-only
+    // canonicalization (codegen'd regex/array expressions) + one
+    // hash-groupBy, the dedup_exact shuffle budget.
+    "dedup_url" -> ((s, dir) => {
+      def h(tag: String) = graft.functions.Corpus.hashBucket(
+        concat(lit(tag + "#"), col("doc_id").cast("string")), 2)
+      val gid = (col("doc_id") % 50).cast("string")
+      val url = concat(
+        when(h("scheme") === 0, lit("http://")).otherwise(lit("https://")),
+        when(h("www") === 0, lit("www.")).otherwise(lit("")),
+        when(h("case") === 0, upper(concat(col("source"), lit(".example.com"))))
+          .otherwise(concat(col("source"), lit(".example.com"))),
+        lit("/p/"), gid,
+        when(h("slash") === 0, lit("/")).otherwise(lit("")),
+        when(h("utm") === 0, concat(lit("?utm_source=feed&id="), gid))
+          .otherwise(concat(lit("?id="), gid)),
+        when(h("frag") === 0, lit("#top")).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          TextNormalize.urlCanonicalize(col("url")).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+    }),
+
+
     // Paragraph-level dedup (the C4/Dolma sub-document pass): boilerplate
     // that repeats across globally-unique pages survives document dedup —
     // this drops every repeated paragraph except its (min doc_id, min pos)
@@ -346,6 +377,48 @@ object DedupGates {
     "dedup_exact" ->
       """SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+
+    // same hash-chosen variant synthesis, the same canonicalization
+    // (host lowercased / www-stripped, path slash-stripped, utm_ params
+    // filtered IN ORDER, scheme+fragment dropped), the same group-keep
+    "dedup_url" ->
+      """WITH h AS (
+           SELECT doc_id, source, CAST(doc_id % 50 AS VARCHAR) AS gid,
+                  ('0x' || substr(md5('scheme#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 AS hs,
+                  ('0x' || substr(md5('www#'    || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 AS hw,
+                  ('0x' || substr(md5('case#'   || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 AS hc,
+                  ('0x' || substr(md5('utm#'    || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 AS hu,
+                  ('0x' || substr(md5('slash#'  || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 AS hl,
+                  ('0x' || substr(md5('frag#'   || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 AS hf
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  (CASE WHEN hs = 0 THEN 'http://' ELSE 'https://' END) ||
+                  (CASE WHEN hw = 0 THEN 'www.' ELSE '' END) ||
+                  (CASE WHEN hc = 0 THEN upper(source || '.example.com')
+                        ELSE source || '.example.com' END) ||
+                  '/p/' || gid ||
+                  (CASE WHEN hl = 0 THEN '/' ELSE '' END) ||
+                  (CASE WHEN hu = 0 THEN '?utm_source=feed&id=' || gid
+                        ELSE '?id=' || gid END) ||
+                  (CASE WHEN hf = 0 THEN '#top' ELSE '' END) AS url
+           FROM h),
+         c AS (
+           SELECT doc_id,
+                  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                                 '^www\.', '') ||
+                  regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                                 '/$', '') ||
+                  (CASE WHEN array_to_string(list_filter(
+                           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') <> ''
+                        THEN '?' || array_to_string(list_filter(
+                           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')), '&')
+                        ELSE '' END) AS canon_url
+           FROM u)
+       SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+       FROM c GROUP BY 1""",
 
     // same 8-word framing + (min doc_id, min pos) keep rule + '\n' rejoin
     "dedup_paragraphs" ->

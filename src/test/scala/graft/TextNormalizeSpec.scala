@@ -37,4 +37,25 @@ class TextNormalizeSpec extends AnyFunSuite {
     val in = "HELLO  World\nCopyright 2024\n\tCafé   time "
     assert(run1(TextNormalize.normalize(lit(in))) === "hello world caf\u00e9 time")
   }
+
+  test("urlCanonicalize: every variant dimension collapses; param order kept") {
+    def canon(u: String): String =
+      run1(TextNormalize.urlCanonicalize(lit(u)))
+    val want = "site.example.com/p/7?id=7"
+    // scheme, www., host case, trailing slash, utm_ param, fragment
+    assert(canon("http://site.example.com/p/7?id=7") === want)
+    assert(canon("https://www.site.example.com/p/7?id=7") === want)
+    assert(canon("https://SITE.Example.COM/p/7?id=7") === want)
+    assert(canon("https://site.example.com/p/7/?id=7") === want)
+    assert(canon("https://site.example.com/p/7?utm_source=feed&id=7") === want)
+    assert(canon("https://site.example.com/p/7?id=7#top") === want)
+    // non-tracking params keep their declared ORDER (no reorder surprises)
+    assert(canon("https://h.io/x?b=2&utm_medium=m&a=1") === "h.io/x?b=2&a=1")
+    // all params tracking -> query dropped entirely
+    assert(canon("https://h.io/x?utm_a=1&utm_b=2") === "h.io/x")
+    // no query, bare host, root slash stripped
+    assert(canon("https://www.h.io/") === "h.io")
+    // no path at all: just the host
+    assert(canon("http://h.io") === "h.io")
+  }
 }
