@@ -20,7 +20,80 @@ import graft.gates.GateSupport._
   */
 object CoreGates {
 
+  /** Seeded fuzz-parity cases: ONE deterministic generator emits each
+    * random predicate in BOTH forms — the Spark `Column` tree and the SQL
+    * string — in lockstep, so the gate and its oracle sweep the same 32
+    * machine-made predicate shapes (comparison × column-type × modulo ×
+    * IN × NOT × AND/OR nesting). Hand-written gates cover the operators;
+    * this covers their COMBINATIONS, the classic differential-testing
+    * blind spot. All literals are exact cross-engine (integer-valued
+    * doubles, correctly-rounded k/100 divisions, strings). */
+  private[gates] final case class FuzzCase(
+      id: Int, pred: org.apache.spark.sql.Column, sql: String)
+
+  private[gates] lazy val fuzzCases: Seq[FuzzCase] = {
+    val rnd = new scala.util.Random(20261315L)
+    val ops = Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)](
+      ("<", _ < _), ("<=", _ <= _), (">", _ > _), (">=", _ >= _),
+      ("=", _ === _), ("<>", _ =!= _))
+    def atom(): (org.apache.spark.sql.Column, String) = rnd.nextInt(6) match {
+      case 0 =>
+        val (os, of) = ops(rnd.nextInt(ops.length)); val k = 1 + rnd.nextInt(50)
+        (of(col("l_quantity"), lit(k.toDouble)), s"l_quantity $os $k.0")
+      case 1 =>
+        val (os, of) = ops(rnd.nextInt(ops.length)); val k = 1 + rnd.nextInt(7)
+        (of(col("l_linenumber"), lit(k)), s"l_linenumber $os $k")
+      case 2 =>
+        val m = Seq(3, 5, 7)(rnd.nextInt(3)); val r = rnd.nextInt(m)
+        (col("l_orderkey") % m === r, s"l_orderkey % $m = $r")
+      case 3 =>
+        val subset = rnd.shuffle(Seq("A", "N", "R")).take(1 + rnd.nextInt(2))
+        (col("l_returnflag").isin(subset.map(x => x: Any): _*),
+          s"l_returnflag IN (${subset.map(v => s"'$v'").mkString(", ")})")
+      case 4 =>
+        val v = Seq("O", "F")(rnd.nextInt(2))
+        (col("l_linestatus") === v, s"l_linestatus = '$v'")
+      case _ =>
+        val (os, of) = ops(rnd.nextInt(ops.length)); val k = rnd.nextInt(11)
+        val d = k / 100.0 // correctly-rounded quotient == parsed literal
+        (of(col("l_discount"), lit(d)),
+          f"l_discount $os%s $d%.2f")
+    }
+    (0 until 32).map { i =>
+      val n = 1 + rnd.nextInt(3)
+      val atoms = Seq.fill(n)(atom()).map { a =>
+        if (n > 1 && rnd.nextInt(4) == 0) (!a._1, s"NOT (${a._2})") else a
+      }
+      val (pred, sql) = atoms.reduceLeft { (acc, a) =>
+        if (rnd.nextBoolean()) (acc._1 && a._1, s"(${acc._2} AND ${a._2})")
+        else (acc._1 || a._1, s"(${acc._2} OR ${a._2})")
+      }
+      FuzzCase(i, pred, sql)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Differential fuzz sweep: the 32 seeded predicate shapes evaluated
+    // as CONDITIONAL aggregates in ONE scan (count / decimal-exact sum /
+    // min / max per case), then stacked to one row per case. The oracle
+    // is generated from the SAME FuzzCase list, so both engines run
+    // machine-identical predicates — a combination either matches
+    // row-for-row or the hash fails naming the case id.
+    "q_fuzz_parity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val aggs = fuzzCases.flatMap { c => Seq(
+        count(when(c.pred, 1)).as(s"n_${c.id}"),
+        sum(when(c.pred, money(col("l_quantity")))).cast("double").as(s"q_${c.id}"),
+        min(when(c.pred, col("l_orderkey"))).as(s"mn_${c.id}"),
+        max(when(c.pred, col("l_orderkey"))).as(s"mx_${c.id}")) }
+      val row = li.agg(aggs.head, aggs.tail: _*)
+      row.select(expr(s"stack(${fuzzCases.size}, " +
+        fuzzCases.map(c =>
+          s"${c.id}, n_${c.id}, q_${c.id}, mn_${c.id}, mx_${c.id}")
+          .mkString(", ") +
+        ") as (case_id, n_rows, sum_qty, min_ok, max_ok)"))
+    }),
 
     // S1 — scan with predicate + projection pushdown (reference
     // storage.scala:315-327; pushdown into find()). Catalyst pushes both
@@ -1278,6 +1351,23 @@ object CoreGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // generated from the SAME FuzzCase list as the gate: per case, the
+    // identical machine-made predicate inside the identical conditional
+    // aggregates (COUNT / decimal-exact SUM / MIN / MAX), one row each
+    "q_fuzz_parity" -> {
+      val cases = fuzzCases.map { c =>
+        s"""SELECT ${c.id} AS case_id,
+              COUNT(CASE WHEN ${c.sql} THEN 1 END) AS n_rows,
+              CAST(SUM(CASE WHEN ${c.sql} THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty,
+              MIN(CASE WHEN ${c.sql} THEN l_orderkey END) AS min_ok,
+              MAX(CASE WHEN ${c.sql} THEN l_orderkey END) AS max_ok
+            FROM base"""
+      }.mkString("\n          UNION ALL\n")
+      "WITH base AS MATERIALIZED (SELECT l_quantity, l_linenumber, " +
+        "l_orderkey, l_returnflag, l_linestatus, l_discount FROM lineitem)\n" +
+        cases
+    },
+
     "s21_client_parquet" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 100.0

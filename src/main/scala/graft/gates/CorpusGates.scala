@@ -290,6 +290,34 @@ object CorpusGates {
     // min(struct), no corpus-wide window) → join the document's embedding
     // payload. The shape every retrieval index build runs: chunk, score,
     // select, attach vectors.
+    // Dataset card — the per-source corpus report every published corpus
+    // ships (rows, token/char volume, language spread, exact-dup rate,
+    // interpolated median length): ONE pass over the corpus computing
+    // per-row signals + the md5 fingerprint, one fingerprint aggregate
+    // for the dup rate joined back, one per-source aggregate for
+    // everything else. Integer sums exact; mean = one division of exact
+    // sums; median = the q_percentile interpolation parity.
+    "pipe_dataset_card" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(filter(toks, w => length(w) > 0)).cast("long").as("n_tokens"),
+        md5(col("text").cast("binary")).as("fp"))
+      val fpc = base.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+      base.join(fpc, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          sum(col("n_chars")).as("n_chars_total"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          percentile(col("n_tokens"), lit(0.5)).as("median_tokens"))
+    }),
+
+
     // Hybrid retrieval fusion — the RAG retrieval step that composes the
     // sparse (BM25) and dense (cosine) rankers by Reciprocal Rank Fusion
     // (Cormack et al. 2009, k=60): three queries, each a (term,
@@ -1174,6 +1202,25 @@ object CorpusGates {
 
     // chunking + the text_quality scoring (IEEE-identical doubles) +
     // row_number arg-max + embedding payload join
+    // exact integer sums, one division for the mean, quantile_cont
+    // interpolation parity with q_percentile, md5 parity with dedup_exact
+    "pipe_dataset_card" ->
+      """WITH base AS (SELECT doc_id, source, lang, n_chars,
+                   CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+                   md5(text) AS fp
+            FROM documents),
+           fpc AS (SELECT fp, COUNT(*) AS n_copies FROM base GROUP BY 1),
+           j AS (SELECT b.*, f.n_copies FROM base b JOIN fpc f USING (fp))
+         SELECT source,
+                COUNT(*) AS n_docs,
+                SUM(n_tokens) AS n_tokens_total,
+                SUM(n_chars) AS n_chars_total,
+                CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+                COUNT(DISTINCT lang) AS n_langs,
+                SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+                quantile_cont(n_tokens, 0.5) AS median_tokens
+         FROM j GROUP BY source""",
+
     // the two ranker CTEs replay text_bm25 and the sim-family cosine
     // (both proven bit-stable by their own gates); RRF then only touches
     // integer ranks inside one fixed float expression
