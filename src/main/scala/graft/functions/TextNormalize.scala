@@ -55,15 +55,22 @@ object TextNormalize {
     * pass): lowercase host with a leading `www.` stripped, path with the
     * trailing slash stripped, tracking (`utm_*`) query params dropped
     * with the remaining params kept IN ORDER, scheme and fragment
-    * removed. Pure codegen'd string expressions (regexp extracts + an
-    * array filter), map-only at any scale; a non-URL input canonicalizes
-    * to its query-less tail via empty regexp matches — garbage in,
-    * deterministic garbage out, never an error. */
+    * removed. Scheme-LESS forms are routine in crawl data, so the scheme
+    * prefix (`https://` or protocol-relative `//`) is OPTIONAL: the
+    * host/path parse runs on the remainder, and `b.org/y` keys the same
+    * as `https://www.B.org/y/` — two unrelated bare URLs never collapse
+    * to one empty key. Pure codegen'd string expressions (regexp
+    * extracts + an array filter), map-only at any scale; a non-URL input
+    * canonicalizes deterministically (its first path-ish segment), never
+    * an error. */
   def urlCanonicalize(url: Column): Column = {
+    // strip an optional scheme ("http://", "ftp://") or protocol-relative
+    // "//" prefix; everything after it parses as host[/path][?q][#f]
+    val rest = regexp_replace(url, "^([a-zA-Z]+:)?//", "")
     val host = regexp_replace(
-      lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)), "^www\\.", "")
+      lower(regexp_extract(rest, "^([^/?#]+)", 1)), "^www\\.", "")
     val path = regexp_replace(
-      regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+      regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), "/$", "")
     val q = array_join(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
       p => p =!= "" && !p.startsWith("utm_")), "&")
     concat(host, path,

@@ -57,7 +57,9 @@ object CoreGates {
         val (os, of) = ops(rnd.nextInt(ops.length)); val k = rnd.nextInt(11)
         val d = k / 100.0 // correctly-rounded quotient == parsed literal
         (of(col("l_discount"), lit(d)),
-          f"l_discount $os%s $d%.2f")
+          // Locale.ROOT: the default-locale f-interpolator would render
+          // "0,05" on a comma-decimal JVM and break the generated SQL
+          s"l_discount $os " + String.format(java.util.Locale.ROOT, "%.2f", Double.box(d)))
     }
     (0 until 32).map { i =>
       val n = 1 + rnd.nextInt(3)

@@ -284,25 +284,22 @@ object CorpusGates {
     // the single fused traversal; the decontamination stage adds one
     // broadcast probe + one anti-join — the whole pipeline stays one
     // corpus scan plus hash-partitioned metadata joins.
-    // RAG indexing prep, end-to-end: token-window chunking → per-chunk
-    // quality scoring (the IEEE-mirrored composed form, same discipline
-    // as text_quality) → best chunk per document (partial-aggregated
-    // min(struct), no corpus-wide window) → join the document's embedding
-    // payload. The shape every retrieval index build runs: chunk, score,
-    // select, attach vectors.
     // Dataset card — the per-source corpus report every published corpus
     // ships (rows, token/char volume, language spread, exact-dup rate,
-    // interpolated median length): ONE pass over the corpus computing
-    // per-row signals + the md5 fingerprint, one fingerprint aggregate
-    // for the dup rate joined back, one per-source aggregate for
-    // everything else. Integer sums exact; mean = one division of exact
-    // sums; median = the q_percentile interpolation parity.
+    // interpolated median length): per-row signals + the md5 fingerprint
+    // computed in one projection that is PERSISTED because two consumers
+    // read it (the fingerprint aggregate for the dup rate, and the join
+    // probe) — the pipe_training_corpus multi-consumer discipline, so the
+    // corpus is scanned once, not once per branch. Integer sums exact;
+    // mean = one division of exact sums; median = the q_percentile
+    // interpolation parity.
     "pipe_dataset_card" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val base = t(s, dir, "documents").select(
         col("doc_id"), col("source"), col("lang"), col("n_chars"),
         size(filter(toks, w => length(w) > 0)).cast("long").as("n_tokens"),
         md5(col("text").cast("binary")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fpc = base.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
       base.join(fpc, Seq("fp"))
         .groupBy(col("source"))
@@ -375,6 +372,12 @@ object CorpusGates {
     }),
 
 
+    // RAG indexing prep, end-to-end: token-window chunking → per-chunk
+    // quality scoring (the IEEE-mirrored composed form, same discipline
+    // as text_quality) → best chunk per document (partial-aggregated
+    // min(struct), no corpus-wide window) → join the document's embedding
+    // payload. The shape every retrieval index build runs: chunk, score,
+    // select, attach vectors.
     "pipe_rag_index" -> ((s, dir) => {
       val chunks = Corpus.chunkTokens(t(s, dir, "documents"),
         "doc_id", "text", chunkSize = 64, overlap = 16)
@@ -1200,8 +1203,6 @@ object CorpusGates {
     // inclusive list slicing (both engines clamp the final window)
     "corpus_chunk" -> chunkOracleSql,
 
-    // chunking + the text_quality scoring (IEEE-identical doubles) +
-    // row_number arg-max + embedding payload join
     // exact integer sums, one division for the mean, quantile_cont
     // interpolation parity with q_percentile, md5 parity with dedup_exact
     "pipe_dataset_card" ->
@@ -1279,6 +1280,8 @@ object CorpusGates {
                 CAST(r_dense AS BIGINT) AS r_dense, rrf, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 10""",
 
+    // chunking + the text_quality scoring (IEEE-identical doubles) +
+    // row_number arg-max + embedding payload join
     "pipe_rag_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
               c AS (SELECT doc_id, toks,

@@ -405,10 +405,12 @@ object DedupGates {
            FROM h),
          c AS (
            SELECT doc_id,
-                  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
-                                 '^www\.', '') ||
-                  regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
-                                 '/$', '') ||
+                  regexp_replace(lower(regexp_extract(
+                      regexp_replace(url, '^([a-zA-Z]+:)?//', ''),
+                      '^([^/?#]+)', 1)), '^www\.', '') ||
+                  regexp_replace(regexp_extract(
+                      regexp_replace(url, '^([a-zA-Z]+:)?//', ''),
+                      '^[^/?#]*([^?#]*)', 1), '/$', '') ||
                   (CASE WHEN array_to_string(list_filter(
                            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
                            p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') <> ''

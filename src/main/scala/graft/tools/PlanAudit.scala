@@ -197,8 +197,12 @@ object PlanAudit {
 
         val basePath = java.nio.file.Paths.get("PLAN_BASELINE.json")
         if (mode == "pin") {
-          java.nio.file.Files.writeString(basePath, auditJson)
-          println("[planaudit] PINNED PLAN_BASELINE.json")
+          // never replace a good baseline with a failed sweep: a wrong
+          // sfDir or a tripwired gate must not destroy the committed pin
+          if (failures.isEmpty) {
+            java.nio.file.Files.writeString(basePath, auditJson)
+            println("[planaudit] PINNED PLAN_BASELINE.json")
+          } else println("[planaudit] REFUSING to pin: failures below")
         } else if (java.nio.file.Files.exists(basePath)) {
           val (baseSf, base) = parseGates(java.nio.file.Files.readString(basePath))
           if (baseSf != sfDir)

@@ -234,17 +234,25 @@ object SpotBench {
     // baseline entry, but a brand-new gate has no pin to regress against,
     // so its first clean growth reading becomes the pin
     if (!bootstrap && !refresh) {
-      val newcomers = fresh.filter { case (n, _) => !baseGrowth.contains(n) }
+      // only CLEAN readings adopt (a timeout/failure entry would both
+      // violate "first clean growth reading becomes the pin" and stay
+      // invisible to baseGrowth's numeric-growth regex forever)
+      val cleanNames = results.collect {
+        case (n, Some(_), Some(_), Some(_), _) => n }.toSet
+      val newcomers = fresh.filter { case (n, _) =>
+        cleanNames(n) && !baseGrowth.contains(n) }
       if (newcomers.nonEmpty) {
+        // splice ONLY the gates object into the existing baseline text —
+        // the header (timeout_sec/rounds/sf1_dir/flags) keeps describing
+        // the conditions the EXISTING pins were measured under
         val txt = scala.io.Source.fromFile(baseFile).mkString
         val basePrior = """"([A-Za-z0-9_]+)":(\{"sf01":[^}]*\})""".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toSeq
         val mergedBase = (basePrior.toMap ++ newcomers.toMap).toSeq.sortBy(_._1)
           .map { case (n, b) => s""""$n":$b""" }.mkString("{", ",", "}")
-        val baseJson =
-          s"""{"metric":"spot","unit":"sec","timeout_sec":$timeoutSec,""" +
-            s""""rounds":$rounds,"row_factor":10,"sf1_dir":"$sf1Dir",""" +
-            s""""flags":[],"gates":$mergedBase}"""
+        val cut = txt.indexOf("\"gates\":")
+        require(cut >= 0, "spot baseline has no gates object")
+        val baseJson = txt.substring(0, cut) + "\"gates\":" + mergedBase + "}"
         java.nio.file.Files.write(baseFile.toPath,
           baseJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         System.err.println(s"[spot] adopted ${newcomers.size} never-seen " +

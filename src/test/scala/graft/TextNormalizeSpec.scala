@@ -57,5 +57,12 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(canon("https://www.h.io/") === "h.io")
     // no path at all: just the host
     assert(canon("http://h.io") === "h.io")
+    // scheme-LESS forms are routine in crawl data: protocol-relative and
+    // bare URLs must key like their https twins, and two UNRELATED bare
+    // URLs must never collapse to one empty key
+    assert(canon("//www.h.io/x?id=1") === "h.io/x?id=1")
+    assert(canon("b.org/y") === "b.org/y")
+    assert(canon("B.ORG/y/") === "b.org/y")
+    assert(canon("a.com/x") !== canon("b.org/y"))
   }
 }
