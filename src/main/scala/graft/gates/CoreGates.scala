@@ -183,6 +183,28 @@ object CoreGates {
 
     // S3/O6/T1 — partitioned event-log scan with offset resume
     // (reference log/package.scala:56-62, storage.scala:329-349).
+    // Changelog materialization over the event log — the lakehouse
+    // MERGE/compaction semantics (latest upsert wins per key; a key whose
+    // latest op is a delete is absent): event_type maps deterministically
+    // to the op ('error' rows are deletes, everything else upserts), the
+    // unique event_id breaks same-timestamp ties. One partial-aggregated
+    // max(struct) per key, no per-key window over the full log
+    // ([[graft.operators.EventLog.applyChangelog]]). The output omits the
+    // raw timestamp (it only ORDERS — the q_window_lag parity precedent).
+    "s29_changelog_apply" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")))
+      graft.operators.EventLog.applyChangelog(log, "user_id", "ts",
+          "event_id", "op", "delete", payload = Seq("event_type", "value"))
+        .select(col("user_id"), col("event_id"), col("op"),
+          col("event_type"), col("value"))
+    }),
+
+
     "s3_eventlog_offset" -> ((s, dir) => {
       EventLog.from(t(s, dir, "events"), "user_id", lit(7L), "event_id",
           offset = 100L, maxPartitionSize = 256L)
@@ -1702,6 +1724,20 @@ object CoreGates {
            ON c.user_id = p.user_id
           AND epoch_us(c.ts) <= epoch_us(p.ts) + 900000000
           AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000""",
+
+    // latest-wins per key by (ts DESC, event_id DESC), deletes absent —
+    // the row_number form is equivalent to the gate's max(struct) because
+    // (ts, event_id) is unique per key
+    "s29_changelog_apply" ->
+      """WITH log AS (SELECT event_id, user_id, ts, event_type, value,
+                             CASE WHEN event_type = 'error' THEN 'delete'
+                                  ELSE 'upsert' END AS op
+                      FROM events),
+              r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM log)
+         SELECT user_id, event_id, op, event_type, value
+         FROM r WHERE rn = 1 AND op <> 'delete'""",
 
     "q_window_lag" ->
       """SELECT user_id, event_id,

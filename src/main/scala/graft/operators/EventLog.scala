@@ -64,4 +64,32 @@ object EventLog {
       .where(col(keyCol) === key && col(seqCol) >= offset)
       .withColumn("partition_nr", floor(col(seqCol) / lit(maxPartitionSize)))
   }
+
+  /** Changelog materialization (CDC apply): fold an upsert/delete log
+    * into LATEST-STATE per key — the lakehouse MERGE/compaction semantics
+    * over exactly the partitioned event logs this module scans (the
+    * reference's domain is the log; the natural query over a log is its
+    * current state). Latest = max (tsCol, tieCol) per key, struct-ordered;
+    * a key whose latest op equals `deleteOp` is absent from the result.
+    *
+    * Scale shape: ONE partial-aggregated max(struct) per key — map-side
+    * combine reduces each partition to one candidate row per key before
+    * the shuffle (the pipe_rag_index min(struct) discipline), never a
+    * per-key window sort over the full log. Determinism requires
+    * (tsCol, tieCol) unique per key — a unique event/sequence id as the
+    * tie satisfies it. */
+  def applyChangelog(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      opCol: String,
+      deleteOp: String,
+      payload: Seq[String]): DataFrame = {
+    val ordered = Seq(tsCol, tieCol, opCol) ++ payload
+    log.groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("last"))
+      .where(col(s"last.$opCol") =!= deleteOp)
+      .select(col(keyCol) +: ordered.map(c => col(s"last.$c").as(c)): _*)
+  }
 }

@@ -205,4 +205,32 @@ class JoinsSpec extends AnyFunSuite {
       Joins.bloomSemiJoin(li, "l_orderkey", o, "o_orderstatus", 100L, 0.01)
     }
   }
+
+  test("applyChangelog: latest upsert wins, latest delete removes the key, ties by id") {
+    import SparkTestSession.spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val log = Seq(
+      // key 1: upsert then later upsert - latest value wins
+      (1L, 1L, ts(0), "upsert", 10.0),
+      (2L, 1L, ts(5), "upsert", 20.0),
+      // key 2: upsert then later delete - key absent
+      (3L, 2L, ts(0), "upsert", 30.0),
+      (4L, 2L, ts(5), "delete", 0.0),
+      // key 3: delete then later upsert - resurrection, key present
+      (5L, 3L, ts(0), "delete", 0.0),
+      (6L, 3L, ts(5), "upsert", 40.0),
+      // key 4: same timestamp twice - the higher event_id wins
+      (7L, 4L, ts(1), "upsert", 50.0),
+      (8L, 4L, ts(1), "upsert", 60.0)
+    ).toDF("event_id", "user_id", "ts", "op", "value")
+    val out = EventLog.applyChangelog(log, "user_id", "ts", "event_id",
+        "op", "delete", payload = Seq("value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(out === Map(1L -> (2L, 20.0), 3L -> (6L, 40.0), 4L -> (8L, 60.0)))
+    // the plan is a partial aggregate, never a window over the log
+    val plan = EventLog.applyChangelog(log, "user_id", "ts", "event_id",
+      "op", "delete", payload = Seq("value")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(600))
+  }
 }
