@@ -820,6 +820,41 @@ object StreamGates {
     }),
 
 
+    // Streaming twin of s29_changelog_apply: CDC latest-state as a
+    // COMPLETE-mode streaming aggregation — the same per-key max(struct)
+    // runs as managed streaming state (partial per micro-batch, merged
+    // across batches), the delete filter applies to the final state, and
+    // the result converges to EXACTLY the batch answer under any slicing
+    // (one shared oracle). This is the materialized-view form of CDC: the
+    // state store IS the current table.
+    "s30_stream_changelog" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val batch = t(ss, dir, "events")
+      val src = ss.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("op"),
+          col("event_type"), col("value"))).as("last"))
+      val sink = "s30_stream_changelog_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+        .where(col("last.op") =!= "delete")
+        .select(col("user_id"), col("last.event_id").as("event_id"),
+          col("last.op").as("op"), col("last.event_type").as("event_type"),
+          col("last.value").as("value"))
+    }),
+
+
     // Streaming twin of corpus_unigram_encode: the piece table trains on
     // the batch corpus (like s20's BPE merges), then the map-only Viterbi
     // encode runs inside a Structured Streaming micro-batch pipeline —
@@ -925,6 +960,8 @@ object StreamGates {
     "s20_stream_bpe" -> CorpusGates.bpeEncodeOracleSql(CorpusGates.bpeN),
 
     "s28_stream_unigram" -> CorpusGates.unigramEncodeOracleSql,
+
+    "s30_stream_changelog" -> CoreGates.oracleSql("s29_changelog_apply"),
 
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
