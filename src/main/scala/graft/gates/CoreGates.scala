@@ -28,10 +28,10 @@ object CoreGates {
     * this covers their COMBINATIONS, the classic differential-testing
     * blind spot. All literals are exact cross-engine (integer-valued
     * doubles, correctly-rounded k/100 divisions, strings). */
-  private[gates] final case class FuzzCase(
+  private[graft] final case class FuzzCase(
       id: Int, pred: org.apache.spark.sql.Column, sql: String)
 
-  private[gates] lazy val fuzzCases: Seq[FuzzCase] = {
+  private[graft] lazy val fuzzCases: Seq[FuzzCase] = {
     val rnd = new scala.util.Random(20261315L)
     val ops = Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)](
       ("<", _ < _), ("<=", _ <= _), (">", _ > _), (">=", _ >= _),
