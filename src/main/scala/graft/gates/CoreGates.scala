@@ -97,6 +97,26 @@ object CoreGates {
         ") as (case_id, n_rows, sum_qty, min_ok, max_ok)"))
     }),
 
+    // The fuzz sweep extended to the AGGREGATION grammar: the same 32
+    // seeded predicates as conditional aggregates UNDER A GROUP BY — one
+    // scan, one hash aggregate, per-(case, group) rows. Covers the
+    // predicate × grouped-aggregation combination space the per-operator
+    // gates can't.
+    "q_fuzz_grouped" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val aggs = fuzzCases.flatMap { c => Seq(
+        count(when(c.pred, 1)).as(s"n_${c.id}"),
+        sum(when(c.pred, money(col("l_quantity")))).cast("double").as(s"q_${c.id}"),
+        max(when(c.pred, col("l_orderkey"))).as(s"mx_${c.id}")) }
+      val grouped = li.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+      grouped.select(col("l_returnflag"), expr(
+        s"stack(${fuzzCases.size}, " +
+          fuzzCases.map(c => s"${c.id}, n_${c.id}, q_${c.id}, mx_${c.id}")
+            .mkString(", ") +
+          ") as (case_id, n_rows, sum_qty, max_ok)"))
+    }),
+
+
     // S1 — scan with predicate + projection pushdown (reference
     // storage.scala:315-327; pushdown into find()). Catalyst pushes both
     // into the parquet scan: .explain shows PushedFilters + 3-col ReadSchema.
@@ -1386,6 +1406,20 @@ object CoreGates {
               MIN(CASE WHEN ${c.sql} THEN l_orderkey END) AS min_ok,
               MAX(CASE WHEN ${c.sql} THEN l_orderkey END) AS max_ok
             FROM base"""
+      }.mkString("\n          UNION ALL\n")
+      "WITH base AS MATERIALIZED (SELECT l_quantity, l_linenumber, " +
+        "l_orderkey, l_returnflag, l_linestatus, l_discount FROM lineitem)\n" +
+        cases
+    },
+
+    // the same FuzzCase list under a GROUP BY — per-(case, group) rows
+    "q_fuzz_grouped" -> {
+      val cases = fuzzCases.map { c =>
+        s"""SELECT l_returnflag, ${c.id} AS case_id,
+              COUNT(CASE WHEN ${c.sql} THEN 1 END) AS n_rows,
+              CAST(SUM(CASE WHEN ${c.sql} THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty,
+              MAX(CASE WHEN ${c.sql} THEN l_orderkey END) AS max_ok
+            FROM base GROUP BY l_returnflag"""
       }.mkString("\n          UNION ALL\n")
       "WITH base AS MATERIALIZED (SELECT l_quantity, l_linenumber, " +
         "l_orderkey, l_returnflag, l_linestatus, l_discount FROM lineitem)\n" +
