@@ -183,9 +183,12 @@ object PlanAudit {
               name -> sig
             }
         val auditJson = renderJson(sfDir, sigs)
+        val auditPath =
+          if (sfDir.endsWith("sf0.01")) "PLAN_AUDIT.json"
+          else "PLAN_AUDIT_" + sfDir.split("/").last.replace('.', '_') + ".json"
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("PLAN_AUDIT.json"), auditJson)
-        println(s"[planaudit] wrote PLAN_AUDIT.json (${sigs.size} gates)")
+          java.nio.file.Paths.get(auditPath), auditJson)
+        println(s"[planaudit] wrote $auditPath (${sigs.size} gates)")
 
         var failures = List.empty[String]
         sigs.foreach {
@@ -195,13 +198,20 @@ object PlanAudit {
             if (cart > 0) failures ::= s"$n: CartesianProduct in plan (tripwire)"
         }
 
-        val basePath = java.nio.file.Paths.get("PLAN_BASELINE.json")
+        // per-SF baselines: statistics feed join strategy, so each scale
+        // factor pins its own signature file — sf0.01 keeps the legacy
+        // name; the sf0.1 twin answers "does the plan HOLD at 10x the
+        // data" (a broadcast that flips to SMJ shows up as strategy
+        // drift between the two pinned files)
+        val basePath = java.nio.file.Paths.get(
+          if (sfDir.endsWith("sf0.01")) "PLAN_BASELINE.json"
+          else "PLAN_BASELINE_" + sfDir.split("/").last.replace('.', '_') + ".json")
         if (mode == "pin") {
           // never replace a good baseline with a failed sweep: a wrong
           // sfDir or a tripwired gate must not destroy the committed pin
           if (failures.isEmpty) {
             java.nio.file.Files.writeString(basePath, auditJson)
-            println("[planaudit] PINNED PLAN_BASELINE.json")
+            println(s"[planaudit] PINNED $basePath")
           } else println("[planaudit] REFUSING to pin: failures below")
         } else if (java.nio.file.Files.exists(basePath)) {
           val (baseSf, base) = parseGates(java.nio.file.Files.readString(basePath))
