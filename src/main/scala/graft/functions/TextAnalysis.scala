@@ -546,4 +546,124 @@ object TextAnalysis {
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
         .otherwise(array().cast("array<bigint>")))
   }
+
+  // ------------------------------------------------------------------
+  // Linear quality classifier (the fastText-style scorer of Dolma /
+  // FineWeb-class pipelines: hashed bag-of-words -> linear score ->
+  // sigmoid). Split like the unigram tokenizer: SCORING is oracle-gated
+  // with an exact-decimal contract (weights are DECIMAL(12,6), the
+  // per-document sum is exact in both engines regardless of order, one
+  // final sigmoid on one double), TRAINING is spec-gated driver-side
+  // logistic regression over a capped sample (CorpusSpec asserts loss
+  // descent + learned separation; float GD has no honest SQL oracle).
+  // ------------------------------------------------------------------
+
+  /** Map-shaped hashed-feature linear scoring: per document,
+    * raw = bias + Σ_token w[mdBucket(token) % dim] with the weights as
+    * exact decimals (order-independent sum — the cross-engine float
+    * summation trap removed by construction), prob = sigmoid(raw).
+    * One token-stream shuffle on doc_id (the tfIdf shape); the weight
+    * table is dim-bounded and broadcast. */
+  def scoreLinear(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[java.math.BigDecimal],
+      bias: java.math.BigDecimal): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = weights.length
+    val w = broadcast(weights.zipWithIndex
+      .map { case (v, i) => (i, new java.math.BigDecimal(v.toPlainString)) }
+      .toDF("bucket", "w")
+      .select(col("bucket"), col("w").cast("decimal(12,6)").as("w")))
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .select(col("doc_id"), Corpus.hashBucket(col("term"), dim).as("bucket"))
+    toks.join(w, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("n_terms"),
+        (col("wsum") + lit(bias).cast("decimal(12,6)")).cast("double").as("raw"))
+      .withColumn("prob",
+        lit(1.0) / (lit(1.0) + exp(-col("raw"))))
+  }
+
+  /** Driver-side logistic regression over hashed bag-of-words features of
+    * a CAPPED document sample (the bpeTrain bounded-driver-table posture:
+    * the corpus-sized work is the one collect of maxDocs rows; GD runs on
+    * the driver, deterministically — fixed iteration count, no RNG).
+    * Returns (weights rounded to 6 decimals, bias) ready for
+    * [[scoreLinear]]'s exact-decimal contract. */
+  def trainLogistic(
+      docs: DataFrame,
+      textCol: String,
+      label: Column,
+      dim: Int = 256,
+      iters: Int = 200,
+      lr: Double = 0.5,
+      maxDocs: Int = 2000): (Seq[java.math.BigDecimal], java.math.BigDecimal) = {
+    val sample = docs.select(col(textCol).cast("string").as("t"),
+        label.cast("double").as("y"))
+      .where(col("t").isNotNull).limit(maxDocs).collect()
+    require(sample.nonEmpty, "trainLogistic: empty sample")
+    // hashed count features, L1-normalized per doc (bounded magnitudes)
+    val xs = sample.map { r =>
+      val counts = new Array[Double](dim)
+      var n = 0
+      r.getString(0).split(" ").foreach { t =>
+        if (t.nonEmpty) { counts(mdBucketDriver(t, dim)) += 1.0; n += 1 }
+      }
+      if (n > 0) { var i = 0; while (i < dim) { counts(i) /= n; i += 1 } }
+      counts
+    }
+    val ys = sample.map(_.getDouble(1))
+    val w = new Array[Double](dim)
+    var b = 0.0
+    lossTrace = Vector.empty
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](dim)
+      var gb = 0.0
+      var loss = 0.0
+      var i = 0
+      while (i < xs.length) {
+        var raw = b
+        val x = xs(i)
+        var j = 0
+        while (j < dim) { raw += w(j) * x(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-raw))
+        val err = p - ys(i)
+        j = 0
+        while (j < dim) { gw(j) += err * x(j); j += 1 }
+        gb += err
+        val eps = 1e-12
+        loss -= ys(i) * math.log(p + eps) + (1.0 - ys(i)) * math.log(1.0 - p + eps)
+        i += 1
+      }
+      var j = 0
+      while (j < dim) { w(j) -= lr * gw(j) / xs.length; j += 1 }
+      b -= lr * gb / xs.length
+      lossTrace :+= loss / xs.length
+      it += 1
+    }
+    def dec(v: Double) = new java.math.BigDecimal(
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
+    (w.map(dec).toSeq, dec(b))
+  }
+
+  /** Loss trace of the most recent [[trainLogistic]] call (driver-side
+    * diagnostics; CorpusSpec asserts monotone descent). */
+  @volatile private[graft] var lossTrace: Vector[Double] = Vector.empty
+
+  /** Driver-side twin of [[Corpus.hashBucket]] (same md5 first-8-hex
+    * uniform) so training and scoring hash features identically. */
+  private[graft] def mdBucketDriver(key: String, n: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % n).toInt
+  }
 }

@@ -19,6 +19,18 @@ import graft.gates.GateSupport._
   */
 object TextGates {
 
+  /** Quality-classifier gate knobs: feature dimension and the SEEDED
+    * weight vector — one Scala generator feeds the Spark plan and the
+    * oracle's VALUES table, so both engines score with byte-identical
+    * decimals in [-0.5, 0.5] at 6 decimal places. */
+  private[gates] val qcDim = 64
+  private[gates] lazy val qcWeights: Seq[java.math.BigDecimal] =
+    (0 until qcDim).map { i =>
+      val h = TextAnalysis.mdBucketDriver(s"qw#$i", 1000001)
+      java.math.BigDecimal.valueOf((h - 500000).toLong).movePointLeft(6)
+    }
+  private[gates] val qcBias = new java.math.BigDecimal("0.010000")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis — corpus-wide top-k n-gram frequencies (the classic
@@ -152,6 +164,21 @@ object TextGates {
     // the join (the scale dial, engaged here and mirrored by HAVING).
     "text_tfidf" -> ((s, dir) => {
       TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text", minTf = 2L)
+    }),
+
+
+    // Linear quality-classifier SCORING (the fastText-style scorer of
+    // Dolma/FineWeb-class pipelines) under the exact-decimal contract:
+    // hashed bag-of-words -> Σ decimal weights (order-independent exact
+    // sum, both engines) -> one double conversion -> sigmoid. The gate
+    // uses SEEDED weights generated by one Scala function and embedded
+    // in both the plan and the oracle (the lshTopkSql precedent);
+    // TRAINING is spec-gated (CorpusSpec: loss descent, learned
+    // separation, determinism) — float gradient descent has no honest
+    // SQL oracle.
+    "text_quality_classifier" -> ((s, dir) => {
+      TextAnalysis.scoreLinear(t(s, dir, "documents"), "doc_id", "text",
+        TextGates.qcWeights, TextGates.qcBias)
     }),
 
 
@@ -594,6 +621,27 @@ object TextGates {
                 CAST(tf.tf AS DOUBLE) *
                   ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
          FROM tf JOIN df USING (term), n""",
+
+    // the same seeded decimals as a VALUES table; SUM(DECIMAL) is exact
+    // in both engines regardless of order, so only the final sigmoid is
+    // float — and it consumes the identical double
+    "text_quality_classifier" -> {
+      val values = qcWeights.zipWithIndex
+        .map { case (w, i) => s"($i, ${w.toPlainString}::DECIMAL(12,6))" }
+        .mkString(", ")
+      s"""WITH w(bucket, wv) AS (VALUES $values),
+              tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+              tb AS (SELECT doc_id,
+                            ('0x' || substr(md5(term), 1, 8))::UBIGINT % $qcDim AS bucket
+                     FROM tok WHERE term <> ''),
+              agg AS (SELECT doc_id, SUM(wv) AS wsum, COUNT(*) AS n_terms
+                      FROM tb JOIN w USING (bucket) GROUP BY doc_id)
+         SELECT doc_id, n_terms,
+                CAST(wsum + ${qcBias.toPlainString}::DECIMAL(12,6) AS DOUBLE) AS raw,
+                1.0 / (1.0 + exp(-CAST(wsum + ${qcBias.toPlainString}::DECIMAL(12,6) AS DOUBLE))) AS prob
+         FROM agg"""
+    },
 
     // BM25: same filtered tf/df integer aggregation; the float chain
     // (idf ln, tf normalization) is written as the identical op tree on

@@ -738,4 +738,37 @@ class CorpusSpec extends AnyFunSuite {
         s"char tier must cover '$w' even at topK=10")
     }
   }
+
+  test("trainLogistic: loss descends, learns a planted signal, deterministic") {
+    // plant a perfectly separable token: even doc_ids carry 'excellent'
+    // (absent from the corpus vocabulary) and the label 1
+    val labeled = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" excellent" * 10)))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("y"))
+    val (w, b) = TextAnalysis.trainLogistic(labeled, "text", col("y"),
+      dim = 256, iters = 3000, lr = 5.0, maxDocs = 400)
+    val trace = TextAnalysis.lossTrace
+    assert(trace.size === 3000)
+    assert(trace.last < trace.head * 0.5,
+      s"loss must at least halve: ${trace.head} -> ${trace.last}")
+    // full-batch GD on smooth logistic loss: descent with at most tiny
+    // numerical bumps
+    val bumps = trace.sliding(2).count {
+      case Seq(a, c) => c > a + 1e-9
+      case _ => false
+    }
+    assert(bumps <= 5, s"$bumps loss increases in the trace")
+    // scoring with the TRAINED weights separates the classes
+    val scored = TextAnalysis.scoreLinear(labeled, "doc_id", "text", w, b)
+    val acc = scored.join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .select(avg(when((col("prob") >= 0.5) === (col("y") === 1.0), 1.0)
+        .otherwise(0.0)).as("acc")).head().getDouble(0)
+    assert(acc >= 0.95, s"accuracy $acc")
+    // pure function of the sample: training twice is bit-identical
+    val (w2, b2) = TextAnalysis.trainLogistic(labeled, "text", col("y"),
+      dim = 256, iters = 3000, lr = 5.0, maxDocs = 400)
+    assert(w === w2 && b === b2)
+  }
 }
