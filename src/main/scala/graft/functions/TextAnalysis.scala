@@ -574,7 +574,7 @@ object TextAnalysis {
     import spark.implicits._
     val dim = weights.length
     val w = broadcast(weights.zipWithIndex
-      .map { case (v, i) => (i, new java.math.BigDecimal(v.toPlainString)) }
+      .map { case (v, i) => (i, v) }
       .toDF("bucket", "w")
       .select(col("bucket"), col("w").cast("decimal(12,6)").as("w")))
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -603,10 +603,16 @@ object TextAnalysis {
       dim: Int = 256,
       iters: Int = 200,
       lr: Double = 0.5,
-      maxDocs: Int = 2000): (Seq[java.math.BigDecimal], java.math.BigDecimal) = {
+      maxDocs: Int = 2000): (Seq[java.math.BigDecimal], java.math.BigDecimal, Vector[Double]) = {
+    // content-keyed ORDER before limit: a bare LIMIT takes whichever
+    // rows arrive first, so the sample — and the returned weights —
+    // would depend on partitioning; ordered, the take is a
+    // TakeOrderedAndProject and the sample is a pure function of the data
     val sample = docs.select(col(textCol).cast("string").as("t"),
         label.cast("double").as("y"))
-      .where(col("t").isNotNull).limit(maxDocs).collect()
+      .where(col("t").isNotNull)
+      .orderBy(md5(col("t").cast("binary")), col("t"))
+      .limit(maxDocs).collect()
     require(sample.nonEmpty, "trainLogistic: empty sample")
     // hashed count features, L1-normalized per doc (bounded magnitudes)
     val xs = sample.map { r =>
@@ -621,7 +627,7 @@ object TextAnalysis {
     val ys = sample.map(_.getDouble(1))
     val w = new Array[Double](dim)
     var b = 0.0
-    lossTrace = Vector.empty
+    var trace = Vector.empty[Double]
     var it = 0
     while (it < iters) {
       val gw = new Array[Double](dim)
@@ -645,17 +651,13 @@ object TextAnalysis {
       var j = 0
       while (j < dim) { w(j) -= lr * gw(j) / xs.length; j += 1 }
       b -= lr * gb / xs.length
-      lossTrace :+= loss / xs.length
+      trace :+= loss / xs.length
       it += 1
     }
     def dec(v: Double) = new java.math.BigDecimal(
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
-    (w.map(dec).toSeq, dec(b))
+    (w.map(dec).toSeq, dec(b), trace)
   }
-
-  /** Loss trace of the most recent [[trainLogistic]] call (driver-side
-    * diagnostics; CorpusSpec asserts monotone descent). */
-  @volatile private[graft] var lossTrace: Vector[Double] = Vector.empty
 
   /** Driver-side twin of [[Corpus.hashBucket]] (same md5 first-8-hex
     * uniform) so training and scoring hash features identically. */

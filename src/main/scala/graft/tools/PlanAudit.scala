@@ -86,6 +86,15 @@ object PlanAudit {
   private def signature(plan: String): Seq[(String, Int)] =
     features.map { case (k, f) => k -> f(plan) }
 
+  /** Per-SF artifact names, trailing-slash-safe: sf0.01 keeps the legacy
+    * names; any other scale factor gets a _<tag> suffix. One helper for
+    * BOTH the audit and baseline paths so they cannot diverge. */
+  private def sfTag(sfDir: String): String =
+    sfDir.reverse.dropWhile(_ == '/').reverse.split("/").last
+  private def artifact(prefix: String, sfDir: String): String =
+    if (sfTag(sfDir) == "sf0.01") s"$prefix.json"
+    else s"${prefix}_${sfTag(sfDir).replace('.', '_')}.json"
+
   /** streaming + staging gates execute a query to build their result;
     * their operator plans are audited via their batch twins instead. */
   private def skip(n: String): Boolean =
@@ -183,9 +192,7 @@ object PlanAudit {
               name -> sig
             }
         val auditJson = renderJson(sfDir, sigs)
-        val auditPath =
-          if (sfDir.endsWith("sf0.01")) "PLAN_AUDIT.json"
-          else "PLAN_AUDIT_" + sfDir.split("/").last.replace('.', '_') + ".json"
+        val auditPath = artifact("PLAN_AUDIT", sfDir)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(auditPath), auditJson)
         println(s"[planaudit] wrote $auditPath (${sigs.size} gates)")
@@ -203,9 +210,7 @@ object PlanAudit {
         // name; the sf0.1 twin answers "does the plan HOLD at 10x the
         // data" (a broadcast that flips to SMJ shows up as strategy
         // drift between the two pinned files)
-        val basePath = java.nio.file.Paths.get(
-          if (sfDir.endsWith("sf0.01")) "PLAN_BASELINE.json"
-          else "PLAN_BASELINE_" + sfDir.split("/").last.replace('.', '_') + ".json")
+        val basePath = java.nio.file.Paths.get(artifact("PLAN_BASELINE", sfDir))
         if (mode == "pin") {
           // never replace a good baseline with a failed sweep: a wrong
           // sfDir or a tripwired gate must not destroy the committed pin
@@ -215,7 +220,8 @@ object PlanAudit {
           } else println("[planaudit] REFUSING to pin: failures below")
         } else if (java.nio.file.Files.exists(basePath)) {
           val (baseSf, base) = parseGates(java.nio.file.Files.readString(basePath))
-          if (baseSf != sfDir)
+          def norm(d: String) = d.reverse.dropWhile(_ == '/').reverse
+          if (norm(baseSf) != norm(sfDir))
             failures ::= s"baseline pinned at $baseSf, audit ran at $sfDir - not comparable"
           else {
             val (_, cur) = parseGates(auditJson)
@@ -235,7 +241,7 @@ object PlanAudit {
               }
             }
           }
-        } else println("[planaudit] no PLAN_BASELINE.json - run `pin` to create one")
+        } else println(s"[planaudit] no $basePath - run `pin` to create one")
 
         if (failures.nonEmpty) {
           failures.reverse.foreach(f => println(s"[planaudit] FAIL $f"))

@@ -747,9 +747,8 @@ class CorpusSpec extends AnyFunSuite {
         concat(col("text"), lit(" excellent" * 10)))
         .otherwise(col("text")).as("text"),
       when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("y"))
-    val (w, b) = TextAnalysis.trainLogistic(labeled, "text", col("y"),
+    val (w, b, trace) = TextAnalysis.trainLogistic(labeled, "text", col("y"),
       dim = 256, iters = 3000, lr = 5.0, maxDocs = 400)
-    val trace = TextAnalysis.lossTrace
     assert(trace.size === 3000)
     assert(trace.last < trace.head * 0.5,
       s"loss must at least halve: ${trace.head} -> ${trace.last}")
@@ -767,7 +766,7 @@ class CorpusSpec extends AnyFunSuite {
         .otherwise(0.0)).as("acc")).head().getDouble(0)
     assert(acc >= 0.95, s"accuracy $acc")
     // pure function of the sample: training twice is bit-identical
-    val (w2, b2) = TextAnalysis.trainLogistic(labeled, "text", col("y"),
+    val (w2, b2, _) = TextAnalysis.trainLogistic(labeled, "text", col("y"),
       dim = 256, iters = 3000, lr = 5.0, maxDocs = 400)
     assert(w === w2 && b === b2)
   }
