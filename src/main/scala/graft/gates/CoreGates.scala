@@ -74,7 +74,73 @@ object CoreGates {
     }
   }
 
+  /** Join-fuzz cases: 8 seeded (orders-predicate, lineitem-predicate)
+    * pairs around the o_orderkey = l_orderkey equi-join — the same
+    * lockstep Column/SQL generation as [[fuzzCases]], extending the
+    * machine-made combination sweep to filtered JOINS (filter placement
+    * relative to a join is its own optimizer grammar: pushdown through
+    * the join, join-strategy choice under selectivity). */
+  private[graft] final case class JoinFuzzCase(
+      id: Int, oPred: org.apache.spark.sql.Column, oSql: String,
+      lPred: org.apache.spark.sql.Column, lSql: String)
+
+  private[graft] lazy val joinFuzzCases: Seq[JoinFuzzCase] = {
+    val rnd = new scala.util.Random(411311L)
+    def oAtom(): (org.apache.spark.sql.Column, String) = rnd.nextInt(4) match {
+      case 0 =>
+        val subset = rnd.shuffle(Seq("O", "F", "P")).take(1 + rnd.nextInt(2))
+        (col("o_orderstatus").isin(subset.map(x => x: Any): _*),
+          s"o_orderstatus IN (${subset.map(v => s"'$v'").mkString(", ")})")
+      case 1 =>
+        val k = (1 + rnd.nextInt(300)) * 1000
+        (col("o_totalprice") > k.toDouble, s"o_totalprice > $k.0")
+      case 2 =>
+        val prio = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")(rnd.nextInt(5))
+        (col("o_orderpriority") === prio, s"o_orderpriority = '$prio'")
+      case _ =>
+        val m = Seq(3, 5, 7)(rnd.nextInt(3)); val r = rnd.nextInt(m)
+        (col("o_orderkey") % m === r, s"o_orderkey % $m = $r")
+    }
+    def lAtom(): (org.apache.spark.sql.Column, String) = rnd.nextInt(3) match {
+      case 0 =>
+        val k = 1 + rnd.nextInt(50)
+        (col("l_quantity") <= k.toDouble, s"l_quantity <= $k.0")
+      case 1 =>
+        val v = Seq("A", "N", "R")(rnd.nextInt(3))
+        (col("l_returnflag") === v, s"l_returnflag = '$v'")
+      case _ =>
+        val k = 1 + rnd.nextInt(7)
+        (col("l_linenumber") >= k, s"l_linenumber >= $k")
+    }
+    (0 until 8).map { i =>
+      val (op, os) = oAtom(); val (lp, ls) = lAtom()
+      JoinFuzzCase(i, op, os, lp, ls)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The fuzz sweep extended to JOINS: each seeded case filters both
+    // sides and counts/sums the o_orderkey = l_orderkey equi-join —
+    // machine-made coverage of filter-through-join pushdown and
+    // join-strategy choice under varying selectivity. Eight bounded
+    // equi-joins, each Catalyst-planned independently.
+    "q_fuzz_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      joinFuzzCases.map { c =>
+        o.where(c.oPred)
+          .join(li.where(c.lPred), col("o_orderkey") === col("l_orderkey"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+            min(col("o_orderkey")).as("min_ok"),
+            max(col("l_orderkey")).as("max_ok"))
+          .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_price"),
+            col("min_ok"), col("max_ok"))
+      }.reduce(_ unionByName _)
+    }),
 
     // Differential fuzz sweep: the 32 seeded predicate shapes evaluated
     // as CONDITIONAL aggregates in ONE scan (count / decimal-exact sum /
@@ -1395,6 +1461,22 @@ object CoreGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same JoinFuzzCase list: both sides filtered, the equi-join
+    // counted/summed per case (decimal-exact sum; empty joins yield
+    // count 0 + NULL aggregates in both engines)
+    "q_fuzz_join" -> {
+      val cases = joinFuzzCases.map { c =>
+        s"""SELECT ${c.id} AS case_id,
+              COUNT(*) AS n_rows,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              MIN(o_orderkey) AS min_ok,
+              MAX(l_orderkey) AS max_ok
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE (${c.oSql}) AND (${c.lSql})"""
+      }.mkString("\n          UNION ALL\n")
+      cases
+    },
+
     // generated from the SAME FuzzCase list as the gate: per case, the
     // identical machine-made predicate inside the identical conditional
     // aggregates (COUNT / decimal-exact SUM / MIN / MAX), one row each

@@ -284,6 +284,33 @@ object CorpusGates {
     // the single fused traversal; the decontamination stage adds one
     // broadcast probe + one anti-join — the whole pipeline stays one
     // corpus scan plus hash-partitioned metadata joins.
+    // MLM training-example prep (BERT-style): mask 15% of tokens by
+    // content hash — deterministic, reproducible across re-runs and
+    // engines, per-position independent so the whole op is ONE map-only
+    // projection (zip_with + transform/filter over the token array, zero
+    // exchanges). Emits the masked input, the position-ordered target
+    // tokens (NULL when nothing masked — mirrored by the oracle's
+    // NULL-skipping string_agg), and the counts.
+    "corpus_mlm_mask" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), w => length(w) > 0)
+      val idx = sequence(lit(1), size(toks))
+      val z = zip_with(toks, idx, (w, i) => struct(w.as("w"),
+        (Corpus.hashBucket(
+          concat_ws("#", lit("mask"), col("doc_id"), i), 100) < 15).as("m")))
+      val hit = filter(z, s => s.getField("m"))
+      t(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(z, s =>
+          when(s.getField("m"), lit("<mask>")).otherwise(s.getField("w"))),
+          " ").as("input_text"),
+        when(size(hit) > 0,
+          array_join(transform(hit, s => s.getField("w")), " "))
+          .otherwise(lit(null)).as("targets"),
+        size(hit).cast("long").as("n_masked"),
+        size(z).cast("long").as("n_tokens"))
+        .where(col("n_tokens") > 0)
+    }),
+
+
     // Dataset card — the per-source corpus report every published corpus
     // ships (rows, token/char volume, language spread, exact-dup rate,
     // interpolated median length): per-row signals + the md5 fingerprint
@@ -1202,6 +1229,25 @@ object CorpusGates {
     // identical 64/48 windowing replayed with unnest(range) + 1-based
     // inclusive list slicing (both engines clamp the final window)
     "corpus_chunk" -> chunkOracleSql,
+
+    // same hash-chosen mask set; string_agg skips NULLs so targets is
+    // NULL when nothing masked, mirroring the gate's when/otherwise
+    "corpus_mlm_mask" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              x AS (SELECT doc_id,
+                           unnest(range(1, len(ws)+1)) AS i,
+                           unnest(ws) AS w
+                    FROM t),
+              m AS (SELECT doc_id, i, w,
+                           ('0x' || substr(md5('mask#' || CAST(doc_id AS VARCHAR)
+                              || '#' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT % 100 < 15 AS masked
+                    FROM x WHERE w <> '')
+         SELECT doc_id,
+                string_agg(CASE WHEN masked THEN '<mask>' ELSE w END, ' ' ORDER BY i) AS input_text,
+                string_agg(CASE WHEN masked THEN w END, ' ' ORDER BY i) AS targets,
+                SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+                COUNT(*) AS n_tokens
+         FROM m GROUP BY doc_id""",
 
     // exact integer sums, one division for the mean, quantile_cont
     // interpolation parity with q_percentile, md5 parity with dedup_exact
