@@ -142,6 +142,20 @@ object CoreGates {
       }.reduce(_ unionByName _)
     }),
 
+    // Z-order (Morton) clustering value — the multi-column layout lever
+    // (Delta/Iceberg OPTIMIZE ZORDER semantics): bit-interleave two
+    // quantized keys so range-partitioning the result keeps per-file
+    // min/max narrow on BOTH columns (LayoutSpec measures the skipping
+    // advantage; this gate pins the exact integer curve value per row).
+    "q_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Layout.zValue(
+          pmod(col("l_orderkey"), lit(1024L)),
+          pmod(col("l_partkey"), lit(1024L)), bits = 10).as("z"))
+    }),
+
+
     // Differential fuzz sweep: the 32 seeded predicate shapes evaluated
     // as CONDITIONAL aggregates in ONE scan (count / decimal-exact sum /
     // min / max per case), then stacked to one row per case. The oracle
@@ -1461,6 +1475,13 @@ object CoreGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical bit-interleave rendered by the same generator
+    "q_zorder" -> {
+      val z = graft.functions.Layout.zValueSql(
+        "(l_orderkey % 1024)", "(l_partkey % 1024)", bits = 10)
+      s"SELECT l_orderkey, l_linenumber, $z AS z FROM lineitem"
+    },
+
     // the same JoinFuzzCase list: both sides filtered, the equi-join
     // counted/summed per case (decimal-exact sum; empty joins yield
     // count 0 + NULL aggregates in both engines)
