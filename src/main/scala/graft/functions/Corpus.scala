@@ -919,6 +919,38 @@ object Corpus {
     (bnp(L), btot(L), bpath(L))
   }
 
+  /** MLM training-example prep (BERT-style): mask `pct`% of tokens by
+    * content hash — deterministic across re-runs, cluster layouts, and
+    * engines — as ONE map-only projection (zero exchanges). Positions are
+    * assigned over the RAW split (empties included) and empties filtered
+    * AFTER, the same order a SQL unnest produces, so messy spacing cannot
+    * desynchronize the (doc, position) hash between engines. Emits the
+    * masked input, position-ordered targets (NULL when nothing masked),
+    * and counts; documents with no tokens emit nothing. */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+      pct: Int = 15): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"mlmMask: pct must be 0..100, got $pct")
+    val raw = split(col(textCol), " ")
+    val idx = sequence(lit(1), size(raw))
+    val pos = filter(
+      zip_with(raw, idx, (w, i) => struct(w.as("w"), i.as("i"))),
+      s => length(s.getField("w")) > 0)
+    val z = transform(pos, s => struct(s.getField("w").as("w"),
+      (hashBucket(concat_ws("#", lit("mask"), col(idCol),
+        s.getField("i")), 100) < pct).as("m")))
+    val hit = filter(z, s => s.getField("m"))
+    docs.select(col(idCol).as("doc_id"),
+      array_join(transform(z, s =>
+        when(s.getField("m"), lit("<mask>")).otherwise(s.getField("w"))),
+        " ").as("input_text"),
+      when(size(hit) > 0,
+        array_join(transform(hit, s => s.getField("w")), " "))
+        .otherwise(lit(null)).as("targets"),
+      size(hit).cast("long").as("n_masked"),
+      size(z).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+  }
+
   /** Per-partition word-type memo budget shared by every word-level
     * encoder ([[bpeEncodeSeq]], the unigram encoders): a pathological
     * all-distinct partition cannot grow the cache unboundedly, and after

@@ -53,9 +53,13 @@ object Layout {
     * on either column skips most files. One range exchange (sampled
     * boundaries), the same cost class as a global sort bucketing pass. */
   def zOrderBy(df: DataFrame, a: Column, b: Column, bits: Int,
-      numPartitions: Int): DataFrame =
-    df.withColumn("_z", zValue(a, b, bits))
-      .repartitionByRange(numPartitions, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+      numPartitions: Int): DataFrame = {
+    val tmp = "_graft_zorder_tmp"
+    require(!df.columns.contains(tmp),
+      s"zOrderBy: input already has a '$tmp' column")
+    df.withColumn(tmp, zValue(a, b, bits))
+      .repartitionByRange(numPartitions, col(tmp))
+      .sortWithinPartitions(col(tmp))
+      .drop(tmp)
+  }
 }

@@ -292,22 +292,7 @@ object CorpusGates {
     // tokens (NULL when nothing masked — mirrored by the oracle's
     // NULL-skipping string_agg), and the counts.
     "corpus_mlm_mask" -> ((s, dir) => {
-      val toks = filter(split(col("text"), " "), w => length(w) > 0)
-      val idx = sequence(lit(1), size(toks))
-      val z = zip_with(toks, idx, (w, i) => struct(w.as("w"),
-        (Corpus.hashBucket(
-          concat_ws("#", lit("mask"), col("doc_id"), i), 100) < 15).as("m")))
-      val hit = filter(z, s => s.getField("m"))
-      t(s, dir, "documents").select(col("doc_id"),
-        array_join(transform(z, s =>
-          when(s.getField("m"), lit("<mask>")).otherwise(s.getField("w"))),
-          " ").as("input_text"),
-        when(size(hit) > 0,
-          array_join(transform(hit, s => s.getField("w")), " "))
-          .otherwise(lit(null)).as("targets"),
-        size(hit).cast("long").as("n_masked"),
-        size(z).cast("long").as("n_tokens"))
-        .where(col("n_tokens") > 0)
+      Corpus.mlmMask(t(s, dir, "documents"), "doc_id", "text", pct = 15)
     }),
 
 

@@ -770,4 +770,20 @@ class CorpusSpec extends AnyFunSuite {
       dim = 256, iters = 3000, lr = 5.0, maxDocs = 400)
     assert(w === w2 && b === b2)
   }
+
+  test("corpus_mlm_mask: raw-position hashing survives messy spacing (oracle order)") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    // double space: 'b' sits at RAW position 3 (the empty token keeps
+    // position 2) — masking must hash (doc, 3), the oracle's unnest order
+    val messy = Seq((7L, "a  b x y z")).toDF("doc_id", "text")
+    val out = Corpus.mlmMask(messy, "doc_id", "text", pct = 15)
+    val row = out.head()
+    val words = Seq((1, "a"), (3, "b"), (4, "x"), (5, "y"), (6, "z"))
+    val expect = words.map { case (i, w) =>
+      if (TextAnalysis.mdBucketDriver(s"mask#7#$i", 100) < 15) "<mask>" else w
+    }.mkString(" ")
+    assert(row.getAs[String]("input_text") === expect)
+    assert(row.getAs[Long]("n_tokens") === 5L)
+  }
 }
