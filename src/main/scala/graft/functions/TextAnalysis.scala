@@ -332,6 +332,47 @@ object TextAnalysis {
           lit(0.0), (a, x) => a + x) / size(col("lps"))).as("xent"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy (absolute discount
+    * d = 0.75; Kneser & Ney 1995, Chen & Goodman 1999 — public
+    * literature): the standard smoothing upgrade over the raw
+    * conditional [[bigramCrossEntropy]], which assigns unseen bigrams
+    * zero mass. Per seen type:
+    * `P_KN(w2|w1) = (c(w1,w2) − d)/c(w1·) + λ(w1)·P_cont(w2)` with
+    * `λ(w1) = d·N1+(w1·)/c(w1·)` and `P_cont(w2) = N1+(·w2)/N1+(··)`.
+    *
+    * Scale shape identical to the audit form: every KN quantity comes
+    * from the Zipf-bounded bigram-TYPE table (c2, its two marginals, a
+    * broadcast scalar type count) — never a second corpus pass; the
+    * stream pays one equi-join and folds per doc in position order (the
+    * cross-engine-stable summation). */
+  def kneserNeyCrossEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      d: Double = 0.75): DataFrame = {
+    val bg = bigramStream(docs, idCol, textCol)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("nf"))
+    val np = c2.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val nt = c2.agg(count(lit(1)).as("nt"))
+    val scored = c2.join(c1, Seq("w1")).join(np, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"),
+        (-log(
+          (col("c2").cast("double") - lit(d)) / col("c1").cast("double") +
+            (lit(d) * col("nf").cast("double") / col("c1").cast("double")) *
+              (col("np").cast("double") / col("nt").cast("double"))))
+          .as("lp"))
+    bg.join(scored, Seq("w1", "w2"))
+      .select(col("doc_id"), col("pos"), col("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+      .select(col("doc_id"), size(col("lps")).cast("long").as("n_bigrams"),
+        (aggregate(transform(col("lps"), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x) / size(col("lps"))).as("xent_kn"))
+  }
+
   /** Per-bigram-type score table: -ln(c(w1,w2)/c(w1,·)). The marginal
     * aggregates the (Zipf-bounded) bigram-type table, never the corpus
     * stream, and the division happens HERE — one row per type — so the

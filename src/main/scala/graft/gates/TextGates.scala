@@ -167,6 +167,17 @@ object TextGates {
     }),
 
 
+    // Interpolated Kneser–Ney bigram cross-entropy (d=0.75) — the
+    // standard LM smoothing over the raw conditional text_bigram_xent:
+    // discounted seen-bigram mass redistributed via continuation
+    // probability. All KN quantities from the Zipf-bounded type table;
+    // per-doc position-ordered fold (the audit-form summation parity).
+    "text_kneser_ney" -> ((s, dir) => {
+      TextAnalysis.kneserNeyCrossEntropy(t(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
+
     // Linear quality-classifier SCORING (the fastText-style scorer of
     // Dolma/FineWeb-class pipelines) under the exact-decimal contract:
     // hashed bag-of-words -> Σ decimal weights (order-independent exact
@@ -621,6 +632,28 @@ object TextGates {
                 CAST(tf.tf AS DOUBLE) *
                   ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
          FROM tf JOIN df USING (term), n""",
+
+    // same type-table CTEs + the identical parenthesized KN expression;
+    // ordered list_reduce fold = the Spark position-ordered aggregate
+    "text_kneser_ney" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           b AS (SELECT doc_id, unnest(range(0, len(w) - 1)) AS pos, w
+                 FROM s WHERE len(w) >= 2),
+           bb AS (SELECT doc_id, pos, w[pos+1] AS w1, w[pos+2] AS w2 FROM b),
+           c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bb GROUP BY 1, 2),
+           c1 AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS nf FROM c2 GROUP BY 1),
+           np AS (SELECT w2, COUNT(*) AS np FROM c2 GROUP BY 1),
+           nt AS (SELECT COUNT(*) AS nt FROM c2),
+           lp AS (SELECT bb.doc_id, bb.pos,
+                         -ln((CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(c1.c1 AS DOUBLE) +
+                             (0.75 * CAST(c1.nf AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) *
+                               (CAST(np.np AS DOUBLE) / CAST(nt.nt AS DOUBLE))) AS lp
+                  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                          JOIN np USING (w2), nt),
+           g AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
+         SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+                list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps) AS xent_kn
+         FROM g""",
 
     // the same seeded decimals as a VALUES table; SUM(DECIMAL) is exact
     // in both engines regardless of order, so only the final sigmoid is

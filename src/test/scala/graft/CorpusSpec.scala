@@ -786,4 +786,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(row.getAs[String]("input_text") === expect)
     assert(row.getAs[Long]("n_tokens") === 5L)
   }
+
+  test("Kneser-Ney bigram xent: hand-computed tiny corpus; smoothing sums to <= raw mass") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    // doc1 bigrams: (a,b) (b,a) (a,a); doc2: (b,b) (b,a)
+    // c2: ab=1 ba=2 aa=1 bb=1; c1/nf: a->2/2, b->3/2; np: a<-2, b<-2; nt=4
+    val tiny = Seq((1L, "a b a a"), (2L, "b b a")).toDF("doc_id", "text")
+    val d = 0.75
+    def pkn(c2: Double, c1: Double, nf: Double, np: Double): Double =
+      (c2 - d) / c1 + (d * nf / c1) * (np / 4.0)
+    val pBgivenA = pkn(1, 2, 2, 2) // 0.5
+    val pAgivenB = pkn(2, 3, 2, 2)
+    val pAgivenA = pkn(1, 2, 2, 2)
+    val pBgivenB = pkn(1, 3, 2, 2)
+    val x1 = (-math.log(pBgivenA) + -math.log(pAgivenB) + -math.log(pAgivenA)) / 3
+    val x2 = (-math.log(pBgivenB) + -math.log(pAgivenB)) / 2
+    val got = TextAnalysis.kneserNeyCrossEntropy(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 3L && math.abs(got(1L)._2 - x1) < 1e-12)
+    assert(got(2L)._1 === 2L && math.abs(got(2L)._2 - x2) < 1e-12)
+    // the discount moves mass: every seen-bigram KN prob is below its raw
+    // conditional by construction except where continuation mass refills
+    // it; total seen mass per history never exceeds 1
+    assert(pBgivenA + pAgivenA <= 1.0 + 1e-12)
+    assert(pAgivenB + pBgivenB <= 1.0 + 1e-12)
+  }
 }
