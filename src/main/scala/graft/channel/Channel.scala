@@ -30,7 +30,8 @@ final class MutableBuilder private[channel] () {
   private[channel] var limitN: Option[Int] = None
   private[channel] var skipN: Option[Int] = None
   private[channel] var maxTimeMs: Option[Long] = None
-  private[channel] var readPref: Option[String] = None
+  private[channel] var readPref: Option[ReadPreference] = None
+  private[channel] var readPrefError: Option[String] = None
 
   /** MQL query text — parsed immediately; failure is remembered and thrown
     * at build, as the reference stores `-\/(error)`
@@ -55,9 +56,21 @@ final class MutableBuilder private[channel] () {
     * forwarded to the connector, which fails the query on expiry. */
   def maxTimeMS(ms: Long): Unit = maxTimeMs = Some(ms)
 
-  /** T7 — read preference (reference channel/package.scala:276): forwarded
-    * to the connector and recorded store-side like a driver would route it. */
-  def readPreference(pref: String): Unit = readPref = Some(pref)
+  /** T7 — read preference (reference channel/package.scala:276): the full
+    * typed surface (mode + preferred + tag sets, mongo/package.scala:24-54),
+    * validated fail-fast and forwarded to the connector, which records the
+    * canonical mode string plus routing metadata like a driver would route
+    * it. String form accepts `secondaryPreferred[dc=east,rack=r1;dc=west]`;
+    * an invalid mode/combination is remembered and thrown at build, like a
+    * bad MQL query (reference stores `-\/(error)`). */
+  def readPreference(pref: String): Unit =
+    try { readPref = Some(ReadPreference.parse(pref)); readPrefError = None }
+    catch { case e: IllegalArgumentException => readPrefError = Some(e.getMessage) }
+
+  /** Typed overload — already-validated preference. */
+  def readPreference(pref: ReadPreference): Unit = {
+    readPref = Some(pref); readPrefError = None
+  }
 }
 
 object Channel {
@@ -68,6 +81,7 @@ object Channel {
     val b = new MutableBuilder
     f(b)
     b.parseError.foreach(e => throw new MqlParseException(e))
+    b.readPrefError.foreach(e => throw new IllegalArgumentException(e))
     if (b.pred.isEmpty)
       throw new IllegalArgumentException("Query is not set")
     val q = Q(pred = b.pred, sortKeys = b.sortKeys, skipN = b.skipN, limitN = b.limitN)
@@ -76,7 +90,7 @@ object Channel {
         var r = spark.read.format("graft.sources.mem.GraftMemSource")
           .option("collection", mem)
         b.maxTimeMs.foreach(ms => r = r.option("maxTimeMS", ms.toString))
-        b.readPref.foreach(p => r = r.option("readPreference", p))
+        b.readPref.foreach(p => r = r.option("readPreference", p.render))
         r.load()
       case None =>
         val table = b.tableName.getOrElse(
@@ -107,6 +121,7 @@ object Channel {
     val b = new MutableBuilder
     f(b)
     b.parseError.foreach(e => throw new MqlParseException(e))
+    b.readPrefError.foreach(e => throw new IllegalArgumentException(e))
     if (b.pred.isEmpty)
       throw new IllegalArgumentException("Query is not set")
     val mem = b.memCollectionName.getOrElse(
@@ -121,7 +136,7 @@ object Channel {
       .option("collection", mem)
       .option("startOffset", startOffset.toString)
     keyBy.foreach(k => r = r.option("keyColumn", k))
-    b.readPref.foreach(p => r = r.option("readPreference", p))
+    b.readPref.foreach(p => r = r.option("readPreference", p.render))
     r.load().where(b.pred.get.column)
   }
 }

@@ -142,6 +142,50 @@ object CoreGates {
       }.reduce(_ unionByName _)
     }),
 
+    // The join-fuzz sweep extended to NULL-EXTENDING join types (r13
+    // verdict #7): the SAME 8 seeded (orders-pred, lineitem-pred) pairs,
+    // each run as left/right/full outer plus left-semi/left-anti —
+    // null-extension and existence semantics are where engines disagree,
+    // and filter placement must be BEFORE the join (filtered subqueries on
+    // both engines) or an outer join silently degrades to inner. Aggregates
+    // expose the extension: COUNT(*) counts extended rows, COUNT(col)
+    // counts the side's survivors. Semi/anti mirror Spark's left_semi/
+    // left_anti via ANSI EXISTS/NOT EXISTS (null keys never match — the
+    // same rule both engines apply to the equi-condition).
+    "q_fuzz_join_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val outers = for {
+        c <- joinFuzzCases
+        jt <- Seq("left_outer", "right_outer", "full_outer")
+      } yield o.where(c.oPred)
+        .join(li.where(c.lPred), col("o_orderkey") === col("l_orderkey"), jt)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_o"),
+          count(col("l_orderkey")).as("n_l"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_lk"))
+        .select(lit(c.id).as("case_id"), lit(jt.stripSuffix("_outer")).as("jt"),
+          col("n_rows"), col("n_o"), col("n_l"), col("sum_price"),
+          col("min_ok"), col("max_lk"))
+      val exists = for {
+        c <- joinFuzzCases
+        jt <- Seq("left_semi", "left_anti")
+      } yield o.where(c.oPred)
+        .join(li.where(c.lPred), col("o_orderkey") === col("l_orderkey"), jt)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_o"),
+          min(col("o_orderkey")).as("min_ok"))
+        .select(lit(c.id).as("case_id"), lit(jt.stripPrefix("left_")).as("jt"),
+          col("n_rows"), col("n_o"), lit(0L).as("n_l"),
+          lit(null).cast("double").as("sum_price"),
+          col("min_ok"), lit(null).cast("long").as("max_lk"))
+      (outers ++ exists).reduce(_ unionByName _)
+    }),
+
     // Z-order (Morton) clustering value — the multi-column layout lever
     // (Delta/Iceberg OPTIMIZE ZORDER semantics): bit-interleave two
     // quantized keys so range-partitioning the result keeps per-file
@@ -1496,6 +1540,44 @@ object CoreGates {
             WHERE (${c.oSql}) AND (${c.lSql})"""
       }.mkString("\n          UNION ALL\n")
       cases
+    },
+
+    // same seeded pairs, same filtered-subquery placement; semi/anti as
+    // ANSI EXISTS/NOT EXISTS (Spark left_semi/left_anti equivalents under
+    // an equi-condition: null keys never match on either engine)
+    "q_fuzz_join_outer" -> {
+      def filtered(c: JoinFuzzCase) =
+        s"(SELECT * FROM orders WHERE ${c.oSql}) o " +
+          s"%JT% (SELECT * FROM lineitem WHERE ${c.lSql}) l " +
+          "ON o.o_orderkey = l.l_orderkey"
+      val outers = for {
+        c <- joinFuzzCases
+        (jt, kw) <- Seq(("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
+          ("full", "FULL JOIN"))
+      } yield
+        s"""SELECT ${c.id} AS case_id, '$jt' AS jt,
+              COUNT(*) AS n_rows,
+              COUNT(o.o_orderkey) AS n_o,
+              COUNT(l.l_orderkey) AS n_l,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              MIN(o.o_orderkey) AS min_ok,
+              MAX(l.l_orderkey) AS max_lk
+            FROM ${filtered(c).replace("%JT%", kw)}"""
+      val exists = for {
+        c <- joinFuzzCases
+        (jt, neg) <- Seq(("semi", ""), ("anti", "NOT "))
+      } yield
+        s"""SELECT ${c.id} AS case_id, '$jt' AS jt,
+              COUNT(*) AS n_rows,
+              COUNT(o_orderkey) AS n_o,
+              CAST(0 AS BIGINT) AS n_l,
+              CAST(NULL AS DOUBLE) AS sum_price,
+              MIN(o_orderkey) AS min_ok,
+              CAST(NULL AS BIGINT) AS max_lk
+            FROM (SELECT * FROM orders WHERE ${c.oSql}) o
+            WHERE ${neg}EXISTS (SELECT 1 FROM (SELECT * FROM lineitem WHERE ${c.lSql}) l
+                                WHERE o.o_orderkey = l.l_orderkey)"""
+      (outers ++ exists).mkString("\n          UNION ALL\n")
     },
 
     // generated from the SAME FuzzCase list as the gate: per case, the

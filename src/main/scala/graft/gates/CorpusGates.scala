@@ -1230,7 +1230,7 @@ object CorpusGates {
          SELECT doc_id,
                 string_agg(CASE WHEN masked THEN '<mask>' ELSE w END, ' ' ORDER BY i) AS input_text,
                 string_agg(CASE WHEN masked THEN w END, ' ' ORDER BY i) AS targets,
-                SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+                CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
                 COUNT(*) AS n_tokens
          FROM m GROUP BY doc_id""",
 
@@ -1245,11 +1245,11 @@ object CorpusGates {
            j AS (SELECT b.*, f.n_copies FROM base b JOIN fpc f USING (fp))
          SELECT source,
                 COUNT(*) AS n_docs,
-                SUM(n_tokens) AS n_tokens_total,
-                SUM(n_chars) AS n_chars_total,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
                 CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
                 COUNT(DISTINCT lang) AS n_langs,
-                SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+                CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
                 quantile_cont(n_tokens, 0.5) AS median_tokens
          FROM j GROUP BY source""",
 

@@ -811,7 +811,12 @@ class MemTable(collection: String, schema: StructType,
     // disables the deadline there too)
     val maxTimeMs =
       Option(options.get("maxTimeMS")).map(_.toLong).filter(_ > 0)
-    val readPreference = options.getOrDefault("readPreference", "primary")
+    // validated against the reference's full surface (mode + preferred +
+    // tag sets, mongo/package.scala:24-54) and normalized to its canonical
+    // render — an unknown mode or an invalid combination (plain primary
+    // with tags) fails here, before any job is planned
+    val readPreference = graft.channel.ReadPreference
+      .parse(options.getOrDefault("readPreference", "primary")).render
     val startOffset = options.getOrDefault("startOffset", "0").toLong
     val maxRowsPerTrigger =
       Option(options.get("maxRowsPerTrigger")).map(_.toLong).filter(_ > 0)
@@ -1182,9 +1187,17 @@ class MemScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     MemStore.lastPushed(collection) = pushed.toSeq
+    // routing metadata a real multi-replica connector would route by:
+    // the canonical string plus the decomposed mode / preferred / tag sets
+    val rp = graft.channel.ReadPreference.parse(readPreference)
     MemStore.lastOptions(collection) =
       maxTimeMs.map(ms => "maxTimeMS" -> ms.toString).toMap +
-        ("readPreference" -> readPreference)
+        ("readPreference" -> readPreference) +
+        ("readPreferenceMode" -> rp.mode.toString.toLowerCase) +
+        ("readPreferencePreferred" -> rp.preferred.toString) ++
+        (if (rp.tagSets.isEmpty) Map.empty[String, String]
+         else Map("readPreferenceTags" ->
+           rp.tagSets.map(_.render).mkString(";")))
     limit.foreach(MemStore.lastLimit(collection) = _)
     if (offset > 0) MemStore.lastOffset(collection) = offset
     if (topNKeys.nonEmpty)

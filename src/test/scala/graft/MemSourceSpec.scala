@@ -145,6 +145,28 @@ class MemSourceSpec extends AnyFunSuite {
     assert(load("langs").count() === 5)
     assert(MemStore.lastOptions.getOrElse("langs", Map.empty)
       .get("readPreference").contains("primary"))
+    // full reference surface (mongo/package.scala:24-54): tagged preference
+    // is validated, normalized, and decomposed into routing metadata
+    MemStore.lastOptions.remove("langs")
+    assert(spark.read.format(fmt).option("collection", "langs")
+      .option("readPreference", "secondaryPreferred[dc=east,rack=r1;dc=west]")
+      .load().count() === 5)
+    val tagged = MemStore.lastOptions.getOrElse("langs", Map.empty)
+    assert(tagged.get("readPreference")
+      .contains("secondaryPreferred[dc=east,rack=r1;dc=west]"))
+    assert(tagged.get("readPreferenceMode").contains("secondary"))
+    assert(tagged.get("readPreferencePreferred").contains("true"))
+    assert(tagged.get("readPreferenceTags").contains("dc=east,rack=r1;dc=west"))
+    // invalid mode / the reference's rejected combination fail before any
+    // job runs (IllegalArgumentException at scan build)
+    assertThrows[IllegalArgumentException] {
+      spark.read.format(fmt).option("collection", "langs")
+        .option("readPreference", "bogus").load().collect()
+    }
+    assertThrows[IllegalArgumentException] {
+      spark.read.format(fmt).option("collection", "langs")
+        .option("readPreference", "primary[dc=east]").load().collect()
+    }
   }
 
   test("unknown collection fails fast") {

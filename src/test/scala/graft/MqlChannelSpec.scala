@@ -67,6 +67,40 @@ class MqlChannelSpec extends AnyFunSuite {
     } finally MemStore.failureModes.remove("channel_langs")
   }
 
+  test("T7 typed read preference: tag sets recorded; invalid modes fail at build") {
+    import graft.channel.{ReadPreference, ReplicaTagSet}
+    import graft.sources.mem.MemStore
+    MemStore.lastOptions.remove("channel_langs")
+    Channel.create(spark, sfDir) { b =>
+      b.q("""{ "index": { "$gte": 0 } }""")
+      b.memCollection("channel_langs")
+      b.readPreference(ReadPreference.Nearest.tags(
+        List(ReplicaTagSet(List("dc" -> "east")))))
+    }.collect()
+    val opts = MemStore.lastOptions.getOrElse("channel_langs", Map.empty)
+    assert(opts.get("readPreference").contains("nearest[dc=east]"))
+    assert(opts.get("readPreferenceMode").contains("nearest"))
+    assert(opts.get("readPreferenceTags").contains("dc=east"))
+    // string path: an unknown mode is remembered and thrown at build —
+    // the same deferred fail-fast as a bad MQL query — without planning
+    val e = intercept[IllegalArgumentException] {
+      Channel.create(spark, sfDir) { b =>
+        b.q("""{ "index": { "$gte": 0 } }""")
+        b.memCollection("channel_langs")
+        b.readPreference("sometimesPrimary")
+      }
+    }
+    assert(e.getMessage.contains("sometimesPrimary"))
+    // the reference's rejected combination travels the same path
+    assertThrows[IllegalArgumentException] {
+      Channel.create(spark, sfDir) { b =>
+        b.q("""{ "index": { "$gte": 0 } }""")
+        b.memCollection("channel_langs")
+        b.readPreference("primary[dc=east]")
+      }
+    }
+  }
+
   test("MQL dotted paths address nested struct fields (reference dotted-field grammar)") {
     import spark.implicits._
     val nested = Seq((1, 30), (2, 15)).toDF("id", "age")
