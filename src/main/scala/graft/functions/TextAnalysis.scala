@@ -267,9 +267,14 @@ object TextAnalysis {
     val tf = stream.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // NULL text must contribute dl=0, not Spark's size(null) = -1 (legacy
+    // sizeOfNull): a corpus with null rows would silently skew avgdl — and
+    // DuckDB's SUM skips the NULL, so the engines would diverge too. The
+    // doc still counts in n_docs, mirroring SUM(NULL-skipped)/COUNT(*).
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      (sum(dl).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      (sum(when(col(textCol).isNull, lit(0L)).otherwise(dl)).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
     val idf = log(
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0))

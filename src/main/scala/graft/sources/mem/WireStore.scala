@@ -762,6 +762,14 @@ object MemWireServer {
         out = new BufferedWriter(new OutputStreamWriter(
           deflateOut, java.nio.charset.StandardCharsets.UTF_8))
       }
+      // binary-mode detection gets the same pre-parse probe: if the
+      // request line itself fails to parse, the error reply must already
+      // be an 0x02 frame for a rowfmt=bin client — a text '!' line would
+      // surface as "unknown frame tag 33" and lose the diagnostic, the
+      // exact misframing the error frame exists to prevent. Same
+      // unambiguity argument as above: quotes inside rendered string
+      // literals are escaped, so the exact text cannot occur in a name.
+      if (req.contains("\"rowfmt\":\"bin\"")) binaryMode = true
       val fields = WireJson.parse(req) match {
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
         case other => throw new IllegalArgumentException(
@@ -782,7 +790,9 @@ object MemWireServer {
         out = new BufferedWriter(new OutputStreamWriter(
           deflateOut, java.nio.charset.StandardCharsets.UTF_8))
       }
-      binaryMode = fields.get("rowfmt").contains("bin")
+      // authoritative (covers whitespace spellings the probe missed);
+      // OR — the probe's positive can only be a genuine request field
+      binaryMode = binaryMode || fields.get("rowfmt").contains("bin")
       // one sink for binary frames: through the deflater when installed
       def binSink: java.io.OutputStream =
         if (deflateOut != null) deflateOut else counting

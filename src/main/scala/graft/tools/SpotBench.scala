@@ -162,8 +162,11 @@ object SpotBench {
       }
       System.err.println(s"[spot] round $r/$rounds done")
     }
+    // even-sized lists (a timeout killed one round) take the LOWER middle
+    // element: size/2 would pin 2-round survivors at their WORST clean
+    // reading (ADVICE r13)
     def median(xs: List[Double]): Option[Double] =
-      if (xs.isEmpty) None else Some(xs.sorted.apply(xs.size / 2))
+      if (xs.isEmpty) None else Some(xs.sorted.apply((xs.size - 1) / 2))
     def spread(xs: List[Double]): Option[Double] =
       if (xs.size < 2 || xs.min <= 0) None else Some(xs.max / xs.min)
 

@@ -641,6 +641,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(res(3L)._3 > res(1L)._3 && res(3L)._3 < 2.0 * res(1L)._3)
     // absent term emits no row
     assert(TextAnalysis.bm25(tiny, "doc_id", "text", Seq("zz")).count() === 0)
+    // NULL text contributes dl=0 to avgdl (not Spark's size(null) = -1,
+    // ADVICE r13) while still counting in N: avgdl = 16/4, N=4, df=3
+    val withNull = tiny.union(Seq((4L, Option.empty[String]))
+      .toDF("doc_id", "text"))
+    val nres = TextAnalysis.bm25(withNull, "doc_id", "text", Seq("a"),
+      k1 = 1.2, b = 0.75).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val idf4 = math.log((4.0 - 3.0 + 0.5) / (3.0 + 0.5) + 1.0)
+    def tfNorm4(tf: Double, dl: Double): Double =
+      (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (16.0 / 4.0)))
+    assert(nres.keySet === Set(1L, 2L, 3L)) // the null doc emits no row
+    assert(math.abs(nres(1L) - idf4 * tfNorm4(2.0, 4.0)) < 1e-12)
   }
 
   test("unigramSegment: DP optimum and every tie-break on a hand table") {

@@ -459,6 +459,27 @@ class MemWireSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("closed mid-stream"), e.getMessage)
   }
 
+  test("a malformed rowfmt=bin request line still gets an 0x02 error frame (ADVICE r13)") {
+    // the request itself fails WireJson.parse, so binaryMode cannot come
+    // from the parsed fields — the raw-substring probe must detect it, or
+    // the client reads a text '!' line as "unknown frame tag 33" and the
+    // server's diagnostic is lost to misframing
+    val sock = new java.net.Socket("127.0.0.1", server.port)
+    try {
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      out.write("""{"op":"query","rowfmt":"bin","collection": BROKEN""")
+      out.write('\n'); out.flush()
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      assert(in.readByte() === 0x02.toByte)
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val msg = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      assert(msg.nonEmpty)
+    } finally sock.close()
+  }
+
   test("schema change under a cached client: refused by fingerprint, healed by re-prepare") {
     import org.apache.spark.sql.types._
     val client = new SocketStoreClient("127.0.0.1", server.port)
