@@ -50,6 +50,45 @@ object TextNormalize {
   def normalize(text: Column, boilerplate: String = defaultBoilerplate): Column =
     collapseWhitespace(foldCase(nfc(stripBoilerplate(text, boilerplate))))
 
+  /** PII patterns, in scrub order. Every pattern is BOTH-ENGINE-SAFE
+    * regex (Java and RE2: no lookaround, no backreferences, ASCII classes
+    * only) so the oracle replays the identical passes verbatim:
+    *  - email: local@domain.tld (letters/digits/._%+- local part)
+    *  - phone: international-ish +CC NNN[-]NNNN (requires the '+' so bare
+    *    numbers — ids, quantities — never over-redact; NO optional
+    *    trailing group — without lookahead it would greedily eat a
+    *    following unrelated number, e.g. an IP's first octet)
+    *  - ipv4: dotted quad, word-bounded
+    * Order matters and is part of the contract: emails first (their
+    * domains may contain digit runs), then phones, then IPs. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+\\d{1,3}[ -]\\d{3}[ -]?\\d{3,4}", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII scrub — the redaction stage every published-corpus pipeline runs
+    * (C4/Dolma-style): replace emails, phone numbers, and IPv4 literals
+    * with typed placeholder tokens and count what was redacted per
+    * category. ONE map-only projection (three sequential codegen'd
+    * regexp_replace passes + three regexp_count probes), zero exchanges
+    * at any scale. Counts are probed per category on the text as the
+    * PRIOR passes left it — the same text the replace pass sees — so
+    * `n_<cat>` is exactly the number of substitutions that pass made. */
+  def piiScrub(text: Column): Column = {
+    val scrubbed = piiPatterns.foldLeft(text) { case (t, (_, re, tok)) =>
+      regexp_replace(t, re, tok)
+    }
+    val counts = piiPatterns.scanLeft(text -> Option.empty[Column]) {
+      case ((t, _), (_, re, tok)) =>
+        regexp_replace(t, re, tok) -> Some(regexp_count(t, lit(re)))
+    }.collect { case (_, Some(c)) => c }
+    struct(
+      scrubbed.as("text"),
+      counts(0).cast("long").as("n_email"),
+      counts(1).cast("long").as("n_phone"),
+      counts(2).cast("long").as("n_ip"))
+  }
+
   /** Canonical URL for dedup keying — the FIRST dedup stage of web-scale
     * corpora (CCNet/FineWeb dedupe by canonical URL before any text
     * pass): lowercase host with a leading `www.` stripped, path with the

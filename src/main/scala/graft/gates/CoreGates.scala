@@ -119,7 +119,127 @@ object CoreGates {
     }
   }
 
+  /** Window-function fuzz: seeded lockstep (Column, SQL) generation over
+    * the ANALYTIC grammar — partition key × order key/direction × function
+    * (row_number/rank/dense_rank/ntile/sum/count/min/lag) × ROWS frame.
+    * Frames and ranking are the classic cross-engine divergence area
+    * (frame clamping at partition edges, tie handling, lag defaults).
+    * Determinism rules: ranking over ties (rank/dense_rank) is inherently
+    * deterministic in the VALUE; everything row-addressed (row_number,
+    * frames, lag, ntile) gets the unique (l_orderkey, l_linenumber)
+    * tie-break appended so both engines see one total order. All window
+    * values are BIGINT (money goes through exact cents), so the per-case
+    * checksum row (count/sum/weighted-sum/min/max) is integer-exact.
+    * Weighted sum stays < 2^63 through sf1 (~2.7e18); re-derive before
+    * any sf10 run. */
+  private[graft] final case class WinFuzzCase(
+      id: Int, value: org.apache.spark.sql.Column, valueSql: String)
+
+  private[graft] lazy val winFuzzCases: Seq[WinFuzzCase] = {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(140261L)
+    val parts = Seq[(String, org.apache.spark.sql.Column)](
+      ("l_returnflag", col("l_returnflag")),
+      ("l_linestatus", col("l_linestatus")),
+      ("l_orderkey % 8", col("l_orderkey") % 8),
+      ("l_suppkey % 16", col("l_suppkey") % 16))
+    val ords = Seq[(String, org.apache.spark.sql.Column)](
+      ("l_quantity", col("l_quantity")),
+      ("l_extendedprice", col("l_extendedprice")),
+      ("l_discount", col("l_discount")),
+      ("l_linenumber", col("l_linenumber")))
+    // exact cents of l_quantity: decimal(18,2) * 100 -> BIGINT, the
+    // money() discipline so framed SUMs are integer-exact cross-engine
+    val cents = (money(col("l_quantity")) * 100).cast("long")
+    val centsSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    val frames = Seq[(String, (Long, Long))](
+      ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        (Window.unboundedPreceding, Window.currentRow)),
+      ("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW", (-2L, 0L)),
+      ("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING", (-1L, 1L)),
+      ("ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        (0L, Window.unboundedFollowing)))
+    (0 until 12).map { i =>
+      val (pSql, pCol) = parts(rnd.nextInt(parts.length))
+      val (oSql0, oCol0) = ords(rnd.nextInt(ords.length))
+      val desc = rnd.nextBoolean()
+      val oCol = if (desc) oCol0.desc else oCol0.asc
+      val oSql = if (desc) s"$oSql0 DESC" else oSql0
+      // "total" order for everything row-addressed. (l_orderkey,
+      // l_linenumber) is NOT unique in the synthetic lineitem, so the
+      // tie-break chain covers EVERY column the window value or weight
+      // can reference — remaining ties are rows identical in all of
+      // them, under which the per-case checksum (a multiset reduction
+      // of (v, wt) pairs) is invariant to tie order on both engines.
+      val wTotal = Window.partitionBy(pCol)
+        .orderBy(oCol, col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc, col("l_quantity").asc,
+          col("l_extendedprice").asc, col("l_discount").asc)
+      val totalSql = s"PARTITION BY $pSql ORDER BY $oSql, l_orderkey, " +
+        "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, " +
+        "l_discount"
+      // ties allowed: rank values depend only on the order KEY
+      val wTies = Window.partitionBy(pCol).orderBy(oCol)
+      val tiesSql = s"PARTITION BY $pSql ORDER BY $oSql"
+      def framed(fi: Int) = {
+        val (fSql, (lo, hi)) = frames(fi)
+        (wTotal.rowsBetween(lo, hi), s"$totalSql $fSql")
+      }
+      rnd.nextInt(8) match {
+        case 0 => WinFuzzCase(i, row_number().over(wTotal).cast("long"),
+          s"CAST(ROW_NUMBER() OVER ($totalSql) AS BIGINT)")
+        case 1 => WinFuzzCase(i, rank().over(wTies).cast("long"),
+          s"CAST(RANK() OVER ($tiesSql) AS BIGINT)")
+        case 2 => WinFuzzCase(i, dense_rank().over(wTies).cast("long"),
+          s"CAST(DENSE_RANK() OVER ($tiesSql) AS BIGINT)")
+        case 3 =>
+          val n = 2 + rnd.nextInt(9)
+          WinFuzzCase(i, ntile(n).over(wTotal).cast("long"),
+            s"CAST(NTILE($n) OVER ($totalSql) AS BIGINT)")
+        case 4 =>
+          val (w, ws) = framed(rnd.nextInt(frames.length))
+          WinFuzzCase(i, sum(cents).over(w),
+            s"SUM($centsSql) OVER ($ws)")
+        case 5 =>
+          val (w, ws) = framed(rnd.nextInt(frames.length))
+          WinFuzzCase(i, count(lit(1)).over(w),
+            s"COUNT(*) OVER ($ws)")
+        case 6 =>
+          val (w, ws) = framed(rnd.nextInt(frames.length))
+          WinFuzzCase(i, min(col("l_orderkey")).over(w),
+            s"MIN(l_orderkey) OVER ($ws)")
+        case _ =>
+          val k = 1 + rnd.nextInt(3)
+          WinFuzzCase(i, lag(cents, k).over(wTotal),
+            s"LAG($centsSql, $k) OVER ($totalSql)")
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The fuzz sweep extended to the ANALYTIC grammar: 12 seeded window
+    // cases (see winFuzzCases) each reduced to one integer-exact checksum
+    // row — count/sum/orderkey-weighted-sum/min/max of the window value —
+    // so a frame-clamping or tie-handling divergence anywhere in 600k
+    // window evaluations fails the hash naming the case id. One window
+    // pass + one aggregate per case; each case Catalyst-planned
+    // independently (the window exec itself is under test).
+    "q_fuzz_window" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      winFuzzCases.map { c =>
+        li.select(c.value.as("v"),
+            (col("l_orderkey") % 97 + 1).as("wt"))
+          .agg(
+            count(col("v")).as("n_rows"),
+            sum(col("v")).as("sum_v"),
+            sum(col("v") * col("wt")).as("chk"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_v"),
+            col("chk"), col("min_v"), col("max_v"))
+      }.reduce(_ unionByName _)
+    }),
 
     // The fuzz sweep extended to JOINS: each seeded case filters both
     // sides and counts/sums the o_orderkey = l_orderkey equi-join —
@@ -1579,6 +1699,21 @@ object CoreGates {
                                 WHERE o.o_orderkey = l.l_orderkey)"""
       (outers ++ exists).mkString("\n          UNION ALL\n")
     },
+
+    // generated from the SAME WinFuzzCase list: identical window text,
+    // identical checksum aggregates; BIGINT casts keep DuckDB's
+    // HUGEINT-returning SUM off the hash surface
+    "q_fuzz_window" -> winFuzzCases.map { c =>
+      s"""SELECT ${c.id} AS case_id,
+            COUNT(v) AS n_rows,
+            CAST(SUM(v) AS BIGINT) AS sum_v,
+            CAST(SUM(v * wt) AS BIGINT) AS chk,
+            MIN(v) AS min_v,
+            MAX(v) AS max_v
+          FROM (SELECT CAST(${c.valueSql} AS BIGINT) AS v,
+                       l_orderkey % 97 + 1 AS wt
+                FROM lineitem)"""
+    }.mkString("\n          UNION ALL\n"),
 
     // generated from the SAME FuzzCase list as the gate: per case, the
     // identical machine-made predicate inside the identical conditional

@@ -157,6 +157,33 @@ object TextGates {
     }),
 
 
+    // PII scrub: the redaction stage every published-corpus pipeline runs
+    // (C4/Dolma-style). Same staging discipline as text_strip_html: both
+    // engines build the IDENTICAL pii-bearing string from doc_id (email ×
+    // 1-2, phone, ipv4), then the scrub's three sequential RE2-safe
+    // regexp_replace passes redact it, with per-category counts probed on
+    // the text exactly as the prior pass left it. Map-only, per-row at
+    // the scan, zero exchanges at any scale.
+    "text_pii_scrub" -> ((s, dir) => {
+      val enriched = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" alt b"), col("doc_id").cast("string"),
+            lit("@foo.org"))).otherwise(lit("")),
+        lit(" call +1 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextNormalize.piiScrub(enriched).as("s"))
+        .select(col("doc_id"), col("s.text").as("text"),
+          col("s.n_email").as("n_email"), col("s.n_phone").as("n_phone"),
+          col("s.n_ip").as("n_ip"))
+    }),
+
+
     // Per-(doc, term) TF-IDF (keyword extraction / lexical retrieval
     // weight): integer tf & df aggregation, one equi-join against the
     // Zipf-bounded term table, broadcast scalar N — the only floating
@@ -810,6 +837,30 @@ object TextGates {
                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
                   '\s+', ' ', 'g'))) AS n_clean_chars
          FROM h""",
+
+    // identical staged string, identical three-pass scrub; counts probed
+    // on t0/t1/t2 — the text exactly as the prior pass left it — and
+    // CAST to BIGINT (len() is INT, and the gate emits long)
+    "text_pii_scrub" ->
+      """WITH enriched AS (SELECT doc_id,
+              text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' alt b' || doc_id || '@foo.org' ELSE '' END
+              || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS t0
+            FROM documents),
+           p1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+            FROM enriched),
+           p2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '\+\d{1,3}[ -]\d{3}[ -]?\d{3,4}', '<PHONE>', 'g') AS t2
+            FROM p1)
+         SELECT doc_id,
+                regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+                CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(t1, '\+\d{1,3}[ -]\d{3}[ -]?\d{3,4}')) AS BIGINT) AS n_phone,
+                CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+         FROM p2""",
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -65,4 +65,31 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(canon("B.ORG/y/") === "b.org/y")
     assert(canon("a.com/x") !== canon("b.org/y"))
   }
+
+  test("piiScrub: redacts email/phone/ipv4 with typed tokens and exact counts") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def scrub(s: String): (String, Long, Long, Long) = {
+      val r = Seq(s).toDF("t")
+        .select(TextNormalize.piiScrub(col("t")).as("s"))
+        .select("s.text", "s.n_email", "s.n_phone", "s.n_ip").head()
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(scrub("mail a.b+c@ex-1.co.uk now") ===
+      (("mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(scrub("call +44 123-4567 or +1 555 0100") ===
+      (("call <PHONE> or <PHONE>", 0L, 2L, 0L)))
+    assert(scrub("host 192.168.0.1 up") === (("host <IP> up", 0L, 0L, 1L)))
+    // all three in one pass, scrub order email -> phone -> ip
+    assert(scrub("x@y.io +1 555-0123 10.0.0.7") ===
+      (("<EMAIL> <PHONE> <IP>", 1L, 1L, 1L)))
+    // no over-redaction: bare numbers, version strings, decimals survive
+    assert(scrub("v1.2 build 3.14159 qty 555 0100") ===
+      (("v1.2 build 3.14159 qty 555 0100", 0L, 0L, 0L)))
+    // a digit-bearing email domain is consumed by the EMAIL pass, so the
+    // later ip pass cannot see its digits (ordering contract)
+    assert(scrub("u@10.0.0.7.example.com") === (("<EMAIL>", 1L, 0L, 0L)))
+    // dotted quad glued inside a longer dotted run stays (word boundary)
+    assert(scrub("ip 10.0.0.7 ok") === (("ip <IP> ok", 0L, 0L, 1L)))
+  }
 }
