@@ -216,6 +216,59 @@ object CoreGates {
     }
   }
 
+  /** Date-fuzz cases: seeded lockstep (Column, SQL) generation over the
+    * CALENDAR grammar — shift (none / ±days / ±months) composed with a
+    * terminal (days-since-epoch, datediff to a fixed date, field extract,
+    * date_trunc, last_day, day-of-week). Calendar arithmetic is a classic
+    * cross-engine divergence area: month-add end-of-month clamping, ISO
+    * week numbering, day-of-week origin (Spark `dayofweek` is 1=Sunday,
+    * DuckDB 0=Sunday — the generator emits the aligned forms), and
+    * DATE-vs-TIMESTAMP result types of interval adds (DuckDB
+    * DATE + INTERVAL yields TIMESTAMP; the SQL re-casts). Every value is
+    * an integer (days or a field number), so the per-case checksum row is
+    * exact. o_orderdate is stored as TIMESTAMP in the testdata — both
+    * engines start from an explicit CAST to DATE. */
+  private[graft] final case class DateFuzzCase(
+      id: Int, value: org.apache.spark.sql.Column, valueSql: String)
+
+  private[graft] lazy val dateFuzzCases: Seq[DateFuzzCase] = {
+    val rnd = new scala.util.Random(20261408L)
+    val epoch = to_date(lit("1970-01-01"))
+    (0 until 16).map { i =>
+      val d0 = col("o_orderdate").cast("date")
+      val d0Sql = "CAST(o_orderdate AS DATE)"
+      val (d, dSql) = rnd.nextInt(3) match {
+        case 0 => (d0, d0Sql)
+        case 1 =>
+          val k = rnd.nextInt(801) - 400
+          (date_add(d0, k), s"($d0Sql + ($k))")
+        case _ =>
+          val k = rnd.nextInt(51) - 25
+          (add_months(d0, k), s"CAST($d0Sql + INTERVAL ($k) MONTH AS DATE)")
+      }
+      val (v, vSql) = rnd.nextInt(6) match {
+        case 0 => (datediff(d, epoch), s"($dSql - DATE '1970-01-01')")
+        case 1 => (datediff(d, to_date(lit("1996-06-15"))),
+          s"($dSql - DATE '1996-06-15')")
+        case 2 =>
+          val fields = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+            ("year", year), ("month", month), ("day", dayofmonth),
+            ("quarter", quarter), ("dayofyear", dayofyear),
+            ("weekofyear", weekofyear))
+          val (fSql, f) = fields(rnd.nextInt(fields.length))
+          (f(d), s"$fSql($dSql)")
+        case 3 =>
+          val u = Seq("month", "quarter", "year")(rnd.nextInt(3))
+          (datediff(trunc(d, u), epoch),
+            s"(date_trunc('$u', $dSql) - DATE '1970-01-01')")
+        case 4 => (datediff(last_day(d), epoch),
+          s"(last_day($dSql) - DATE '1970-01-01')")
+        case _ => (dayofweek(d) - 1, s"dayofweek($dSql)")
+      }
+      DateFuzzCase(i, v.cast("long"), s"CAST($vSql AS BIGINT)")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The fuzz sweep extended to the ANALYTIC grammar: 12 seeded window
@@ -230,6 +283,26 @@ object CoreGates {
       winFuzzCases.map { c =>
         li.select(c.value.as("v"),
             (col("l_orderkey") % 97 + 1).as("wt"))
+          .agg(
+            count(col("v")).as("n_rows"),
+            sum(col("v")).as("sum_v"),
+            sum(col("v") * col("wt")).as("chk"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_v"),
+            col("chk"), col("min_v"), col("max_v"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // The fuzz sweep extended to CALENDAR arithmetic (see dateFuzzCases):
+    // 16 seeded shift×terminal date expressions evaluated over every
+    // order date and reduced to one integer-exact checksum row each —
+    // month-clamping, ISO weeks, or DOW-origin divergence anywhere in
+    // 2.4M date evaluations fails the hash naming the case id.
+    "q_fuzz_dates" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      dateFuzzCases.map { c =>
+        o.select(c.value.as("v"), (col("o_orderkey") % 97 + 1).as("wt"))
           .agg(
             count(col("v")).as("n_rows"),
             sum(col("v")).as("sum_v"),
@@ -464,6 +537,31 @@ object CoreGates {
             .otherwise(lit("upsert")))
       graft.operators.EventLog.applyChangelog(log, "user_id", "ts",
           "event_id", "op", "delete", payload = Seq("event_type", "value"))
+        .select(col("user_id"), col("event_id"), col("op"),
+          col("event_type"), col("value"))
+    }),
+
+
+    // Snapshot AS OF — time travel over the SAME changelog as
+    // s29_changelog_apply: the state the log described at
+    // 2024-01-15T00:00Z (mid-corpus; epoch 1705276800000000 µs). Events
+    // after the bound — including deletes — have not happened yet, so a
+    // key deleted later is PRESENT here and a key inserted later is
+    // absent. The bound is a plain pushable predicate ahead of the
+    // identical one-shuffle max(struct) fold
+    // ([[graft.operators.EventLog.snapshotAsOf]]); ordering rides the
+    // epoch-µs rendering of ts (drift-proof across testdata eras).
+    "s31_snapshot_asof" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(Tables.tsFromNanos(col("ts"))).as("ts_us"),
+          col("event_type"), col("value"))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")))
+      EventLog.snapshotAsOf(log, "user_id", "ts_us", "event_id", "op",
+          "delete", payload = Seq("event_type", "value"),
+          asOf = lit(1705276800000000L))
         .select(col("user_id"), col("event_id"), col("op"),
           col("event_type"), col("value"))
     }),
@@ -1715,6 +1813,22 @@ object CoreGates {
                 FROM lineitem)"""
     }.mkString("\n          UNION ALL\n"),
 
+    // generated from the SAME DateFuzzCase list as the gate — both
+    // engines evaluate machine-identical calendar expressions (the Spark
+    // Column tree and this SQL come from one generator, aligned where the
+    // engines' builtin semantics differ: DOW origin, interval-add types)
+    "q_fuzz_dates" -> dateFuzzCases.map { c =>
+      s"""SELECT ${c.id} AS case_id,
+            COUNT(v) AS n_rows,
+            CAST(SUM(v) AS BIGINT) AS sum_v,
+            CAST(SUM(v * wt) AS BIGINT) AS chk,
+            MIN(v) AS min_v,
+            MAX(v) AS max_v
+          FROM (SELECT ${c.valueSql} AS v,
+                       o_orderkey % 97 + 1 AS wt
+                FROM orders)"""
+    }.mkString("\n          UNION ALL\n"),
+
     // generated from the SAME FuzzCase list as the gate: per case, the
     // identical machine-made predicate inside the identical conditional
     // aggregates (COUNT / decimal-exact SUM / MIN / MAX), one row each
@@ -2089,6 +2203,21 @@ object CoreGates {
                       FROM events),
               r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                       ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM log)
+         SELECT user_id, event_id, op, event_type, value
+         FROM r WHERE rn = 1 AND op <> 'delete'""",
+
+    // s29's latest-wins fold restricted to the log prefix <= the AS OF
+    // bound — time travel: later deletes have not happened yet
+    "s31_snapshot_asof" ->
+      """WITH log AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                             event_type, value,
+                             CASE WHEN event_type = 'error' THEN 'delete'
+                                  ELSE 'upsert' END AS op
+                      FROM events
+                      WHERE epoch_us(ts) <= 1705276800000000),
+              r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us DESC, event_id DESC) AS rn
                     FROM log)
          SELECT user_id, event_id, op, event_type, value
          FROM r WHERE rn = 1 AND op <> 'delete'""",

@@ -92,4 +92,28 @@ object EventLog {
       .where(col(s"last.$opCol") =!= deleteOp)
       .select(col(keyCol) +: ordered.map(c => col(s"last.$c").as(c)): _*)
   }
+
+  /** Snapshot AS OF — time travel over the changelog: the table state the
+    * log described at time `asOf` (Delta/Iceberg `VERSION AS OF` semantics
+    * expressed against the raw log instead of committed snapshots). It is
+    * [[applyChangelog]] over the log restricted to `tsCol <= asOf`: events
+    * after the bound — including deletes — have not happened yet, so a key
+    * deleted later is PRESENT in the snapshot and a key inserted later is
+    * absent.
+    *
+    * Scale shape: the time bound is an ordinary pushable predicate — on a
+    * log laid out by time (partitioned or z-ordered on `tsCol`) the scan
+    * prunes to the prefix ≤ asOf before the same one-shuffle max(struct)
+    * fold as [[applyChangelog]]. No snapshot index is required. */
+  def snapshotAsOf(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      opCol: String,
+      deleteOp: String,
+      payload: Seq[String],
+      asOf: Column): DataFrame =
+    applyChangelog(log.where(col(tsCol) <= asOf), keyCol, tsCol, tieCol,
+      opCol, deleteOp, payload)
 }

@@ -357,12 +357,21 @@ class MemWireSpec extends AnyFunSuite {
   test("deflate: compressed responses serve identical rows in measurably fewer bytes") {
     val plain = new SocketStoreClient("127.0.0.1", server.port)
     val z = new SocketStoreClient("127.0.0.1", server.port, deflate = true)
+    // the server bumps bytesShipped AFTER flushing the reply, so the client
+    // can observe the full response a beat before the counter exists — poll
+    // instead of reading immediately (the one timing dependence in the spec)
+    def shippedBytes(coll: String): Long = {
+      val deadline = System.nanoTime() + 5000000000L
+      while (!MemWireServer.bytesShipped.contains(coll) &&
+             System.nanoTime() < deadline) Thread.sleep(10)
+      MemWireServer.bytesShipped(coll).get()
+    }
     MemWireServer.bytesShipped.remove("wire_programmers")
     val a = plain.rows("wire_programmers", 0, 100).toSeq
-    val plainBytes = MemWireServer.bytesShipped("wire_programmers").get()
+    val plainBytes = shippedBytes("wire_programmers")
     MemWireServer.bytesShipped.remove("wire_programmers")
     val b = z.rows("wire_programmers", 0, 100).toSeq
-    val zBytes = MemWireServer.bytesShipped("wire_programmers").get()
+    val zBytes = shippedBytes("wire_programmers")
     assert(a === b, "compressed and plain cursors must serve identical rows")
     assert(plainBytes > 0 && zBytes > 0 && zBytes < plainBytes,
       s"deflate must shrink the wire: $plainBytes plain vs $zBytes deflated")
