@@ -308,6 +308,49 @@ object Corpus {
         col("col").as("chunk_text"))
   }
 
+  /** Content-defined chunking (FastCDC-style; Xia et al. 2016) — the
+    * OTHER chunker next to [[chunkTokens]]'s fixed windows: boundaries
+    * are placed where a rolling gear hash of the trailing `window`
+    * codepoints ≡ 0 (mod `modulus`), clamped to [minLen, maxLen]. A
+    * one-codepoint edit shifts every fixed-size chunk after it but only
+    * the one or two content-defined chunks covering the edit, so
+    * chunk-hash dedup (group by `chunk_hash`) stays stable under local
+    * edits — the property chunk-level dedup needs on near-duplicate
+    * crawl text.
+    *
+    * Scale shape: the boundary walk is ONE streaming pass per document
+    * inside a codegen'd expression ([[graft.expressions.CdcChunkBounds]];
+    * O(n) time, O(window) state) — map-only, zero shuffle, no
+    * codepoint-level explode. The relational equivalent (explode one row
+    * per character + window sum + iterative walk) survives only as the
+    * test-scale oracle.
+    *
+    * Output: one row per chunk — (doc_id, chunk_idx, chunk_start,
+    * chunk_end (1-based codepoint offsets, end exclusive→`(start, end]`),
+    * chunk_len, chunk_hash = md5 of the chunk substring). */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 16,
+      modulus: Int = 32,
+      minLen: Int = 24,
+      maxLen: Int = 96): DataFrame = {
+    import graft.expressions.CdcFunctions.cdc_chunk_bounds
+    docs
+      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        posexplode(cdc_chunk_bounds(col(textCol), window, modulus,
+          minLen, maxLen)).as(Seq("chunk_idx", "b")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("b.start").cast("long").as("chunk_start"),
+        col("b.end").cast("long").as("chunk_end"),
+        (col("b.end") - col("b.start")).cast("long").as("chunk_len"),
+        md5(col("_t").substr(col("b.start") + 1,
+          col("b.end") - col("b.start"))).as("chunk_hash"))
+  }
+
   /** Vocabulary build — the step before any tokenizer/embedding-table
     * training: corpus term counts, hapax-filtered at `minCount`, assigned
     * deterministic dense ids 1..V by (count DESC, term ASC) frequency rank.
@@ -756,6 +799,128 @@ object Corpus {
         }
       }
     }(enc)
+  }
+
+  /** WordPiece piece inventory — the BERT-family tokenizer's vocabulary,
+    * built by a deterministic frequency rule instead of the original
+    * likelihood training (which is implementation-defined): every single
+    * codepoint occurring in any word, plus the top-`k` substrings of
+    * length 2..`maxPieceLen` by corpus occurrence weight (each substring
+    * position of each word counts once per word occurrence), total-ordered
+    * by (weight DESC, piece ASC) so the cut at `k` is deterministic.
+    *
+    * Scale shape: the only corpus-sized work is the word-count partial
+    * aggregate; substring explosion runs over word TYPES (vocabulary-
+    * bounded — Heaps' law, not corpus-sized) weighted by the counts, and
+    * the top-k is a TakeOrderedAndProject, never a global window. Singles
+    * are kept unconditionally so greedy encoding can always advance.
+    *
+    * Output: (piece, weight, kind 'char'|'sub'). */
+  def wordpieceVocab(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 150,
+      maxPieceLen: Int = 6): DataFrame = {
+    val wc = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val chars = wc
+      .select(explode(filter(split(col("w"), ""), c => length(c) > 0)).as("piece"),
+        col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+      .select(col("piece"), col("weight"), lit("char").as("kind"))
+    val subs = wc
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("cnt"), col("p"),
+        explode(sequence(lit(2), lit(maxPieceLen))).as("l"))
+      .where(col("p") + col("l") - 1 <= length(col("w")))
+      .select(col("w").substr(col("p"), col("l")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+      .orderBy(col("weight").desc, col("piece").asc)
+      .limit(k)
+      .select(col("piece"), col("weight"), lit("sub").as("kind"))
+    chars.unionByName(subs)
+  }
+
+  /** WordPiece greedy encode — longest-match-first over the
+    * [[wordpieceVocab]] inventory, the BERT tokenization algorithm
+    * (Devlin et al. 2019; the matcher, not the likelihood trainer): at
+    * each position take the LONGEST vocab piece that prefixes the rest of
+    * the word; pieces after the first render with the `##` continuation
+    * marker; a word with an unmatchable position becomes `[UNK]` whole
+    * (the standard WordPiece failure mode — with singles in the
+    * inventory it only fires on words with codepoints unseen at build
+    * time). Greedy differs from BPE's merge replay on real text, which is
+    * why it earns its own operator rather than a vocab swap.
+    *
+    * Scale shape: the corpus work is posexplode + ONE broadcast join +
+    * the bounded per-document reassembly (the [[tokenizeToIds]]
+    * discipline); the sequential matcher runs once per word TYPE over
+    * `mapPartitions` with the piece set broadcast in the closure
+    * (tokenizer-budget-bounded), amortizing to O(1) per corpus token.
+    *
+    * Output: (doc_id, n_pieces, piece_text — pieces space-joined in
+    * document order). */
+  def wordpieceEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pieces: Array[String] =
+      vocab.select(col("piece")).collect().map(_.getString(0))
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+    val types = tok.select(col("w")).distinct()
+    val outSchema = StructType(Seq(
+      StructField("w", StringType, nullable = true),
+      StructField("w_pieces", StringType, nullable = false),
+      StructField("w_n", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val encoded = types.mapPartitions { it =>
+      val set = new java.util.HashSet[String](pieces.length * 2)
+      pieces.foreach(set.add)
+      // positions and lengths are CODEPOINTS (both engines' substr
+      // semantics), so the matcher works over a codepoint array — a
+      // surrogate pair can never be split by a length cut
+      def greedy(w: String): (String, Long) = {
+        val cps = w.codePoints().toArray
+        val len = cps.length
+        val sb = new java.lang.StringBuilder
+        var n = 0L
+        var p = 0
+        while (p < len) {
+          var l = math.min(maxPieceLen, len - p)
+          var hit = -1
+          while (l >= 1 && hit < 0) {
+            if (set.contains(new String(cps, p, l))) hit = l
+            l -= 1
+          }
+          if (hit < 0) return ("[UNK]", 1L) // unmatchable -> whole-word UNK
+          if (n > 0L) sb.append(" ##")
+          sb.append(new String(cps, p, hit))
+          n += 1L
+          p += hit
+        }
+        (sb.toString, n)
+      }
+      it.map { r =>
+        val w = r.getString(0)
+        val (txt, n) = greedy(w)
+        org.apache.spark.sql.Row(w, txt, n)
+      }
+    }(enc)
+    tok.join(broadcast(encoded), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_n")).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w_pieces")))),
+          e => e.getField("w_pieces")), " ").as("piece_text"))
+      .select(col("doc_id"), col("n_pieces"), col("piece_text"))
   }
 
   /** Deterministic negative sampling for contrastive / retrieval training:

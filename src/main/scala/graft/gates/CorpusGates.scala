@@ -582,6 +582,43 @@ object CorpusGates {
     }),
 
 
+    // Content-defined chunking — boundaries from a rolling gear hash
+    // (FastCDC-style), stable under local edits where fixed windows
+    // shift: ONE streaming codegen pass per document
+    // ([[graft.functions.Corpus.cdcChunks]]). The oracle runs the
+    // relational equivalent of the same definition — one row per
+    // CHARACTER, a window sum, and a recursive boundary walk — which is
+    // exactly the shape the expression exists to avoid at corpus scale.
+    "corpus_cdc_chunks" -> ((s, dir) => {
+      Corpus.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        window = 16, modulus = 32, minLen = 24, maxLen = 96)
+    }),
+
+
+    // WordPiece inventory (frequency rule: all single codepoints + top-150
+    // substrings of length 2..6 by occurrence weight) — the BERT-family
+    // vocabulary next to the BPE and unigram families. Substring
+    // explosion runs over word TYPES; the cut is a deterministic
+    // TakeOrderedAndProject.
+    "corpus_wordpiece_vocab" -> ((s, dir) => {
+      Corpus.wordpieceVocab(t(s, dir, "documents"), "text",
+        k = 150, maxPieceLen = 6)
+    }),
+
+
+    // WordPiece greedy longest-match-first encode over that inventory —
+    // the BERT matcher (## continuation rendering, whole-word [UNK] on
+    // unmatchable positions). Greedy longest-match differs from BPE merge
+    // replay on the same corpus, which is what the gate pins. The oracle
+    // precomputes each (word type, position)'s longest matching piece
+    // relationally, then walks it with a recursive CTE.
+    "corpus_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.wordpieceEncode(docs, "doc_id", "text",
+        Corpus.wordpieceVocab(docs, "text", k = 150, maxPieceLen = 6))
+    }),
+
+
     // End-to-end PRETOKENIZATION pipe: vocab build → corpus tokenization
     // → fixed-budget packing in ONE composed plan — the full path a
     // pretraining data job runs before writing shards. Token counts come
@@ -1214,6 +1251,133 @@ object CorpusGates {
     // identical 64/48 windowing replayed with unnest(range) + 1-based
     // inclusive list slicing (both engines clamp the final window)
     "corpus_chunk" -> chunkOracleSql,
+
+    // the relational form of the SAME definition the codegen expression
+    // streams: per-character gear values, a 16-wide window sum, candidate
+    // positions where the full window's sum ≡ 0 (mod 32), then a
+    // recursive walk clamping boundaries to [24, 96] — validated
+    // cut-for-cut against an independent reference implementation
+    "corpus_cdc_chunks" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len
+                       FROM documents
+                       WHERE text IS NOT NULL AND length(text) > 0),
+              chars AS (SELECT doc_id, text,
+                               unnest(range(1, length(text)+1)) AS i
+                        FROM docs),
+              gv AS (SELECT doc_id, i,
+                            (unicode(substr(text, CAST(i AS INT), 1))
+                               * 2654435761 + 104729) % 4294967296 AS g
+                     FROM chars),
+              h AS (SELECT doc_id, i,
+                           SUM(g) OVER w AS hsum,
+                           COUNT(*) OVER w AS cnt
+                    FROM gv
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+              cand AS (SELECT doc_id, i FROM h
+                       WHERE cnt = 16 AND hsum % 32 = 0),
+              b AS (
+                WITH RECURSIVE b(doc_id, idx, pos, prev) AS (
+                  SELECT doc_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                  FROM docs
+                  UNION ALL
+                  SELECT b.doc_id, b.idx + 1,
+                         LEAST(COALESCE((SELECT MIN(c.i) FROM cand c
+                                         WHERE c.doc_id = b.doc_id
+                                           AND c.i >= b.pos + 24),
+                                        2147483647),
+                               b.pos + 96, d.len),
+                         b.pos
+                  FROM b JOIN docs d USING (doc_id)
+                  WHERE b.pos < d.len)
+                SELECT doc_id, idx - 1 AS chunk_idx,
+                       prev AS chunk_start, pos AS chunk_end
+                FROM b WHERE idx > 0)
+         SELECT b.doc_id,
+                CAST(b.chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(b.chunk_start AS BIGINT) AS chunk_start,
+                CAST(b.chunk_end AS BIGINT) AS chunk_end,
+                CAST(b.chunk_end - b.chunk_start AS BIGINT) AS chunk_len,
+                md5(substr(d.text, CAST(b.chunk_start + 1 AS INT),
+                           CAST(b.chunk_end - b.chunk_start AS INT)))
+                  AS chunk_hash
+         FROM b JOIN docs d USING (doc_id)""",
+
+    // same frequency rule: singles unconditionally, substrings 2..6
+    // weighted by word-occurrence counts, (weight DESC, piece ASC) cut
+    "corpus_wordpiece_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+              wc AS (SELECT w, COUNT(*) AS cnt FROM tok
+                     WHERE length(w) > 0 GROUP BY w),
+              p1 AS (SELECT w, cnt, unnest(range(1, length(w)+1)) AS p FROM wc),
+              chars AS (SELECT substr(w, CAST(p AS INT), 1) AS piece,
+                               CAST(SUM(cnt) AS BIGINT) AS weight
+                        FROM p1 GROUP BY 1),
+              p2 AS (SELECT w, cnt, p, unnest(range(2, 7)) AS l FROM p1),
+              subs AS (SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+                              CAST(SUM(cnt) AS BIGINT) AS weight
+                       FROM p2 WHERE p + l - 1 <= length(w) GROUP BY 1),
+              top AS (SELECT piece, weight FROM subs
+                      ORDER BY weight DESC, piece ASC LIMIT 150)
+         SELECT piece, weight, 'char' AS kind FROM chars
+         UNION ALL
+         SELECT piece, weight, 'sub' AS kind FROM top""",
+
+    // greedy longest-match-first, relationally: the longest matching
+    // piece at every (word type, position) is a join + MAX, then a
+    // recursive walk consumes the word; [UNK] on a missing step; per-doc
+    // reassembly in token order
+    "corpus_wordpiece_encode" ->
+      """WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              tok AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos,
+                             unnest(ws) AS w
+                      FROM tok0),
+              tokf AS (SELECT doc_id, pos, w FROM tok WHERE length(w) > 0),
+              v1 AS (SELECT w, COUNT(*) AS cnt FROM tokf GROUP BY w),
+              p1 AS (SELECT w, cnt, unnest(range(1, length(w)+1)) AS p FROM v1),
+              chars AS (SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece
+                        FROM p1),
+              p2 AS (SELECT w, cnt, p, unnest(range(2, 7)) AS l FROM p1),
+              subs AS (SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+                              SUM(cnt) AS weight
+                       FROM p2 WHERE p + l - 1 <= length(w) GROUP BY 1),
+              top AS (SELECT piece FROM subs
+                      ORDER BY weight DESC, piece ASC LIMIT 150),
+              vp AS (SELECT piece FROM chars UNION SELECT piece FROM top),
+              wc AS (SELECT DISTINCT w FROM tokf),
+              wpos AS (SELECT w, unnest(range(1, length(w)+1)) AS p FROM wc),
+              stepc AS (SELECT wp.w, wp.p, length(v.piece) AS l
+                        FROM wpos wp JOIN vp v
+                          ON substr(wp.w, CAST(wp.p AS INT),
+                                    CAST(length(v.piece) AS INT)) = v.piece
+                        WHERE wp.p + length(v.piece) - 1 <= length(wp.w)),
+              step AS (SELECT w, p, MAX(l) AS l FROM stepc GROUP BY w, p),
+              enc AS (
+                WITH RECURSIVE e(w, pos, out, n) AS (
+                  SELECT w, CAST(1 AS BIGINT), CAST('' AS VARCHAR),
+                         CAST(0 AS BIGINT)
+                  FROM wc
+                  UNION ALL
+                  SELECT e.w,
+                         CASE WHEN s.l IS NULL THEN length(e.w) + 1
+                              ELSE e.pos + s.l END,
+                         CASE WHEN s.l IS NULL THEN '[UNK]'
+                              WHEN e.pos = 1 THEN substr(e.w, CAST(e.pos AS INT),
+                                                         CAST(s.l AS INT))
+                              ELSE e.out || ' ##' ||
+                                   substr(e.w, CAST(e.pos AS INT),
+                                          CAST(s.l AS INT)) END,
+                         CASE WHEN s.l IS NULL THEN CAST(1 AS BIGINT)
+                              ELSE e.n + 1 END
+                  FROM e LEFT JOIN step s ON s.w = e.w AND s.p = e.pos
+                  WHERE e.pos <= length(e.w))
+                SELECT w, out AS w_pieces, n AS w_n
+                FROM e WHERE pos = length(w) + 1)
+         SELECT t.doc_id,
+                CAST(SUM(en.w_n) AS BIGINT) AS n_pieces,
+                string_agg(en.w_pieces, ' ' ORDER BY t.pos) AS piece_text
+         FROM tokf t JOIN enc en ON t.w = en.w
+         GROUP BY t.doc_id""",
 
     // same hash-chosen mask set; string_agg skips NULLs so targets is
     // NULL when nothing masked, mirroring the gate's when/otherwise

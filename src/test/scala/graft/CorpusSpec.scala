@@ -824,4 +824,61 @@ class CorpusSpec extends AnyFunSuite {
     assert(pBgivenA + pAgivenA <= 1.0 + 1e-12)
     assert(pAgivenB + pBgivenB <= 1.0 + 1e-12)
   }
+
+  test("wordpiece: greedy longest-match, ## continuations, whole-word UNK") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((1L, "unhappy unhappy und and and and hap hap"))
+      .toDF("doc_id", "text")
+    // k=3 multi-pieces by weight (each substring position of each word
+    // occurrence counts once): with this corpus 'un'/'ha'/'ap' style
+    // two-grams dominate; rather than hand-rank, take the operator's own
+    // vocab and assert the ENCODER's contract against it
+    val vocab = Corpus.wordpieceVocab(docs, "text", k = 3, maxPieceLen = 3)
+    val pieces = vocab.collect().map(_.getString(0)).toSet
+    val out = Corpus.wordpieceEncode(docs, "doc_id", "text", vocab,
+      maxPieceLen = 3).head()
+    val rendered = out.getAs[String]("piece_text").split(" ")
+    // contract: stripping ## markers and re-joining reproduces the text's
+    // tokens in order, every piece is in the vocab, continuations (and
+    // ONLY continuations) carry ##
+    val words = "unhappy unhappy und and and and hap hap".split(" ")
+    var wi = 0; var cur = new StringBuilder
+    rendered.foreach { p =>
+      if (!p.startsWith("##")) {
+        if (cur.nonEmpty) { assert(cur.toString === words(wi)); wi += 1 }
+        cur = new StringBuilder(p)
+      } else cur.append(p.drop(2))
+      assert(pieces.contains(if (p.startsWith("##")) p.drop(2) else p), p)
+    }
+    assert(cur.toString === words(wi) && wi === words.length - 1)
+    // greedy longest-match-first: at each position the matched piece is
+    // the LONGEST vocab piece prefixing the rest (re-walk independently)
+    def greedyRef(w: String): Seq[String] = {
+      var p = 0; val out = Seq.newBuilder[String]
+      while (p < w.length) {
+        val l = (math.min(3, w.length - p) to 1 by -1)
+          .find(l => pieces.contains(w.substring(p, p + l))).get
+        out += (if (p == 0) w.substring(p, p + l) else "##" + w.substring(p, p + l))
+        p += l
+      }
+      out.result()
+    }
+    assert(rendered.toSeq === words.toSeq.flatMap(greedyRef))
+  }
+
+  test("wordpiece: unseen codepoint -> whole-word [UNK]; astral plane ok") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val train = Seq((1L, "abc abc 😀b 😀b")).toDF("doc_id", "text")
+    val vocab = Corpus.wordpieceVocab(train, "text")
+    // encode a doc containing a word with a codepoint never seen at build
+    val test = Seq((9L, "abc zq 😀b")).toDF("doc_id", "text")
+    val r = Corpus.wordpieceEncode(test, "doc_id", "text", vocab).head()
+    val ps = r.getAs[String]("piece_text").split(" ").toSeq
+    assert(ps.contains("[UNK]"), ps)         // 'zq' unencodable as a whole
+    assert(ps.exists(_.contains("😀")), ps)  // the emoji word encodes fine
+    // n_pieces counts [UNK] as one piece
+    assert(r.getAs[Long]("n_pieces") === ps.size.toLong)
+  }
 }
