@@ -269,6 +269,58 @@ object CoreGates {
     }
   }
 
+  /** String-fuzz cases: seeded lockstep (Column, SQL) chains of 1..3
+    * string functions (upper/lower/trim/reverse/substr/lpad/rpad/replace/
+    * translate/repeat/concat) over the part table's three string columns.
+    * All content is ASCII and both engines compare/order strings bytewise,
+    * so every composed value is exact cross-engine; the checksum reduces
+    * each case's multiset of strings to integers (count, summed length,
+    * summed 32-bit md5 prefix, min/max). Pitfall avoidance is part of the
+    * generated grammar: substr positions start at 1 (position 0 is the
+    * engines' one divergent convention), pad lengths exercise BOTH the
+    * pad and truncate sides. */
+  private[graft] final case class StrFuzzCase(
+      id: Int, value: org.apache.spark.sql.Column, valueSql: String)
+
+  private[graft] lazy val strFuzzCases: Seq[StrFuzzCase] = {
+    val rnd = new scala.util.Random(140262L)
+    val bases = Seq("p_name", "p_type", "p_brand")
+    def op(in: (org.apache.spark.sql.Column, String)): (org.apache.spark.sql.Column, String) = {
+      val (c, s) = in
+      rnd.nextInt(11) match {
+        case 0 => (upper(c), s"upper($s)")
+        case 1 => (lower(c), s"lower($s)")
+        case 2 => (trim(c), s"trim($s)")
+        case 3 => (reverse(c), s"reverse($s)")
+        case 4 =>
+          val p = 1 + rnd.nextInt(8); val l = 1 + rnd.nextInt(12)
+          (substring(c, p, l), s"substr($s, $p, $l)")
+        case 5 =>
+          val n = 2 + rnd.nextInt(24)
+          (lpad(c, n, "z"), s"lpad($s, $n, 'z')")
+        case 6 =>
+          val n = 2 + rnd.nextInt(24)
+          (rpad(c, n, "_"), s"rpad($s, $n, '_')")
+        case 7 =>
+          val (from, to) = Seq(("a", "oo"), ("e", ""), ("r", "#"))(rnd.nextInt(3))
+          (org.apache.spark.sql.functions.replace(c, lit(from), lit(to)),
+            s"replace($s, '$from', '$to')")
+        case 8 => (translate(c, "aeiou", "01234"),
+          s"translate($s, 'aeiou', '01234')")
+        case 9 =>
+          val k = 2 + rnd.nextInt(2)
+          (repeat(c, k), s"repeat($s, $k)")
+        case _ => (concat(c, lit("_t")), s"($s || '_t')")
+      }
+    }
+    (0 until 16).map { i =>
+      val b = bases(rnd.nextInt(bases.length))
+      val n = 1 + rnd.nextInt(3)
+      val (c, s) = (1 to n).foldLeft((col(b), b)) { (acc, _) => op(acc) }
+      StrFuzzCase(i, c, s)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The fuzz sweep extended to the ANALYTIC grammar: 12 seeded window
@@ -310,6 +362,28 @@ object CoreGates {
             min(col("v")).as("min_v"),
             max(col("v")).as("max_v"))
           .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_v"),
+            col("chk"), col("min_v"), col("max_v"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // The fuzz sweep extended to STRING functions (see strFuzzCases):
+    // 16 seeded 1..3-deep function chains over the part table's string
+    // columns, each reduced to an integer-exact checksum row (count /
+    // summed length / summed 32-bit md5 prefix / bytewise min & max) —
+    // a padding, truncation, replace, or case-mapping divergence anywhere
+    // fails the hash naming the case id.
+    "q_fuzz_strings" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      strFuzzCases.map { c =>
+        p.select(c.value.as("v"))
+          .agg(
+            count(col("v")).as("n_rows"),
+            sum(length(col("v"))).as("sum_len"),
+            sum(conv(substring(md5(col("v").cast("binary")), 1, 8), 16, 10)
+              .cast("long")).as("chk"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_len"),
             col("chk"), col("min_v"), col("max_v"))
       }.reduce(_ unionByName _)
     }),
@@ -1811,6 +1885,20 @@ object CoreGates {
           FROM (SELECT CAST(${c.valueSql} AS BIGINT) AS v,
                        l_orderkey % 97 + 1 AS wt
                 FROM lineitem)"""
+    }.mkString("\n          UNION ALL\n"),
+
+    // generated from the SAME StrFuzzCase list as the gate; sum_len is
+    // BIGINT-cast (the HUGEINT lesson), the md5-prefix checksum parses
+    // the same 8 hex chars both sides
+    "q_fuzz_strings" -> strFuzzCases.map { c =>
+      s"""SELECT ${c.id} AS case_id,
+            COUNT(v) AS n_rows,
+            CAST(SUM(length(v)) AS BIGINT) AS sum_len,
+            CAST(SUM(CAST(('0x' || substr(md5(v), 1, 8))::UBIGINT AS BIGINT))
+              AS BIGINT) AS chk,
+            MIN(v) AS min_v,
+            MAX(v) AS max_v
+          FROM (SELECT ${c.valueSql} AS v FROM part)"""
     }.mkString("\n          UNION ALL\n"),
 
     // generated from the SAME DateFuzzCase list as the gate — both

@@ -37,6 +37,25 @@ object DedupGates {
     // byte-DIFFERENT urls must collapse to one canonical key. Map-only
     // canonicalization (codegen'd regex/array expressions) + one
     // hash-groupBy, the dedup_exact shuffle budget.
+    // Chunk-level cross-document duplication over CONTENT-DEFINED chunks
+    // ([[graft.functions.Corpus.cdcChunks]]) — the storage/crawl-dedup
+    // composition CDC exists for: chunks whose md5 appears in 2+
+    // documents, with occurrence counts. One map-only chunking pass +
+    // one hash-groupBy on chunk_hash (the dedup_exact shuffle budget);
+    // because boundaries are content-defined, a shared passage is found
+    // even when its byte offset differs between the documents.
+    "dedup_cdc_cross" -> ((s, dir) => {
+      Corpus.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          window = 16, modulus = 32, minLen = 24, maxLen = 96)
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"),
+          min(col("chunk_len")).as("chunk_len"))
+        .where(col("n_docs") >= 2)
+    }),
+
+
     "dedup_url" -> ((s, dir) => {
       def h(tag: String) = graft.functions.Corpus.hashBucket(
         concat(lit(tag + "#"), col("doc_id").cast("string")), 2)
@@ -377,6 +396,18 @@ object DedupGates {
     "dedup_exact" ->
       """SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+
+    // the corpus_cdc_chunks oracle wrapped in the cross-doc aggregate —
+    // one definition of the chunking, two gates
+    "dedup_cdc_cross" ->
+      s"""SELECT chunk_hash,
+                 COUNT(DISTINCT doc_id) AS n_docs,
+                 COUNT(*) AS n_occurrences,
+                 MIN(doc_id) AS first_doc,
+                 MIN(chunk_len) AS chunk_len
+          FROM (${CorpusGates.oracleSql("corpus_cdc_chunks")}) c
+          GROUP BY chunk_hash
+          HAVING COUNT(DISTINCT doc_id) >= 2""",
 
     // same hash-chosen variant synthesis, the same canonicalization
     // (host lowercased / www-stripped, path slash-stripped, utm_ params

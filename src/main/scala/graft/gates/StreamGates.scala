@@ -332,6 +332,27 @@ object StreamGates {
     // (sequence+slice arithmetic), so the SAME operator code runs
     // unchanged over readStream micro-batches — no state store, no
     // watermark, per-batch parallelism. Oracle = the batch chunking SQL.
+    // Streaming twin of corpus_cdc_chunks: content-defined chunking is a
+    // stateless per-row map (the rolling hash lives inside the codegen
+    // expression, not in stream state), so micro-batched ingestion chunks
+    // BIT-IDENTICALLY to the batch pass — one oracle serves both gates.
+    "s32_stream_cdc_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = t(ss, dir, "documents").schema
+      val src = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val chunks = graft.functions.Corpus.cdcChunks(src, "doc_id", "text",
+        window = 16, modulus = 32, minLen = 24, maxLen = 96)
+      val sink = "s32_stream_cdc_chunks_sink"
+      val q = chunks.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(sink)
+    }),
+
+
     "s11_stream_chunk" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
@@ -962,6 +983,7 @@ object StreamGates {
     "s28_stream_unigram" -> CorpusGates.unigramEncodeOracleSql,
 
     "s30_stream_changelog" -> CoreGates.oracleSql("s29_changelog_apply"),
+    "s32_stream_cdc_chunks" -> CorpusGates.oracleSql("corpus_cdc_chunks"),
 
     "s7_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
