@@ -641,6 +641,22 @@ object CoreGates {
     }),
 
 
+    // Resample + gap-fill over the event log — the time_bucket + locf
+    // primitive ([[graft.operators.EventLog.resampleLocf]]): hourly
+    // buckets per user across each user's whole span, empty buckets
+    // emitted with n_events=0 and the last observed value carried
+    // forward. LOCF copies a value (no arithmetic), so the double column
+    // is exact cross-engine; bucketing is integer `div`.
+    "s33_resample_locf" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(Tables.tsFromNanos(col("ts"))).as("ts_us"),
+          col("value"))
+      EventLog.resampleLocf(log, "user_id", "ts_us", "event_id", "value",
+        bucketUs = 3600000000L)
+    }),
+
+
     "s3_eventlog_offset" -> ((s, dir) => {
       EventLog.from(t(s, dir, "events"), "user_id", lit(7L), "event_id",
           offset = 100L, maxPartitionSize = 256L)
@@ -2294,6 +2310,37 @@ object CoreGates {
                     FROM log)
          SELECT user_id, event_id, op, event_type, value
          FROM r WHERE rn = 1 AND op <> 'delete'""",
+
+    // same buckets (integer //), same latest-in-bucket (row_number over
+    // (us, event_id) desc), same per-key grid, same IGNORE NULLS carry
+    "s33_resample_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+                    FROM events),
+              r AS (SELECT user_id, us // 3600000000 AS bucket, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, us // 3600000000
+                             ORDER BY us DESC, event_id DESC) AS rn
+                    FROM e),
+              b AS (SELECT user_id, bucket, COUNT(*) AS n_events
+                    FROM r GROUP BY 1, 2),
+              l AS (SELECT user_id, bucket, value AS v_last
+                    FROM r WHERE rn = 1),
+              g0 AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                     FROM b GROUP BY 1),
+              grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+                       FROM g0),
+              j AS (SELECT g.user_id, g.bucket,
+                           COALESCE(b.n_events, 0) AS n_events, l.v_last
+                    FROM grid g
+                    LEFT JOIN b USING (user_id, bucket)
+                    LEFT JOIN l USING (user_id, bucket))
+         SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+                CAST(n_events AS BIGINT) AS n_events,
+                last_value(v_last IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS value_locf
+         FROM j""",
 
     // s29's latest-wins fold restricted to the log prefix <= the AS OF
     // bound — time travel: later deletes have not happened yet

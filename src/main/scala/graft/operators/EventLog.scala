@@ -116,4 +116,47 @@ object EventLog {
       asOf: Column): DataFrame =
     applyChangelog(log.where(col(tsCol) <= asOf), keyCol, tsCol, tieCol,
       opCol, deleteOp, payload)
+
+  /** Resample + gap-fill — the `time_bucket` + `locf` primitive of
+    * time-series stores (TimescaleDB/InfluxDB semantics) over the same
+    * event logs this module scans: bucket each key's events into
+    * fixed-width intervals, emit EVERY bucket in the key's [first, last]
+    * span (gaps included), carrying the last observed value forward
+    * (LOCF) into empty buckets. Latest-in-bucket is decided by the
+    * (tsUsCol, tieCol) pair, so results are deterministic under ties.
+    *
+    * Scale shape: bucketing is exact integer division (`div`, never a
+    * double-rounded quotient at bucket edges) feeding ONE partial-
+    * aggregated groupBy; the grid explode and the LOCF window are both
+    * per-key and span-bounded (a key's buckets, not the corpus), so no
+    * global sort or corpus-sized window exists at any scale.
+    *
+    * Output: (keyCol, bucket, n_events, value_locf) — one row per key per
+    * bucket in the key's span; `value_locf` is NULL only before the key's
+    * first observation. */
+  def resampleLocf(
+      log: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      tieCol: String,
+      valueCol: String,
+      bucketUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = log
+      .withColumn("bucket", expr(s"$tsUsCol div ${bucketUs}L"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col(tsUsCol), col(tieCol), col(valueCol)))
+          .getField(valueCol).as("_v_last"))
+    val grid = buckets.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("_b0"), max(col("bucket")).as("_b1"))
+      .select(col(keyCol),
+        explode(sequence(col("_b0"), col("_b1"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(buckets, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("_v_last"), ignoreNulls = true).over(w).as("value_locf"))
+  }
 }
