@@ -269,6 +269,86 @@ object CoreGates {
     }
   }
 
+  /** Numeric-fuzz cases: seeded lockstep (Column, SQL) integer-arithmetic
+    * trees over exact leaves (modulo-reduced keys and decimal-exact
+    * cents) — +, -, *, truncating div and mod (both engines truncate
+    * toward zero, probed on negatives), two's-complement bitwise
+    * AND/OR/XOR/shift (identical bit semantics), abs/sign/greatest/least.
+    * The generator TRACKS a magnitude bound through every node and wraps
+    * with `% 1000000007` whenever it exceeds 1.5e9: Spark longs silently
+    * wrap on overflow while DuckDB BIGINTs raise — the bound keeps every
+    * per-row value and every weighted sum exact in BOTH engines through
+    * sf10. */
+  private[graft] final case class NumFuzzCase(
+      id: Int, value: org.apache.spark.sql.Column, valueSql: String)
+
+  private[graft] lazy val numFuzzCases: Seq[NumFuzzCase] = {
+    val rnd = new scala.util.Random(140263L)
+    type N = (org.apache.spark.sql.Column, String, Long)
+    val centsQ: N = ((money(col("l_quantity")) * 100).cast("long") % 10000,
+      "(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) % 10000)", 10000L)
+    val centsP: N = ((money(col("l_extendedprice")) * 100).cast("long") % 100000,
+      "(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100000)",
+      100000L)
+    def leaf(): N = rnd.nextInt(5) match {
+      case 0 => (col("l_orderkey") % 10000, "(l_orderkey % 10000)", 10000L)
+      case 1 => (col("l_linenumber").cast("long"),
+        "CAST(l_linenumber AS BIGINT)", 8L)
+      case 2 => (col("l_partkey") % 1000, "(l_partkey % 1000)", 1000L)
+      case 3 => centsQ
+      case _ => centsP
+    }
+    def clamp(n: N): N =
+      if (n._3 > 1500000000L)
+        (n._1 % 1000000007L, s"(${n._2} % 1000000007)", 1000000007L)
+      else n
+    def combine(a: N, b: N): N = clamp(rnd.nextInt(10) match {
+      case 0 => (a._1 + b._1, s"(${a._2} + ${b._2})", a._3 + b._3)
+      case 1 => (a._1 - b._1, s"(${a._2} - ${b._2})", a._3 + b._3)
+      case 2 => (a._1 * b._1, s"(${a._2} * ${b._2})", a._3 * b._3)
+      case 3 => // truncating div, positive divisor: (a - a%k)/k is exact
+        // (numerator = trunc(a/k)*k, |a| <= 1.5e9 << 2^53) and matches
+        // both engines' toward-zero integer division
+        val k = 2 + rnd.nextInt(97)
+        (((a._1 - (a._1 % k)) / k).cast("long"), s"(${a._2} // $k)", a._3)
+      case 4 =>
+        val m = Seq(97L, 1009L, 10007L)(rnd.nextInt(3))
+        (a._1 % m, s"(${a._2} % $m)", m)
+      case 5 => // AND of two negatives can EXCEED both magnitudes
+        // (-6 & -3 = -8): same next-pow2 envelope as OR/XOR
+        (a._1.bitwiseAND(b._1), s"(${a._2} & ${b._2})",
+          4L * math.max(a._3, b._3))
+      case 6 => (a._1.bitwiseOR(b._1), s"(${a._2} | ${b._2})",
+        // OR of two non-negative values is < 2 * next-pow2(max)
+        4L * math.max(a._3, b._3))
+      case 7 => (a._1.bitwiseXOR(b._1), s"xor(${a._2}, ${b._2})",
+        4L * math.max(a._3, b._3))
+      case 8 => (greatest(a._1, b._1), s"greatest(${a._2}, ${b._2})",
+        math.max(a._3, b._3))
+      case _ => (least(a._1, b._1), s"least(${a._2}, ${b._2})",
+        math.max(a._3, b._3))
+    })
+    def unary(a: N): N = clamp(rnd.nextInt(4) match {
+      case 0 => (abs(a._1 - lit(a._3 / 2)), s"abs(${a._2} - ${a._3 / 2})",
+        2L * a._3)
+      case 1 => (signum(a._1 - lit(a._3 / 2)).cast("long"),
+        s"CAST(sign(${a._2} - ${a._3 / 2}) AS BIGINT)", 1L)
+      case 2 =>
+        val k = 1 + rnd.nextInt(8)
+        (shiftleft((a._1 % 256).cast("long"), k).cast("long"),
+          s"((${a._2} % 256) << $k)", 256L << k)
+      case _ => (-a._1, s"(- ${a._2})", a._3)
+    })
+    (0 until 16).map { i =>
+      var n: N = leaf()
+      val depth = 1 + rnd.nextInt(3)
+      (0 until depth).foreach { _ =>
+        n = if (rnd.nextInt(3) == 0) unary(n) else combine(n, leaf())
+      }
+      NumFuzzCase(i, n._1.cast("long"), s"CAST(${n._2} AS BIGINT)")
+    }
+  }
+
   /** String-fuzz cases: seeded lockstep (Column, SQL) chains of 1..3
     * string functions (upper/lower/trim/reverse/substr/lpad/rpad/replace/
     * translate/repeat/concat) over the part table's three string columns.
@@ -355,6 +435,27 @@ object CoreGates {
       val o = t(s, dir, "orders")
       dateFuzzCases.map { c =>
         o.select(c.value.as("v"), (col("o_orderkey") % 97 + 1).as("wt"))
+          .agg(
+            count(col("v")).as("n_rows"),
+            sum(col("v")).as("sum_v"),
+            sum(col("v") * col("wt")).as("chk"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_v"),
+            col("chk"), col("min_v"), col("max_v"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // The fuzz sweep extended to INTEGER arithmetic (see numFuzzCases):
+    // 16 seeded bounded op trees (+,-,*, toward-zero div/mod, two's-
+    // complement bitwise, abs/sign/greatest/least) over exact leaves,
+    // one integer-exact checksum row per case — a sign-convention,
+    // overflow-wrap, or bit-semantics divergence fails the hash naming
+    // the case id.
+    "q_fuzz_numeric" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      numFuzzCases.map { c =>
+        li.select(c.value.as("v"), (col("l_orderkey") % 97 + 1).as("wt"))
           .agg(
             count(col("v")).as("n_rows"),
             sum(col("v")).as("sum_v"),
@@ -1899,6 +2000,20 @@ object CoreGates {
             MIN(v) AS min_v,
             MAX(v) AS max_v
           FROM (SELECT CAST(${c.valueSql} AS BIGINT) AS v,
+                       l_orderkey % 97 + 1 AS wt
+                FROM lineitem)"""
+    }.mkString("\n          UNION ALL\n"),
+
+    // generated from the SAME NumFuzzCase list; SUMs BIGINT-cast (DuckDB
+    // SUM(BIGINT) widens to HUGEINT — the r13 lesson)
+    "q_fuzz_numeric" -> numFuzzCases.map { c =>
+      s"""SELECT ${c.id} AS case_id,
+            COUNT(v) AS n_rows,
+            CAST(SUM(v) AS BIGINT) AS sum_v,
+            CAST(SUM(v * wt) AS BIGINT) AS chk,
+            MIN(v) AS min_v,
+            MAX(v) AS max_v
+          FROM (SELECT ${c.valueSql} AS v,
                        l_orderkey % 97 + 1 AS wt
                 FROM lineitem)"""
     }.mkString("\n          UNION ALL\n"),

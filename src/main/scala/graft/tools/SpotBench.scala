@@ -48,7 +48,7 @@ object SpotBench {
     "dedup_url", "pipe_dataset_card", "s29_changelog_apply",
     "text_quality_classifier", "corpus_mlm_mask", "text_kneser_ney",
     "text_pii_scrub", "corpus_cdc_chunks", "corpus_wordpiece_vocab",
-    "corpus_wordpiece_encode", "dedup_cdc_cross")
+    "corpus_wordpiece_encode", "dedup_cdc_cross", "s33_resample_locf")
   private val dedupFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_paragraphs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
