@@ -825,9 +825,14 @@ object Corpus {
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // singles via substr(w, p, 1) over codepoint positions — NOT
+    // split(w, ""), which cuts at Java chars and would split a surrogate
+    // pair into two broken pieces the codepoint-based encoder can never
+    // match (the oracle's substr is codepoint-based; so is this)
     val chars = wc
-      .select(explode(filter(split(col("w"), ""), c => length(c) > 0)).as("piece"),
-        col("cnt"))
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w").substr(col("p"), lit(1)).as("piece"), col("cnt"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
       .select(col("piece"), col("weight"), lit("char").as("kind"))
     val subs = wc

@@ -880,5 +880,12 @@ class CorpusSpec extends AnyFunSuite {
     assert(ps.exists(_.contains("😀")), ps)  // the emoji word encodes fine
     // n_pieces counts [UNK] as one piece
     assert(r.getAs[Long]("n_pieces") === ps.size.toLong)
+    // singles-only vocab (k=0): the astral codepoint must survive as ONE
+    // single piece — a Java-char split would have produced two broken
+    // surrogate halves the codepoint matcher can never hit
+    val singles = Corpus.wordpieceVocab(train, "text", k = 0)
+    val r2 = Corpus.wordpieceEncode(
+      Seq((1L, "😀b")).toDF("doc_id", "text"), "doc_id", "text", singles).head()
+    assert(r2.getAs[String]("piece_text") === "😀 ##b")
   }
 }
