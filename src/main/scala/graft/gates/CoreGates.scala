@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dsl._
 import graft.dsl.Dsl._
 import graft.functions.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TextNormalize}
-import graft.operators.{EventLog, Joins}
+import graft.operators.{EventLog, Graph, Joins}
 import graft.sources.Tables
 import graft.gates.GateSupport._
 
@@ -1619,6 +1619,75 @@ object CoreGates {
     }),
 
 
+    // Integer PageRank over the order↔part bipartite graph (both
+    // directions of every lineitem row as edges, multi-edges kept): 4
+    // power iterations in EXACT fixed-point arithmetic
+    // ([[graft.operators.Graph.pageRankInt]]) — floating-point PageRank
+    // is not oracle-comparable, integer PageRank is bit-identical under
+    // any partitioning or summation order. The iterative-computation
+    // showpiece next to dedup_cluster_cc's pointer jumping.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        concat(lit("o"), col("l_orderkey").cast("string")).as("o"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("p"))
+      val edges = li.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(li.select(col("p").as("src"), col("o").as("dst")))
+      Graph.pageRankInt(edges, "src", "dst", iters = 4)
+    }),
+
+
+    // TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
+    // customer ⋈ supplier ⋈ nation ⋈ region) with the co-nationality
+    // predicate and a date-range filter: the classic join-order/broadcast
+    // stress. Dimension sides (supplier/nation/region) carry explicit
+    // broadcast hints — at 100 TB the fact tables shuffle on their join
+    // keys and every dimension stays exchange-free.
+    "q5_local_supplier" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate").cast("date") >= to_date(lit("1996-01-01")) &&
+          col("o_orderdate").cast("date") < to_date(lit("1997-01-01")))
+      val l = t(s, dir, "lineitem")
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").where(col("r_name") === "ASIA"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) *
+            (money(lit(1.0)) - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc)
+    }),
+
+
+    // TPC-H Q10 shape — returned-item revenue per customer, top 20:
+    // fact-fact join + a broadcast dimension + group-by-high-cardinality
+    // key + deterministic top-k (revenue DESC, c_custkey ASC tie-break —
+    // TakeOrderedAndProject, never a global sort of all customers).
+    "q10_returned" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate").cast("date") >= to_date(lit("1996-01-01")) &&
+          col("o_orderdate").cast("date") < to_date(lit("1996-04-01")))
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val n = broadcast(t(s, dir, "nation"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) *
+            (money(lit(1.0)) - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+
     // Point-in-interval RANGE join, binned to an equi-join: clicks landing
     // inside a 10-minute window after any error spike (value > 150).
     // Spark's native plan for a pure BETWEEN predicate is
@@ -2322,6 +2391,70 @@ object CoreGates {
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
          ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""",
+
+    // the same recurrence unrolled as chained CTEs (DuckDB restricts
+    // aggregation over a recursive reference): r_k from r_{k-1} via the
+    // identical integer-div update; // floors but ranks are non-negative
+    "q_pagerank" -> {
+      val iters = 4
+      val base =
+        """WITH e AS (
+             SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                    'p' || CAST(l_partkey AS VARCHAR) AS dst
+             FROM lineitem
+             UNION ALL
+             SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                    'o' || CAST(l_orderkey AS VARCHAR)
+             FROM lineitem),
+           nodes AS (SELECT DISTINCT src AS node FROM e
+                     UNION SELECT DISTINCT dst FROM e),
+           deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+      val steps = (1 to iters).map { k =>
+        s"""s$k AS (SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS s
+                    FROM e JOIN r${k - 1} r ON e.src = r.node
+                           JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst),
+            r$k AS (SELECT n.node,
+                           CAST(150000 + (850 * COALESCE(s.s, 0)) // 1000
+                                AS BIGINT) AS pr
+                    FROM nodes n LEFT JOIN s$k s ON n.node = s.node)"""
+      }.mkString(",\n           ")
+      s"""$base,
+           $steps
+         SELECT node, pr FROM r$iters"""
+    },
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+                                    AND c_nationkey = s_nationkey
+                       JOIN nation ON s_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC""",
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+                       JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
 
     // differential invariant oracles (see the queries entries): the exact
     // parts hash-verify; the estimator/implementation contracts are

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph measures over edge lists — the family next to
+  * [[graft.functions.Dedup.clusterCC]]'s pointer-jumping connected
+  * components.
+  */
+object Graph {
+
+  /** PageRank in EXACT fixed-point integer arithmetic — a fixed number of
+    * power iterations of the standard damped update, with every quantity
+    * a scaled BIGINT so the result is bit-identical on any engine, any
+    * partitioning, any summation order (floating-point PageRank is not
+    * oracle-comparable; integer PageRank is):
+    *
+    *   r0(v)   = scale
+    *   r_k(v)  = (scale * (1000 - damp)) / 1000
+    *           + damp * Σ_{u→v} (r_{k-1}(u) / outdeg(u)) / 1000
+    *
+    * with `/` the truncating integer division both Spark and DuckDB
+    * implement. Truncation loses a little mass per iteration (bounded by
+    * outdeg per node) — acceptable for ranking, and exactly mirrored by
+    * any re-implementation of the same recurrence.
+    *
+    * Scale shape: `iters` shuffle rounds of (join on src + re-aggregate
+    * on dst) — the honest cost of power iteration; out-degrees are
+    * computed ONCE and the rank table is the only thing that moves.
+    * Nodes without in-edges keep the teleport term (left join from the
+    * node set). No driver-side state, no collect.
+    *
+    * Output: (node, pr) after `iters` iterations. */
+  def pageRankInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damp: Long = 850L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 1000 && scale > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val teleport = scale * (1000L - damp) / 1000L
+    var ranks = nodes.select(col("node"), lit(scale).as("pr"))
+    (1 to iters).foreach { _ =>
+      // SQL `div`: true 64-bit integer division (no double round-trip),
+      // exact at any scale; ranks are non-negative so floor == trunc
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"${teleport}L + ($damp * coalesce(s, 0L)) div 1000")
+            .as("pr"))
+    }
+    ranks
+  }
+}
