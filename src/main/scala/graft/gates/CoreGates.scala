@@ -1058,6 +1058,25 @@ object CoreGates {
     }),
 
 
+    // Schema EVOLUTION across parquet files — the lakehouse reality that
+    // a long-lived dataset's older files lack newer columns: stage two
+    // slices written with DIFFERENT schemas (the early slice has no
+    // `lang`), read them back as ONE dataset via mergeSchema, absent
+    // columns null-filled. The oracle re-derives the merged view from
+    // the canonical table (the roundtrip-gate convention).
+    "src_schema_evolution" -> ((s, dir) => {
+      val out = exitManagedTempDir("graft_evo").toString
+      val docs = t(s, dir, "documents")
+      docs.where(col("doc_id") < 250).select("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(out + "/era1")
+      docs.where(col("doc_id") >= 250).select("doc_id", "n_chars", "lang")
+        .write.mode("overwrite").parquet(out + "/era2")
+      s.read.option("mergeSchema", "true")
+        .parquet(out + "/era1", out + "/era2")
+        .select("doc_id", "n_chars", "lang")
+    }),
+
+
     // S6 sinks, more formats — CSV and JSON roundtrips: write the sink,
     // read it back with the written schema (proves schema + data survive
     // the format, oracle-checked like the parquet roundtrip).
@@ -2317,6 +2336,13 @@ object CoreGates {
     "src_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    // the merged view the two-era read must produce: early rows carry
+    // NULL for the column their files never had
+    "src_schema_evolution" ->
+      """SELECT doc_id, n_chars,
+                CASE WHEN doc_id < 250 THEN NULL ELSE lang END AS lang
+         FROM documents""",
 
     // wholetext round-trip: the staged files ARE the documents slice
     "src_text_roundtrip" ->

@@ -93,6 +93,21 @@ object TextGates {
     // clean corpus has none naturally), then scrub with patterns from the
     // backtracking-free regex subset Java and RE2 agree on. Map-only,
     // codegen'd regexp_replace — a stateless scan stage at any scale.
+    // k-anonymity audit — the privacy check next to PII redaction: group
+    // the corpus by its quasi-identifier tuple (source, lang, coarse
+    // length bucket) and report every group smaller than k=5, i.e. the
+    // documents a joiner could re-identify from metadata alone. One
+    // partial-aggregated groupBy + HAVING: the dedup_exact shuffle
+    // budget at any corpus size.
+    "pii_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") < 5)
+    }),
+
+
     "pii_scrub" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val planted = docs.select(col("doc_id"),
@@ -580,6 +595,13 @@ object TextGates {
                 CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
                 CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac
          FROM s""",
+
+    "pii_k_anonymity" ->
+      """SELECT source, lang, n_chars // 100 AS len_bucket,
+                COUNT(*) AS n_docs
+         FROM documents
+         GROUP BY 1, 2, 3
+         HAVING COUNT(*) < 5""",
 
     "pii_scrub" ->
       """WITH planted AS (
