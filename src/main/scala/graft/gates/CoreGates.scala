@@ -1638,6 +1638,34 @@ object CoreGates {
     }),
 
 
+    // ANALYZE-style table statistics — the CBO/AQE input primitive: one
+    // scan producing row count, per-column null counts, exact NDV, and
+    // min/max for a representative column set (keys, a low-cardinality
+    // flag, and a decimal-exact measure). Exact NDV keeps the oracle
+    // comparable at test scale; the 100 TB path swaps COUNT(DISTINCT)
+    // for approx_count_distinct (HLL) per column — same plan shape,
+    // sketch instead of exact (the q_hll_distinct contract covers that
+    // estimator separately).
+    "q_analyze_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey").isNull.cast("long")).as("nulls_orderkey"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        min(col("l_partkey")).as("min_partkey"),
+        max(col("l_partkey")).as("max_partkey"),
+        countDistinct(col("l_returnflag")).as("ndv_returnflag"),
+        min(col("l_returnflag")).as("min_returnflag"),
+        max(col("l_returnflag")).as("max_returnflag"),
+        countDistinct(money(col("l_quantity"))).as("ndv_quantity"),
+        (money(min(col("l_quantity"))) * 100).cast("long").as("min_qty_cents"),
+        (money(max(col("l_quantity"))) * 100).cast("long").as("max_qty_cents"))
+    }),
+
+
     // Integer PageRank over the order↔part bipartite graph (both
     // directions of every lineitem row as edges, multi-edges kept): 4
     // power iterations in EXACT fixed-point arithmetic
@@ -2417,6 +2445,27 @@ object CoreGates {
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
          ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""",
+
+    "q_analyze_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nulls_orderkey,
+                COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
+                MIN(l_orderkey) AS min_orderkey,
+                MAX(l_orderkey) AS max_orderkey,
+                COUNT(DISTINCT l_partkey) AS ndv_partkey,
+                MIN(l_partkey) AS min_partkey,
+                MAX(l_partkey) AS max_partkey,
+                COUNT(DISTINCT l_returnflag) AS ndv_returnflag,
+                MIN(l_returnflag) AS min_returnflag,
+                MAX(l_returnflag) AS max_returnflag,
+                COUNT(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
+                  AS ndv_quantity,
+                CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS min_qty_cents,
+                CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS max_qty_cents
+         FROM lineitem""",
 
     // the same recurrence unrolled as chained CTEs (DuckDB restricts
     // aggregation over a recursive reference): r_k from r_{k-1} via the
