@@ -1189,6 +1189,29 @@ object CoreGates {
     }),
 
 
+    // FORWARD as-of — the NEXT purchase at or after each click (the
+    // other half of the as-of surface; [[graft.operators.Joins
+    // .asOfForward]] — the same one-shuffle window composition on
+    // negated times). Oracle: DuckDB ASOF JOIN with the inequality
+    // reversed.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", Tables.tsMicros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      Joins.asOfForward(
+          clicks, col("user_id"), col("ts_us"),
+          purchases, col("user_id"), col("ts_us"),
+          rightPayload = Seq(col("purchase_id"), col("ts_us").as("p_ts_us")),
+          rightTieBreak = col("purchase_id"))
+        .select(col("click_id"), col("user_id"),
+          col("asof.purchase_id").as("purchase_id"),
+          (col("asof.p_ts_us") - col("ts_us")).as("gap_us"))
+    }),
+
+
     // AS-OF join, LEFT variant — unmatched left rows survive with null
     // payload (`keepUnmatched = true`). Oracle: DuckDB ASOF LEFT JOIN.
     "q_asof_left" -> ((s, dir) => {
@@ -2570,6 +2593,14 @@ object CoreGates {
          FROM (SELECT * FROM events WHERE event_type = 'click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "q_asof_forward" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+                p.event_id AS purchase_id,
+                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts <= p.ts""",
 
     "q_asof_left" ->
       """SELECT c.event_id AS click_id, c.user_id,

@@ -237,6 +237,27 @@ object Joins {
       .withColumnRenamed("_asof_match", "asof")
   }
 
+  /** FORWARD as-of join — for each left row, the single NEXT right row
+    * with the same key and right.time >= left.time (the other half of the
+    * standard as-of surface: "the next reading at or after t"). Reduces
+    * to [[asOf]] on negated times — negation flips the per-key scan
+    * direction while equality inclusion and tie-break semantics carry
+    * over unchanged, so the one-shuffle window composition (and its
+    * 100 TB shape) is shared, not duplicated. Times must be numeric
+    * (epoch micros in this library's convention). */
+  def asOfForward(
+      left: DataFrame,
+      leftKey: Column,
+      leftTime: Column,
+      right: DataFrame,
+      rightKey: Column,
+      rightTime: Column,
+      rightPayload: Seq[Column],
+      rightTieBreak: Column = lit(0),
+      keepUnmatched: Boolean = false): DataFrame =
+    asOf(left, leftKey, -leftTime, right, rightKey, -rightTime,
+      rightPayload, rightTieBreak, keepUnmatched)
+
   /** Point-in-interval range join without a nested-loop plan (beyond the
     * reference — SURVEY.md §2.4 lists only the equi INL join; this is the
     * standard temporal "which points fall inside which windows" shape a
