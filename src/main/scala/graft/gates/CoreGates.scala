@@ -401,6 +401,152 @@ object CoreGates {
     }
   }
 
+  /** Decimal-fuzz cases: seeded lockstep (Column, SQL) DECIMAL arithmetic
+    * trees probing precision/scale propagation and rounding — the other
+    * engine-divergence hotspot next to integer overflow (q_fuzz_numeric):
+    * Spark widens precision toward 38 and HALF_UPs on scale loss, DuckDB
+    * keeps max-input precision and TRUNCATES on decimal downcasts. Engine
+    * ground rules baked into the grammar (each probed live against DuckDB):
+    *  - `round(d, k)` rounds half away from zero in BOTH engines (= Spark
+    *    HALF_UP on decimals: 2.345→2.35, -2.345→-2.35), so EVERY scale
+    *    reduction in the grammar is a round(), never a bare downcast
+    *    (DuckDB `CAST(2.345 AS DECIMAL(10,2))` = 2.34 truncates where
+    *    Spark gives 2.35 — the one primitive deliberately NOT emitted).
+    *  - DuckDB decimal division yields DOUBLE (not DECIMAL), so the
+    *    division terminal is only emitted in the tie-free aligned form
+    *    `round(a / k, s+4)` with k ODD and coprime to 10: a tie would
+    *    need 2·a·10^(s+4) = k·(2n+1) — even = odd, impossible — so the
+    *    double-path quotient (DuckDB) and the exact-decimal HALF_UP
+    *    quotient (Spark, ≥7 guard digits at its max(6, s1+p2+1) result
+    *    scale) round identically; the dividend is mod-reduced below 10^3
+    *    first so double error (~1e-13) stays ≥4 orders of magnitude from
+    *    the ≥5e-9 boundary gap. (avg is NOT probed: DuckDB computes it in
+    *    DOUBLE with a data-dependent divisor, so no tie-free aligned form
+    *    exists — sum/count cover the same state exactly.)
+    *  - DuckDB multiplication keeps max input precision (DECIMAL(18,2) ×
+    *    DECIMAL(18,2) = DECIMAL(18,4)) where Spark widens — the tracked
+    *    per-row scaled bound stays ≤1.5e9 (mod-9973 reduction after a
+    *    round-to-scale-4) so neither engine overflows and the weighted
+    *    row sums stay inside BIGINT through sf10 (1.5e9·6e7·98 < 2^63).
+    * Each case's per-row value is scaled by 10^scale into an exact BIGINT
+    * while still DECIMAL-typed (never via a double→int cast: Spark
+    * truncates those, DuckDB rounds half-even). */
+  private[graft] final case class DecFuzzCase(
+      id: Int, value: org.apache.spark.sql.Column, valueSql: String)
+
+  private[graft] lazy val decFuzzCases: Seq[DecFuzzCase] = {
+    val rnd = new scala.util.Random(152601L)
+    def pow10(k: Int): Long = { var r = 1L; (0 until k).foreach(_ => r *= 10); r }
+    // (column, sql, scale, bound on |v|·10^scale)
+    type N = (org.apache.spark.sql.Column, String, Int, Long)
+    def leaf(): N = rnd.nextInt(5) match {
+      case 0 => (money(col("l_quantity")),
+        "CAST(l_quantity AS DECIMAL(18,2))", 2, 5200L)
+      case 1 => (money(col("l_extendedprice")),
+        "CAST(l_extendedprice AS DECIMAL(18,2))", 2, 11000000L)
+      case 2 => (money(col("l_discount")),
+        "CAST(l_discount AS DECIMAL(18,2))", 2, 11L)
+      case 3 => (money(col("l_tax")),
+        "CAST(l_tax AS DECIMAL(18,2))", 2, 9L)
+      case _ =>
+        val cents = 1 + rnd.nextInt(999) // 0.01 .. 9.99, exact both engines
+        val str = s"${cents / 100}.${"%02d".format(cents % 100)}"
+        (lit(new java.math.BigDecimal(str)),
+          s"CAST($str AS DECIMAL(18,2))", 2, cents.toLong)
+    }
+    // reduce scale (HALF_UP both engines) then magnitude so every node
+    // keeps |v|·10^scale ≤ 1.5e10 — inside DuckDB's 18-digit products and
+    // inside BIGINT for the 600k-row weighted sums
+    def clamp(n: N): N = {
+      val r =
+        if (n._3 > 4) (round(n._1, 4), s"round(${n._2}, 4)", 4,
+          n._4 / pow10(n._3 - 4) + 1)
+        else n
+      if (r._4 > 1500000000L)
+        ((r._1 % 9973), s"(${r._2} % 9973)", r._3, 9973L * pow10(r._3))
+      else r
+    }
+    def combine(a0: N, b0: N): N = {
+      val (a, b) = (clamp(a0), clamp(b0))
+      // tracked bounds are ≤1.5e10 each, so the double-space product test
+      // can't overflow; mul is demoted to add when the product would blow
+      // the per-row budget
+      val mulOk = a._4.toDouble * b._4.toDouble <= 1.2e9
+      val pick0 = rnd.nextInt(6)
+      val pick = if (pick0 == 2 && !mulOk) 0
+        else if (pick0 == 5 && a._3 < 1) 1 else pick0
+      val s = math.max(a._3, b._3)
+      def widen(n: N): Long = n._4 * pow10(s - n._3)
+      pick match {
+        case 0 => // add: result scale = max(s1, s2), exact in both engines
+          clamp((a._1 + b._1, s"(${a._2} + ${b._2})", s, widen(a) + widen(b)))
+        case 1 =>
+          clamp((a._1 - b._1, s"(${a._2} - ${b._2})", s, widen(a) + widen(b)))
+        case 2 => // mul: scale s1+s2; both engines exact (bound-guarded)
+          clamp((a._1 * b._1, s"(${a._2} * ${b._2})", a._3 + b._3,
+            a._4 * b._4))
+        case 3 | 4 =>
+          // greatest/least — via CASE on the DuckDB side: its native
+          // greatest() promotes ANY decimal pair to DOUBLE, while a CASE
+          // over an exact decimal comparison stays DECIMAL (and probes
+          // mixed-scale comparison on top)
+          val (f, cmp, nm) =
+            if (pick == 3) (greatest(a._1, b._1), ">=", "greatest")
+            else (least(a._1, b._1), "<=", "least")
+          val _ = nm
+          clamp((f,
+            s"(CASE WHEN (${a._2}) $cmp (${b._2}) THEN (${a._2}) ELSE (${b._2}) END)",
+            s, math.max(widen(a), widen(b))))
+        case _ => // round to a COARSER scale: HALF_UP both engines
+          val k = 1 + rnd.nextInt(a._3) // a._3 >= 1 guarded above
+          val s2 = a._3 - k
+          clamp((round(a._1, s2), s"round(${a._2}, $s2)", s2,
+            a._4 / pow10(k) + 1))
+      }
+    }
+    def unary(a0: N): N = {
+      val a = clamp(a0)
+      rnd.nextInt(3) match {
+        case 0 => (abs(a._1), s"abs(${a._2})", a._3, a._4)
+        case 1 => (-a._1, s"(- ${a._2})", a._3, a._4)
+        case _ =>
+          val cents = 1 + rnd.nextInt(500)
+          val str = s"${cents / 100}.${"%02d".format(cents % 100)}"
+          val s = math.max(a._3, 2)
+          (a._1 - lit(new java.math.BigDecimal(str)), s"(${a._2} - $str)",
+            s, a._4 * pow10(s - a._3) + cents * pow10(s - 2))
+      }
+    }
+    (0 until 16).map { i =>
+      var n: N = leaf()
+      val depth = 1 + rnd.nextInt(3)
+      (0 until depth).foreach { _ =>
+        n = if (rnd.nextInt(3) == 0) unary(n) else combine(n, leaf())
+      }
+      if (rnd.nextInt(2) == 0) {
+        // division terminal: tie-free odd-coprime-10 divisor (see scaladoc)
+        val pre = clamp(n)
+        val red = if (pre._3 > 2) (round(pre._1, 2), s"round(${pre._2}, 2)", 2,
+          pre._4 / pow10(pre._3 - 2) + 1) else pre
+        val m: N = ((red._1 % 997), s"(${red._2} % 997)", red._3,
+          997L * pow10(red._3))
+        val k = Seq(3, 7, 9, 11, 13, 17, 19, 21, 23, 27)(rnd.nextInt(10))
+        val s = m._3 + 4
+        val q: N = (round(m._1 / lit(k), s), s"round((${m._2}) / $k, $s)", s,
+          m._4 * pow10(4) / k + 1)
+        // DuckDB's quotient path is DOUBLE, so the scaled-integer checksum
+        // re-rounds before the BIGINT cast (value is n ± ~1e-9, never near
+        // a half boundary); Spark's stays DECIMAL-exact throughout
+        DecFuzzCase(i, (q._1 * pow10(s)).cast("long"),
+          s"CAST(round((${q._2}) * ${pow10(s)}) AS BIGINT)")
+      } else {
+        val f = clamp(n)
+        DecFuzzCase(i, (f._1 * pow10(f._3)).cast("long"),
+          s"CAST((${f._2}) * ${pow10(f._3)} AS BIGINT)")
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The fuzz sweep extended to the ANALYTIC grammar: 12 seeded window
@@ -485,6 +631,28 @@ object CoreGates {
             min(col("v")).as("min_v"),
             max(col("v")).as("max_v"))
           .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_len"),
+            col("chk"), col("min_v"), col("max_v"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // The fuzz sweep extended to DECIMAL arithmetic (see decFuzzCases):
+    // 16 seeded precision/scale-tracked op trees (+, -, ×, HALF_UP
+    // round, greatest/least, abs/negate, tie-free odd-divisor division)
+    // over exact DECIMAL(18,2) leaves, each scaled into one integer-exact
+    // checksum row — a scale-propagation, rounding-mode, or
+    // decimal-overflow divergence anywhere in 600k evaluations fails the
+    // hash naming the case id.
+    "q_fuzz_decimal" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      decFuzzCases.map { c =>
+        li.select(c.value.as("v"), (col("l_orderkey") % 97 + 1).as("wt"))
+          .agg(
+            count(col("v")).as("n_rows"),
+            sum(col("v")).as("sum_v"),
+            sum(col("v") * col("wt")).as("chk"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .select(lit(c.id).as("case_id"), col("n_rows"), col("sum_v"),
             col("chk"), col("min_v"), col("max_v"))
       }.reduce(_ unionByName _)
     }),
@@ -2157,6 +2325,21 @@ object CoreGates {
                 FROM lineitem)"""
     }.mkString("\n          UNION ALL\n"),
 
+    // generated from the SAME DecFuzzCase list; per-row values are exact
+    // scaled BIGINTs on both sides (see decFuzzCases scaladoc for the
+    // engine-alignment ground rules), sums BIGINT-cast (HUGEINT lesson)
+    "q_fuzz_decimal" -> decFuzzCases.map { c =>
+      s"""SELECT ${c.id} AS case_id,
+            COUNT(v) AS n_rows,
+            CAST(SUM(v) AS BIGINT) AS sum_v,
+            CAST(SUM(v * wt) AS BIGINT) AS chk,
+            MIN(v) AS min_v,
+            MAX(v) AS max_v
+          FROM (SELECT ${c.valueSql} AS v,
+                       l_orderkey % 97 + 1 AS wt
+                FROM lineitem)"""
+    }.mkString("\n          UNION ALL\n"),
+
     // generated from the SAME StrFuzzCase list as the gate; sum_len is
     // BIGINT-cast (the HUGEINT lesson), the md5-prefix checksum parses
     // the same 8 hex chars both sides
@@ -2492,7 +2675,8 @@ object CoreGates {
 
     // the same recurrence unrolled as chained CTEs (DuckDB restricts
     // aggregation over a recursive reference): r_k from r_{k-1} via the
-    // identical integer-div update; // floors but ranks are non-negative
+    // identical integer-div update; // truncates toward zero (verified:
+    // -7 // 2 = -3) but ranks are non-negative so trunc == floor here
     "q_pagerank" -> {
       val iters = 4
       val base =
@@ -2586,12 +2770,20 @@ object CoreGates {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
 
+    // the right side is pre-deduped per (user_id, ts) to max(event_id):
+    // DuckDB's ASOF JOIN leaves the pick among equal-timestamp matches
+    // unspecified, while the Spark operator's rightTieBreak
+    // deterministically takes the max purchase_id — identical today
+    // (testdata has no tied purchase timestamps) but this removes the
+    // latent flaky-gate risk at any future SF (r14 advice #4)
     "q_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
                 p.event_id AS purchase_id,
                 epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
          FROM (SELECT * FROM events WHERE event_type = 'click') c
-         ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
 
     "q_asof_forward" ->
@@ -2599,7 +2791,9 @@ object CoreGates {
                 p.event_id AS purchase_id,
                 epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
          FROM (SELECT * FROM events WHERE event_type = 'click') c
-         ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) p
            ON c.user_id = p.user_id AND c.ts <= p.ts""",
 
     "q_asof_left" ->
@@ -2607,7 +2801,9 @@ object CoreGates {
                 p.event_id AS purchase_id,
                 epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
          FROM (SELECT * FROM events WHERE event_type = 'click') c
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
 
     "q_session_window" ->
@@ -2665,14 +2861,21 @@ object CoreGates {
          SELECT user_id, event_id, op, event_type, value
          FROM r WHERE rn = 1 AND op <> 'delete'""",
 
-    // same buckets (integer //), same latest-in-bucket (row_number over
-    // (us, event_id) desc), same per-key grid, same IGNORE NULLS carry
+    // same FLOOR-division buckets (DuckDB `//` truncates toward zero —
+    // verified -7 // 2 = -3 — so the pmod-adjust mirrors the operator's
+    // negative-ts semantics; identical on the non-negative testdata),
+    // same latest-in-bucket (row_number over (us, event_id) desc), same
+    // per-key grid, same IGNORE NULLS carry
     "s33_resample_locf" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
                     FROM events),
-              r AS (SELECT user_id, us // 3600000000 AS bucket, value,
+              r AS (SELECT user_id,
+                           (us - ((us % 3600000000 + 3600000000) % 3600000000))
+                             // 3600000000 AS bucket, value,
                            row_number() OVER (
-                             PARTITION BY user_id, us // 3600000000
+                             PARTITION BY user_id,
+                               (us - ((us % 3600000000 + 3600000000) % 3600000000))
+                                 // 3600000000
                              ORDER BY us DESC, event_id DESC) AS rn
                     FROM e),
               b AS (SELECT user_id, bucket, COUNT(*) AS n_events

@@ -125,9 +125,11 @@ object EventLog {
     * (LOCF) into empty buckets. Latest-in-bucket is decided by the
     * (tsUsCol, tieCol) pair, so results are deterministic under ties.
     *
-    * Scale shape: bucketing is exact integer division (`div`, never a
-    * double-rounded quotient at bucket edges) feeding ONE partial-
-    * aggregated groupBy; the grid explode and the LOCF window are both
+    * Scale shape: bucketing is exact integer FLOOR division (`pmod`-
+    * adjusted `div`, never a double-rounded quotient at bucket edges —
+    * and never truncate-toward-zero, which would give pre-1970
+    * timestamps a double-width bucket 0 with shifted boundaries)
+    * feeding ONE partial-aggregated groupBy; the grid explode and the LOCF window are both
     * per-key and span-bounded (a key's buckets, not the corpus), so no
     * global sort or corpus-sized window exists at any scale.
     *
@@ -142,8 +144,11 @@ object EventLog {
       valueCol: String,
       bucketUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // floor division: subtract the always-non-negative pmod remainder
+    // first, so `div` (truncating) lands on the floor for negative ts too
     val buckets = log
-      .withColumn("bucket", expr(s"$tsUsCol div ${bucketUs}L"))
+      .withColumn("bucket",
+        expr(s"($tsUsCol - pmod($tsUsCol, ${bucketUs}L)) div ${bucketUs}L"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         max(struct(col(tsUsCol), col(tieCol), col(valueCol)))

@@ -39,13 +39,19 @@ object Graph {
       damp: Long = 850L,
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 1000 && scale > 0)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the loop-invariant tables are cached ONCE — without this the logical
+    // plan re-derives (and re-shuffles) edges/nodes/deg on every iteration,
+    // and the rank lineage itself grows linearly with iters; ranks are
+    // localCheckpoint'ed every few rounds to truncate that lineage so the
+    // recurrence stays O(1) plan depth at any iteration count. Caller (or
+    // `spark.catalog.clearCache()` between gates) releases the cache.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
     val teleport = scale * (1000L - damp) / 1000L
     var ranks = nodes.select(col("node"), lit(scale).as("pr"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       // SQL `div`: true 64-bit integer division (no double round-trip),
       // exact at any scale; ranks are non-negative so floor == trunc
       val contribs = e
@@ -57,6 +63,7 @@ object Graph {
         .select(col("node"),
           expr(s"${teleport}L + ($damp * coalesce(s, 0L)) div 1000")
             .as("pr"))
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.gates.CoreGates
 
-/** Pins the five fuzz generators' emitted SQL by content hash.
+/** Pins the fuzz generators' emitted SQL by content hash (seven families:
+  * predicate, join, window, dates, strings, numeric, decimal).
   *
   * The fuzz gates' one-generator-two-forms design has a blind spot: the
   * Spark gate and the DuckDB oracle share the generator, so an accidental
@@ -32,5 +33,6 @@ class FuzzSnapshotSpec extends AnyFunSuite {
     pin("dates", CoreGates.dateFuzzCases.map(_.valueSql), "6e9f797521e43e0223f35b8b061a1de6")
     pin("strings", CoreGates.strFuzzCases.map(_.valueSql), "f8c8b3be8b921fbfd8f99e0e9cee77e7")
     pin("numeric", CoreGates.numFuzzCases.map(_.valueSql), "fed7eeb9e47712b4fccca0a153dd4a0a")
+    pin("decimal", CoreGates.decFuzzCases.map(_.valueSql), "011e32368f2f6fe5a4efdafa28bcb7f7")
   }
 }
