@@ -801,6 +801,102 @@ object Corpus {
     }(enc)
   }
 
+  /** Write a merge table in the public GPT-2 tokenizer `merges.txt`
+    * format (openai/gpt-2 — plain text: a `#version` comment line, then
+    * one `left right` pair per line in rank order). Merge tables are
+    * tokenizer-budget-bounded by definition (32k-50k rows, ~1 MB), so the
+    * driver-side collect is a model-artifact write, not a corpus read —
+    * the same discipline as the vocab builders. */
+  def bpeSaveMerges(merges: DataFrame, path: String): Unit = {
+    val rows = merges.orderBy(col("rank").asc)
+      .select(col("left"), col("right"))
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}")
+    val out = ("#version: 0.2" +: rows).mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a pretrained BPE merge table from the public GPT-2 `merges.txt`
+    * format — the ingestion path production pipelines use far more often
+    * than self-training: encode a new corpus with a PUBLISHED tokenizer.
+    * Returns (rank, left, right, merged) in file order, directly usable by
+    * [[bpeEncode]]; a real GPT-2 file is byte-level over the SAME
+    * bytes_to_unicode alphabet as [[byteAlphabet]] (deliberately), so
+    * `bpeEncode(..., byteLevel = true)` replays it faithfully.
+    *
+    * Scale shape: the file is read distributed (`spark.read.text` +
+    * per-file line ordinals via zipWithIndex — order-stable because
+    * Hadoop text splits preserve in-file line order and the file is one
+    * split at tokenizer sizes); `#`-comment and blank lines are skipped
+    * without disturbing rank order. */
+  def bpeLoadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (l, i) => (i, l) }.toDF("line_nr", "line")
+    val pairs = lines
+      .where(!col("line").startsWith("#") && length(trim(col("line"))) > 0)
+      .select(col("line_nr"), split(col("line"), " ").as("p"))
+      .where(size(col("p")) === 2)
+    graft.operators.Joins.zipWithOrdinal(pairs.orderBy(col("line_nr")), "rk")
+      .select((col("rk") + 1).cast("int").as("rank"),
+        col("p").getItem(0).as("left"), col("p").getItem(1).as("right"),
+        concat(col("p").getItem(0), col("p").getItem(1)).as("merged"))
+  }
+
+  /** Write a (token, id) vocabulary in the public GPT-2 `vocab.json`
+    * format (one JSON object mapping token string to integer id). */
+  def bpeSaveVocab(vocab: DataFrame, path: String): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val rows = vocab.select(col("token"), col("id").cast("long"))
+      .collect().map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      rows.mkString("{", ", ", "}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a pretrained tokenizer vocabulary from the public GPT-2
+    * `vocab.json` format → (token, id). Parsed with json4s (on Spark's own
+    * classpath); a tokenizer vocab is model-artifact-sized, so the single
+    * driver-side read is bounded like the merge table's. */
+  def bpeLoadVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.json4s._
+    import spark.implicits._
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val entries = jackson.JsonMethods.parse(txt) match {
+      case JObject(fields) => fields.collect {
+        case (tok, JInt(id)) => (tok, id.toLong)
+        case (tok, JLong(id)) => (tok, id)
+      }
+      case other => throw new IllegalArgumentException(
+        s"bpeLoadVocab: expected one JSON object, got ${other.getClass}")
+    }
+    entries.toDF("token", "id")
+  }
+
+  /** GPT-2-style vocabulary from a merge table: base symbols first (ids
+    * 0..K-1 in symbol order), then merged tokens in merge order (ids K..),
+    * first occurrence winning when two merge paths concat to the same
+    * string — exactly how the published vocab.json files are laid out. */
+  def bpeVocabFromMerges(base: DataFrame, merges: DataFrame): DataFrame = {
+    val k = base.count()
+    val b = graft.operators.Joins
+      .zipWithOrdinal(base.select(col("sym")).distinct().orderBy(col("sym")), "id")
+      .select(col("sym").as("token"), col("id"))
+    val m = merges.groupBy(col("merged").as("token"))
+      .agg(min(col("rank")).cast("long").as("rk"))
+      .select(col("token"), (col("rk") - 1 + k).as("id"))
+    b.unionByName(m)
+  }
+
   /** WordPiece piece inventory — the BERT-family tokenizer's vocabulary,
     * built by a deterministic frequency rule instead of the original
     * likelihood training (which is implementation-defined): every single

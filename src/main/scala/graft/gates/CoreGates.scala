@@ -1977,6 +1977,48 @@ object CoreGates {
     }),
 
 
+    // WARC raw-crawl ingestion (r14 verdict #4) — the canonical LLM
+    // source format. The gate stages a real WARC/1.0 fixture (4 archive
+    // members, records framed with CRLF headers + Content-Length octets +
+    // HTTP response payloads, built deterministically from the documents
+    // table), reads it back through [[graft.sources.Warc.readRecords]]
+    // (binaryFile member-per-task parse, map-only), peels the HTTP header
+    // block with the codegen'd [[Warc.httpBody]], and composes the
+    // EXISTING stripHtml text path. Oracle: the same records in closed
+    // form over documents (the staged markup is `<h1>Doc N</h1><p>text
+    // </p>`, whose strip is exactly 'Doc N text'; the HTTP prefix is 44
+    // octets, and the corpus is ASCII so octets == chars).
+    "src_warc_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stage = stagedFeed(s"warc#$dir", "graft-warc") { st =>
+        val rows = docs.where(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val members = rows.groupBy { case (id, _) => id % 4 }
+        members.foreach { case (m, recs) =>
+          graft.sources.Warc.writeMember(
+            recs.map { case (id, text) =>
+              val html = s"<html><body><h1>Doc $id</h1><p>$text</p></body></html>"
+              val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                html).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              graft.sources.Warc.WarcRecord("response",
+                s"<urn:uuid:graft-$id>", s"http://graft.test/doc/$id",
+                payload.length.toLong, payload)
+            }.toSeq,
+            java.nio.file.Paths.get(s"$st/member_$m.warc"))
+        }
+      }
+      val recs = graft.sources.Warc.readRecords(s, s"$stage/*.warc")
+      recs.select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("warc_type"), col("content_length"),
+          TextAnalysis.stripHtml(
+            graft.sources.Warc.httpBody(col("payload"))).as("clean"))
+        .withColumn("n_clean_chars", length(col("clean")))
+    }),
+
+
     // Hive-style PARTITIONED layout — the other storage lever (with
     // bucketing) of the 100 TB posture: events staged once per JVM
     // partitioned by event_type, then read back with a partition-key
@@ -2754,6 +2796,21 @@ object CoreGates {
          JOIN (SELECT * FROM events WHERE event_type = 'click') p
            ON epoch_us(p.ts) >= epoch_us(i.ts)
           AND epoch_us(p.ts) <= epoch_us(i.ts) + 600000000""",
+
+    // closed-form replay of the staged WARC fixture: uri/type from the
+    // id, declared length = 44-octet HTTP prefix + the staged markup,
+    // strip('<h1>Doc N</h1><p>text</p>') = 'Doc N text' exactly
+    "src_warc_ingest" ->
+      """SELECT doc_id,
+                'http://graft.test/doc/' || doc_id AS target_uri,
+                'response' AS warc_type,
+                CAST(44 + length('<html><body><h1>Doc ' || doc_id ||
+                  '</h1><p>' || text || '</p></body></html>') AS BIGINT)
+                  AS content_length,
+                'Doc ' || doc_id || ' ' || text AS clean,
+                CAST(length('Doc ' || doc_id || ' ' || text) AS BIGINT)
+                  AS n_clean_chars
+         FROM documents WHERE doc_id < 200""",
 
     // binaryFile ingestion of the staged id range — same closed form
     "src_binaryfile_media" ->

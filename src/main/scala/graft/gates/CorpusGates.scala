@@ -191,6 +191,35 @@ object CorpusGates {
              CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_subtokens) AS DOUBLE) AS chars_per_subtoken
       FROM m GROUP BY source"""
 
+  /** The encode chain extended with the GPT-2 vocab id layout the
+    * pretrained gate's staged `vocab.json` carries: base symbols get ids
+    * 0..K-1 in symbol order, merged tokens id K+rank-1 (min rank when two
+    * merge paths concat to the same string), then every subtoken maps to
+    * its id in document order. */
+  private def bpePretrainedOracleSql(n: Int): String = {
+    val mergedRows = (1 to n).map(i =>
+      s"SELECT $i AS rank, l || r AS merged FROM b$i").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(n)},
+        fin AS MATERIALIZED (SELECT w, list_filter(string_split(replace(seg, chr(31), ''), chr(30)), x -> x <> '') AS sub FROM w$n),
+        sdoc AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tk AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w FROM sdoc),
+        tf AS MATERIALIZED (SELECT doc_id, pos, w FROM tk WHERE length(w) > 0),
+        j AS MATERIALIZED (SELECT tf.doc_id, tf.pos, f.sub FROM tf JOIN fin f ON tf.w = f.w),
+        wrd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        chs AS (SELECT DISTINCT unnest(string_split(w, '')) AS sym FROM wrd WHERE length(w) > 0),
+        vb AS MATERIALIZED (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym ASC) - 1 AS BIGINT) AS id FROM chs),
+        kk AS (SELECT COUNT(*) AS k FROM vb),
+        mg AS (SELECT merged, MIN(rank) AS rk FROM ($mergedRows) GROUP BY merged),
+        voc AS MATERIALIZED (SELECT sym, id FROM vb
+               UNION ALL SELECT merged AS sym, CAST(rk - 1 + k AS BIGINT) AS id FROM mg, kk),
+        sx AS MATERIALIZED (SELECT doc_id, pos, unnest(range(1, len(sub) + 1)) AS i, unnest(sub) AS sym FROM j),
+        ix AS MATERIALIZED (SELECT s.doc_id, s.pos, s.i, v.id FROM sx s JOIN voc v ON s.sym = v.sym)
+      SELECT doc_id, COUNT(*) AS n_subtokens,
+             array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos, i), ' ') AS token_ids,
+             CAST(SUM(id) AS BIGINT) AS id_checksum
+      FROM ix GROUP BY doc_id"""
+  }
+
   /** The encode chain's per-word-occurrence symbol stream, counted and
     * ranked like the corpus_vocab oracle. */
   private def bpeVocabOracleSql(n: Int): String =
@@ -888,6 +917,45 @@ object CorpusGates {
     }),
 
 
+    // PRETRAINED-TOKENIZER ingestion (r14 verdict #3): production
+    // pipelines far more often encode with a PUBLISHED tokenizer than a
+    // self-trained one. The gate round-trips the real artifact formats —
+    // train → write GPT-2 `merges.txt`/`vocab.json` (openai/gpt-2 text
+    // framing, public knowledge) → [[Corpus.bpeLoadMerges]]/
+    // [[Corpus.bpeLoadVocab]] → the EXISTING bpeEncode path → subtoken→id
+    // mapping via the loaded vocab (broadcast join, one doc_id shuffle).
+    // The oracle replays the identical chain from the corpus itself (the
+    // staged files are a deterministic function of it), so any drift in
+    // the format writer, the parser, rank ordering, or the GPT-2 id
+    // layout (base symbols 0..K-1 by symbol order, merges K.. in rank
+    // order, first-occurrence-wins) breaks the hash.
+    "corpus_bpe_pretrained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stage = stagedFeed(s"bpepre#$dir", "graft-bpe-pre") { st =>
+        val merges = Corpus.bpeTrain(docs, "text", numMerges = bpeN)
+        Corpus.bpeSaveMerges(merges, s"$st/merges.txt")
+        val base = docs.select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+          .select(explode(split(col("w"), "")).as("sym"))
+          .where(length(col("sym")) > 0).distinct()
+        Corpus.bpeSaveVocab(
+          Corpus.bpeVocabFromMerges(base, merges), s"$st/vocab.json")
+      }
+      val merges = Corpus.bpeLoadMerges(s, s"$stage/merges.txt")
+      val vocab = Corpus.bpeLoadVocab(s, s"$stage/vocab.json")
+      Corpus.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          posexplode(col("subtokens")).as(Seq("pos", "sym")))
+        .join(broadcast(vocab), col("sym") === col("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_subtokens"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+              e => e.getField("id").cast("string")), " ").as("token_ids"),
+          sum(col("id")).as("id_checksum"))
+    }),
+
+
     // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood ratio of the trusted-source target distribution
     // (source = 'src0') vs the raw corpus — the data-selection score a
@@ -910,6 +978,7 @@ object CorpusGates {
     "pipe_bpe_pretokenize" -> bpePretokenizeOracleSql(bpeN),
     "corpus_bpe_fertility" -> bpeFertilityOracleSql(bpeN),
     "corpus_bpe_vocab" -> bpeVocabOracleSql(bpeN),
+    "corpus_bpe_pretrained" -> bpePretrainedOracleSql(bpeN),
 
     // the text_perplexity xent CTE + the stratified-sample langid CASE,
     // then the same per-language (xent, doc_id) tercile
