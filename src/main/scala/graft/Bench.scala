@@ -54,8 +54,30 @@ object Bench {
     // class's flags. The per-entry `basket_sec` ratios in BENCH_DELTAS
     // are the diagnostic: a lone `_basket_sim_brute_topk` excursion
     // marks a float-class window, not a code regression.
-    val basketNames =
-      Seq("q3_shipping", "s4_stream_window", "text_quality", "sim_brute_topk")
+    // r15 (r14 verdict #2): the basket is now PER WORKLOAD CLASS — two
+    // consecutive driver windows (noise 1.87, 4.14) were contended in a
+    // CLASS-shaped way (pure-CPU decodes at 100-220× while shuffle gates
+    // ran near baseline), and a single global speed cannot adjudicate
+    // that. Each class gets one representative basket query; every
+    // gate's regression ratio is normalized by ITS class's measured
+    // speed, so a float-slow or decode-slow window self-adjudicates
+    // instead of flagging the whole family. The class speeds land in
+    // BENCH_DELTAS ("class_speed") as the contention fingerprint.
+    val classBaskets: Map[String, String] = Map(
+      "decode" -> "mm_png_decode", // pure-CPU codec loops (mm_*)
+      "stream" -> "s4_stream_window", // micro-batch + state-store commits
+      "fuzz" -> "q_fuzz_numeric", // codegen-dense multi-case stacks
+      "float" -> "sim_brute_topk", // vectorized float dot products
+      "shuffle" -> "q3_shipping", // exchange-bound relational
+      "map" -> "text_quality") // map-only text scans
+    def classOf(name: String): String =
+      if (name.startsWith("mm_") || name == "src_binaryfile_media") "decode"
+      else if (name.contains("stream")) "stream"
+      else if (name.startsWith("q_fuzz")) "fuzz"
+      else if (name.startsWith("sim_") || name.startsWith("dedup_embedding") ||
+        name.startsWith("dedup_semantic")) "float"
+      else "default" // normalized by the global speed ratio
+    val basketNames = classBaskets.values.toSeq.distinct.sorted
     // basket runs at the BENCHED sf: the point is measuring Spark wall
     // time in the exact regime being normalized — the first cut measured
     // it at sf0.01 regardless, and those sub-second timings swung ~30%
@@ -312,12 +334,34 @@ object Bench {
       }
     }
     if (prev.nonEmpty && !contaminated && !partial) {
+      // per-class speed: the class representative's own now/baseline
+      // ratio when both sides have it — CLAMPED at the global speed from
+      // below (a class can only read SLOWER than the machine, not
+      // faster: letting a fast-outlier rep deflate its class would
+      // manufacture flags) — falling back to the global ratio. The
+      // representative itself is never flagged through its own ratio
+      // (normalizing a gate by itself is vacuous): reps normalize by the
+      // global speed.
+      val basketNow = basket.toMap
+      val classSpeed: Map[String, Double] = classBaskets.flatMap {
+        case (cls, rep) =>
+          for {
+            now <- basketNow.get(rep)
+            base <- prev.get(s"_basket_$rep").filter(_ > 0)
+          } yield cls -> math.max(now / base, speedRatio)
+      }
+      val reps = classBaskets.values.toSet
+      def speedFor(k: String): Double =
+        if (reps(k)) speedRatio
+        else classSpeed.getOrElse(classOf(k), speedRatio)
       // normalize by relative machine speed: a query is only as "slower"
-      // as it degraded BEYOND the machine-speed shift the basket measured
+      // as it degraded BEYOND the speed shift ITS workload class measured
       val ratios = healthy.flatMap { case (k, v) =>
-        prev.get(k).filter(_ > 0).map(p => (k, v, p, v / p / speedRatio)) }
+        prev.get(k).filter(_ > 0).map(p => (k, v, p, v / p / speedFor(k))) }
       val deltas = ratios.map { case (k, _, _, r) => s""""$k":${num(r, 2)}""" }
         .mkString("{", ",", "}")
+      val classSpeedJson = classSpeed.toSeq.sortBy(_._1)
+        .map { case (c, s) => s""""$c":${num(s, 3)}""" }.mkString("{", ",", "}")
       val regressions = ratios.filter { case (k, v, _, r) => r > 1.5 && v > 0.5 }
         .sortBy(-_._4)
       val regJson = regressions.map { case (k, v, p, r) =>
@@ -328,7 +372,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(new java.io.File("BENCH_DELTAS.json").toPath,
         (s"""{"cal_sec":${num(cal, 3)},"machine_speed_vs_prev":${num(speedRatio, 3)},""" +
-          s""""basket_sec":$basketJson,""" +
+          s""""basket_sec":$basketJson,"class_speed":$classSpeedJson,""" +
           basketSpeed.map(b => s""""basket_speed":${num(b, 3)},""").getOrElse("") +
           medianRawRatio.map(m => s""""median_raw_ratio":${num(m, 3)},""").getOrElse("") +
           s""""noise":${num(noise, 2)},"probes_sec":$probeJson,"prev_ratio":$deltas,"regressions":$regJson}""")

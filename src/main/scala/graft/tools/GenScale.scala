@@ -145,6 +145,45 @@ object GenScale {
     writeSingle(emb, outDir, "embeddings")
     println(s"[genscale] embeddings: $nEmb x $dim")
 
+    // ---- TPC-H star tables (r14 verdict #1): shifted-key replicas ----
+    // The star schema grows the way TPC-H itself scales: more customers,
+    // orders, parts, suppliers at the SAME selectivities and join
+    // fan-outs. Each copy shifts every PK/FK by a per-table stride
+    // (max key + 1), so keys stay unique, referential integrity holds
+    // WITHIN each copy, and the join graph becomes `factor` disjoint
+    // internally-consistent replicas — 10× key density for every
+    // join/agg/window gate with no artificial skew or duplicate keys.
+    // Dimension roots (region, nation) are fixed-size in TPC-H at every
+    // sf and are copied as-is.
+    def copies(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      (0 until factor).map { i =>
+        shifts.foldLeft(df) { case (d, (c, stride)) =>
+          d.withColumn(c, col(c) + lit(i * stride)) }
+      }.reduce(_ unionByName _)
+    def maxKey(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    val supp = spark.read.parquet(s"$srcDir/supplier.parquet")
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val (custS, suppS, partS, ordS) = (maxKey(cust, "c_custkey"),
+      maxKey(supp, "s_suppkey"), maxKey(part, "p_partkey"),
+      maxKey(ord, "o_orderkey"))
+    Seq("region", "nation").foreach { t =>
+      writeSingle(spark.read.parquet(s"$srcDir/$t.parquet"), outDir, t)
+    }
+    writeSingle(copies(cust, Map("c_custkey" -> custS)), outDir, "customer")
+    writeSingle(copies(supp, Map("s_suppkey" -> suppS)), outDir, "supplier")
+    writeSingle(copies(part, Map("p_partkey" -> partS)), outDir, "part")
+    writeSingle(copies(ord,
+      Map("o_orderkey" -> ordS, "o_custkey" -> custS)), outDir, "orders")
+    writeSingle(copies(li,
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS,
+        "l_suppkey" -> suppS)), outDir, "lineitem")
+    println(s"[genscale] tpc-h star: customer ${cust.count() * factor}, " +
+      s"orders ${ord.count() * factor}, lineitem ${li.count() * factor}")
+
     // ---- events: shifted append copies ----
     val srcEv = spark.read.parquet(s"$srcDir/events.parquet")
     val nEv = srcEv.count()

@@ -49,6 +49,16 @@ object SpotBench {
     "text_quality_classifier", "corpus_mlm_mask", "text_kneser_ney",
     "text_pii_scrub", "corpus_cdc_chunks", "corpus_wordpiece_vocab",
     "corpus_wordpiece_encode", "dedup_cdc_cross", "s33_resample_locf")
+  // r15 (r14 verdict #1): the staged sf1 corpus now carries the TPC-H
+  // star tables (GenScale shifted-key replicas), so the join/agg/window
+  // families get real 10× growth pins too — not just documents gates
+  private val starOps = Seq(
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q10_returned",
+    "j1_join_inner", "q_topk", "q_window_rank", "q_grouping_sets",
+    "j_bloom_semi", "j_bucketed_join", "q_fuzz_parity", "q_fuzz_grouped",
+    "q_fuzz_decimal", "q_pagerank", "q_asof_join", "q_session_window",
+    "q_time_window", "q_range_join", "corpus_bpe_pretrained",
+    "src_warc_ingest")
   private val dedupFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_paragraphs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
@@ -93,7 +103,7 @@ object SpotBench {
       }
 
     val allGates: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      (top10 ++ dedupFamily ++ newOps).distinct.map(n => n -> graft.SparkEntry.queries(n)) :+
+      (top10 ++ dedupFamily ++ newOps ++ starOps).distinct.map(n => n -> graft.SparkEntry.queries(n)) :+
         ("dedup_containment_brute" -> containmentBrute)
     val gates = only match {
       case Some(names) => allGates.filter { case (n, _) => names(n) }
