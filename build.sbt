@@ -34,4 +34,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // memory-pressure harness (r14 verdict #7): SPARK_GRAFT_MAX_RESULT=256m
+  // caps spark.driver.maxResultSize so any hidden corpus-sized
+  // materialization trips loudly instead of hiding in an 8g heap
+  sys.env.get("SPARK_GRAFT_MAX_RESULT")
+    .map(v => s"-Dspark.driver.maxResultSize=$v").toSeq ++
+  // codegen-cache A/B dial (r14 verdict #8): the conditional-aggregate
+  // fuzz gates read ~1.45x higher inside a 230-gate sweep than isolated;
+  // spark.sql.codegen.cache.maxEntries is STATIC (default 100), so the
+  // experiment needs a pre-session system property
+  sys.env.get("SPARK_GRAFT_CODEGEN_CACHE")
+    .map(v => s"-Dspark.sql.codegen.cache.maxEntries=$v").toSeq
