@@ -45,4 +45,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // spark.sql.codegen.cache.maxEntries is STATIC (default 100), so the
   // experiment needs a pre-session system property
   sys.env.get("SPARK_GRAFT_CODEGEN_CACHE")
-    .map(v => s"-Dspark.sql.codegen.cache.maxEntries=$v").toSeq
+    .map(v => s"-Dspark.sql.codegen.cache.maxEntries=$v").toSeq ++
+  // the sibling hypothesis (r15 A/B): a 235-gate sweep compiles thousands
+  // of generated classes — JVM code-cache flushing forces C2 re-JIT,
+  // which Spark's own codegen cache cannot prevent
+  sys.env.get("SPARK_GRAFT_CODE_CACHE")
+    .map(v => s"-XX:ReservedCodeCacheSize=$v").toSeq
