@@ -70,12 +70,23 @@ object Bench {
       "float" -> "sim_brute_topk", // vectorized float dot products
       "shuffle" -> "q3_shipping", // exchange-bound relational
       "map" -> "text_quality") // map-only text scans
+    // map-only per-document text scans (no corpus-level shuffle) — the
+    // "map" class; corpus-aggregating text gates (tfidf/bm25/xent/...)
+    // deliberately stay "default": they mix scan + exchange and neither
+    // the map nor the shuffle basket is their shape (ADVICE r15 #3).
+    val mapOnlyGates = Set("text_quality", "text_langid",
+      "text_gopher_rules", "text_c4_clean", "text_strip_html",
+      "text_normalize", "text_tokens", "text_pii_scrub",
+      "text_repetition", "pii_scrub")
     def classOf(name: String): String =
       if (name.startsWith("mm_") || name == "src_binaryfile_media") "decode"
       else if (name.contains("stream")) "stream"
       else if (name.startsWith("q_fuzz")) "fuzz"
       else if (name.startsWith("sim_") || name.startsWith("dedup_embedding") ||
         name.startsWith("dedup_semantic")) "float"
+      else if (name.startsWith("q") || name.startsWith("j"))
+        "shuffle" // exchange-bound relational/join gates
+      else if (mapOnlyGates(name)) "map"
       else "default" // normalized by the global speed ratio
     val basketNames = classBaskets.values.toSeq.distinct.sorted
     // basket runs at the BENCHED sf: the point is measuring Spark wall

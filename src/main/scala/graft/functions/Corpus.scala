@@ -887,9 +887,13 @@ object Corpus {
     * first occurrence winning when two merge paths concat to the same
     * string — exactly how the published vocab.json files are laid out. */
   def bpeVocabFromMerges(base: DataFrame, merges: DataFrame): DataFrame = {
-    val k = base.count()
+    // dedup FIRST and derive the merged-id offset from the deduped count —
+    // a non-distinct `base` would otherwise gap/shift every merged-token
+    // id past the emitted base-id range (ADVICE r15 #4)
+    val b0 = base.select(col("sym")).distinct()
+    val k = b0.count()
     val b = graft.operators.Joins
-      .zipWithOrdinal(base.select(col("sym")).distinct().orderBy(col("sym")), "id")
+      .zipWithOrdinal(b0.orderBy(col("sym")), "id")
       .select(col("sym").as("token"), col("id"))
     val m = merges.groupBy(col("merged").as("token"))
       .agg(min(col("rank")).cast("long").as("rk"))

@@ -178,6 +178,71 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Query-directed MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007 — public literature): instead of one table per extra probe,
+    * each query also probes the buckets obtained by flipping the sign bits
+    * of the `nFlips` hyperplanes with the SMALLEST projection magnitude —
+    * the planes the query sits closest to, i.e. exactly where a true
+    * neighbor most plausibly landed on the other side. Recall rises with
+    * nFlips at the cost of (1 + nFlips) bucket probes per query, while the
+    * corpus side is UNCHANGED: still one bucket id per row, one equi-join —
+    * the probe fan-out explodes only the (small, broadcast) query side,
+    * never the corpus. nFlips = 0 degenerates to [[lshTopK]] exactly.
+    *
+    * Probe buckets are pairwise distinct (base, and base ⊕ one distinct
+    * bit each), so each (query, candidate) pair joins at most once — no
+    * post-join dedup pass. Flip order ties (equal |projection|) break by
+    * plane index, so the probe set is deterministic and the DuckDB oracle
+    * replicates it bit-for-bit (the projections are the same literal-plane
+    * double dot products the single-probe oracle already matches). */
+  def lshMultiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      nFlips: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(nFlips >= 0 && nFlips <= nPlanes,
+      s"lshMultiProbeTopK: nFlips $nFlips outside [0, $nPlanes]")
+    val planes = hyperplanes(nPlanes, dim, seed)
+    // per-plane signed projections of the query (the planes are literals —
+    // nPlanes tiny dot products per QUERY, never per corpus row)
+    val projs = array(planes.map(p => dot(col("qv"), typedLit(p))): _*)
+    val weights = typedLit((0 until nPlanes).map(j => 1L << j))
+    // base bucket: Σ 2^j · [proj_j > 0] — same convention as lshBucket
+    val base = aggregate(
+      zip_with(projs, weights,
+        (pr, w) => when(pr > lit(0.0), w).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    // flip candidates ordered by |projection| (ties by plane index): the
+    // struct sort gives (magnitude asc, j asc) — deterministic
+    val order = array_sort(zip_with(projs,
+      typedLit((0 until nPlanes).map(identity)),
+      (pr, j) => struct(abs(pr).as("m"), j.as("j"))))
+    val flipBits = transform(slice(order, 1, math.max(nFlips, 1)),
+      s => element_at(weights, s.getField("j") + 1))
+    val probeBuckets =
+      if (nFlips == 0) array(col("base"))
+      else concat(array(col("base")),
+        transform(flipBits, b => col("base").bitwiseXOR(b)))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+      .withColumn("base", base)
+      .withColumn("bucket", explode(probeBuckets))
+      .select(col("query_id"), col("qv"), col("qn"), col("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"),
+      lshBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    rankTopK(scored, k)
+  }
+
   /** A built IVF index: the corpus with cell assignments + precomputed
     * norms (the "inverted file", persisted like any index would be), the
     * nlist×dim centroid table (tiny — always broadcast), and the raw
@@ -578,6 +643,46 @@ object Similarity {
           zip_with(col("codes"), col("lut"), (c, t) => element_at(t, c + lit(1))),
           lit(0.0), (a, x) => a + x))
     rankTopK(scored, k)
+  }
+
+  /** IVF+PQ probe with an EXACT RE-RANK stage (r15 verdict #2a — the
+    * FAISS two-stage retrieval shape): the ADC probe shortlists
+    * `cMult`·k candidates per query from the m-byte codes (cheap — the
+    * compressed representation is all the scan touches), then ONE extra
+    * corpus map re-scores just those shortlisted rows against the raw
+    * float vectors and re-ranks exactly. The output scores are bit-exact
+    * cosines (same expression as [[bruteForceTopK]]), so ADC quantization
+    * error can no longer reorder the final top-k — recall is bounded only
+    * by candidate COVERAGE (nprobe), not by code resolution.
+    *
+    * Scale shape: the shortlist is nQueries·cMult·k rows — BROADCAST into
+    * an equi-join on the corpus id, so the raw-vector pass is map-only
+    * (semi-join against a tiny hash set; the 100 TB corpus never
+    * shuffles, and only shortlisted rows reach the scoring expression). */
+  def ivfPqRerankTopK(
+      ivf: IvfIndex,
+      pq: PqIndex,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 2,
+      cMult: Int = 4): DataFrame = {
+    require(cMult >= 1, s"ivfPqRerankTopK: cMult $cMult must be >= 1")
+    val shortlist = ivfPqTopK(ivf, pq, queries, idCol, vecCol,
+        k = cMult * k, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), l2norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val rescored = broadcast(shortlist)
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("score",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    rankTopK(rescored, k)
   }
 
   /** One-shot PQ top-k (build + probe); `indexKey` reuses a registered

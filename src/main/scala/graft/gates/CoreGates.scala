@@ -2019,6 +2019,44 @@ object CoreGates {
     }),
 
 
+    // GZIPPED WARC members (r15 verdict #3) — what Common Crawl actually
+    // ships: `.warc.gz` with record-level gzip members (one gzip member
+    // per record, concatenated). Same fixture records as src_warc_ingest
+    // but written through [[Warc.writeMemberGz]]; [[Warc.readRecords]]
+    // detects the 0x1f8b magic and inflates through the member-boundary-
+    // transparent GZIPInputStream path, so rows must be BYTE-IDENTICAL to
+    // the plain-text gate's — one oracle SQL serves both.
+    "src_warc_gz" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stage = stagedFeed(s"warcgz#$dir", "graft-warcgz") { st =>
+        val rows = docs.where(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val members = rows.groupBy { case (id, _) => id % 4 }
+        members.foreach { case (m, recs) =>
+          graft.sources.Warc.writeMemberGz(
+            recs.map { case (id, text) =>
+              val html = s"<html><body><h1>Doc $id</h1><p>$text</p></body></html>"
+              val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                html).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              graft.sources.Warc.WarcRecord("response",
+                s"<urn:uuid:graft-$id>", s"http://graft.test/doc/$id",
+                payload.length.toLong, payload)
+            }.toSeq,
+            java.nio.file.Paths.get(s"$st/member_$m.warc.gz"))
+        }
+      }
+      val recs = graft.sources.Warc.readRecords(s, s"$stage/*.warc.gz")
+      recs.select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("warc_type"), col("content_length"),
+          TextAnalysis.stripHtml(
+            graft.sources.Warc.httpBody(col("payload"))).as("clean"))
+        .withColumn("n_clean_chars", length(col("clean")))
+    }),
+
+
     // Hive-style PARTITIONED layout — the other storage lever (with
     // bucketing) of the 100 TB posture: events staged once per JVM
     // partitioned by event_type, then read back with a partition-key
@@ -2801,6 +2839,20 @@ object CoreGates {
     // id, declared length = 44-octet HTTP prefix + the staged markup,
     // strip('<h1>Doc N</h1><p>text</p>') = 'Doc N text' exactly
     "src_warc_ingest" ->
+      """SELECT doc_id,
+                'http://graft.test/doc/' || doc_id AS target_uri,
+                'response' AS warc_type,
+                CAST(44 + length('<html><body><h1>Doc ' || doc_id ||
+                  '</h1><p>' || text || '</p></body></html>') AS BIGINT)
+                  AS content_length,
+                'Doc ' || doc_id || ' ' || text AS clean,
+                CAST(length('Doc ' || doc_id || ' ' || text) AS BIGINT)
+                  AS n_clean_chars
+         FROM documents WHERE doc_id < 200""",
+
+    // gzipped twin: the layout is storage-only — rows must equal the
+    // plain member gate's exactly, so the oracle is the same closed form
+    "src_warc_gz" ->
       """SELECT doc_id,
                 'http://graft.test/doc/' || doc_id AS target_uri,
                 'response' AS warc_type,

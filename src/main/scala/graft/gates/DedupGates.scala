@@ -20,6 +20,53 @@ import graft.gates.GateSupport._
   */
 object DedupGates {
 
+  /** 3-gram shingle CTEs shared by every jaccard-family oracle. */
+  private val shingleCte =
+    """s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       t AS (SELECT doc_id,
+                    list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w)-1) ]) AS sh
+             FROM s WHERE len(w) >= 3)"""
+
+  /** Exact pairwise Jaccard ≥ `threshold` via the INVERTED-INDEX
+    * candidate join (r15 verdict #1): a pair with jaccard > 0 must share
+    * ≥1 shingle, so the shared-shingle equi-self-join enumerates every
+    * qualifying pair's intersection COUNT directly and the pair space
+    * never materializes — the same lossless argument as the Spark side's
+    * prefix-filtered AllPairs (Dedup.scala). Proven EQUAL to the brute
+    * `t a JOIN t b ON a.doc_id < b.doc_id` all-pairs form at sf0.001 and
+    * sf0.01 (count + pair-id checksum + jaccard sum), and it is what
+    * makes the sf1 oracle sweep feasible: ~30 s in DuckDB at 60k docs
+    * (bounded shingle df by the Heaps-law corpus design) vs hours for
+    * the brute form's 1.8e9 list_intersect pairs. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH $shingleCte,
+        e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        sz AS (SELECT doc_id, len(sh) AS z FROM t),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) AS jaccard
+      FROM inter JOIN sz za ON inter.doc_a = za.doc_id
+                 JOIN sz zb ON inter.doc_b = zb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) >= $threshold"""
+
+  /** The natural near-dup edge set (jaccard ≥ 0.8 pairs) as a CTE body —
+    * shared by the closure oracles (cluster_cc, keep_best). Same
+    * inverted-index construction as [[jaccardPairsSql]], without the
+    * WITH prefix so it splices into a WITH RECURSIVE chain. */
+  private val natEdgesCtes =
+    """e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+       sz AS (SELECT doc_id, len(sh) AS z FROM t),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                 FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       nat AS (SELECT da, db
+               FROM inter JOIN sz za ON inter.da = za.doc_id
+                          JOIN sz zb ON inter.db = zb.doc_id
+               WHERE CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) >= 0.8)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on a content fingerprint.
@@ -474,7 +521,10 @@ object DedupGates {
          FROM kept GROUP BY doc_id""",
 
     // same shingle sets; containment divides the intersection by EACH
-    // side's size, keeping pairs where the larger direction clears the bar
+    // side's size, keeping pairs where the larger direction clears the
+    // bar. Candidates via the shared-shingle inverted index (r15 verdict
+    // #1 — containment > 0 needs a shared shingle, so it's lossless;
+    // proven equal to the brute pair form at sf0.001/sf0.01).
     "dedup_containment" ->
       """WITH planted AS (
            SELECT doc_id, text FROM documents
@@ -486,18 +536,19 @@ object DedupGates {
               t AS (SELECT doc_id,
                            list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                            for i in range(1, len(w)-1) ]) AS sh
-                    FROM s WHERE len(w) >= 3)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                CAST(len(a.sh) AS DOUBLE) AS cont_a_in_b,
-                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                CAST(len(b.sh) AS DOUBLE) AS cont_b_in_a
-         FROM t a JOIN t b ON a.doc_id < b.doc_id
-         WHERE greatest(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                          CAST(len(a.sh) AS DOUBLE),
-                        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                          CAST(len(b.sh) AS DOUBLE)) >= 0.8""",
+                    FROM s WHERE len(w) >= 3),
+              e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+              sz AS (SELECT doc_id, len(sh) AS z FROM t),
+              x AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                    FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+                CAST(i AS DOUBLE) / CAST(za.z AS DOUBLE) AS cont_a_in_b,
+                CAST(i AS DOUBLE) / CAST(zb.z AS DOUBLE) AS cont_b_in_a
+         FROM x JOIN sz za ON x.doc_a = za.doc_id
+                JOIN sz zb ON x.doc_b = zb.doc_id
+         WHERE greatest(CAST(i AS DOUBLE) / CAST(za.z AS DOUBLE),
+                        CAST(i AS DOUBLE) / CAST(zb.z AS DOUBLE)) >= 0.8""",
 
     // cap mirrored: kept = shingles with document frequency <= 5;
     // intersections over kept shingles, DENOMINATOR sizes stay FULL
@@ -523,31 +574,12 @@ object DedupGates {
          JOIN sz zb ON inter.doc_b = zb.doc_id
          WHERE CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) >= 0.8""",
 
-    "dedup_ngram_jaccard" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              t AS (SELECT doc_id,
-                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                           for i in range(1, len(w)-1) ]) AS sh
-                    FROM s WHERE len(w) >= 3)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         FROM t a JOIN t b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    "dedup_ngram_jaccard" -> jaccardPairsSql(0.8),
 
-    // same candidate pairs, classic unit-cost levenshtein on the same
-    // 400-char prefixes
+    // same candidate pairs (inverted-index jaccard ≥ 0.8), classic
+    // unit-cost levenshtein on the same 400-char prefixes
     "dedup_edit_distance" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              t AS (SELECT doc_id,
-                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                           for i in range(1, len(w)-1) ]) AS sh
-                    FROM s WHERE len(w) >= 3),
-              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM t a JOIN t b ON a.doc_id < b.doc_id
-                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8)
+      s"""WITH p AS (${jaccardPairsSql(0.8)})
          SELECT p.doc_a, p.doc_b,
                 CAST(levenshtein(substr(da.text, 1, 400), substr(db.text, 1, 400)) AS INT)
                   AS edit_dist
@@ -555,49 +587,21 @@ object DedupGates {
                 JOIN documents db ON db.doc_id = p.doc_b""",
 
     // prefix filtering is lossless and verification exact, so the oracle
-    // is plain brute-force Jaccard at the gate's 0.7 threshold — the
-    // candidate discipline must not change the answer
-    "dedup_jaccard_prefix" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              t AS (SELECT doc_id,
-                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                           for i in range(1, len(w)-1) ]) AS sh
-                    FROM s WHERE len(w) >= 3)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         FROM t a JOIN t b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.7""",
+    // is exact Jaccard at the gate's 0.7 threshold (candidates via the
+    // equally-lossless inverted index) — the candidate discipline must
+    // not change the answer
+    "dedup_jaccard_prefix" -> jaccardPairsSql(0.7),
 
-    "dedup_minhash_lsh" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              t AS (SELECT doc_id,
-                           list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                           for i in range(1, len(w)-1) ]) AS sh
-                    FROM s WHERE len(w) >= 3)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         FROM t a JOIN t b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    "dedup_minhash_lsh" -> jaccardPairsSql(0.8),
 
     // transitive closure of the near-dup graph in pure SQL: DuckDB's
     // recursive CTE floods every node's reachable set (UNION dedups, so
     // it terminates), then min(lab) per node = the cluster minimum —
     // exactly the fixpoint min-label propagation converges to
     "dedup_cluster_cc" ->
-      """WITH RECURSIVE
-           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           t AS (SELECT doc_id,
-                        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                        for i in range(1, len(w)-1) ]) AS sh
-                 FROM s WHERE len(w) >= 3),
-           nat AS (SELECT a.doc_id AS da, b.doc_id AS db
-                   FROM t a JOIN t b ON a.doc_id < b.doc_id
-                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      s"""WITH RECURSIVE
+           $shingleCte,
+           $natEdgesCtes,
            low AS (SELECT doc_id FROM documents WHERE doc_id < 50),
            chain AS (SELECT doc_id AS da, doc_id + 100000 AS db FROM low
                      UNION ALL
@@ -640,16 +644,12 @@ object DedupGates {
     // — lexicographic on the same IEEE doubles the text_quality oracle
     // already matches bit-for-bit
     "dedup_keep_best" ->
-      """WITH RECURSIVE
-           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           t AS (SELECT doc_id,
-                        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                        for i in range(1, len(w)-1) ]) AS sh
-                 FROM s WHERE len(w) >= 3),
-           nat AS (SELECT a.doc_id AS da, b.doc_id AS db
-                   FROM t a JOIN t b ON a.doc_id < b.doc_id
-                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      // raw interpolator: the quality regex's \b word boundaries must
+      // stay literal (the s interpolator processes escapes even in
+      // triple quotes and would turn them into backspace chars)
+      raw"""WITH RECURSIVE
+           $shingleCte,
+           $natEdgesCtes,
            edges AS (SELECT da AS a, db AS b FROM nat
                      UNION ALL SELECT db, da FROM nat),
            reach AS (SELECT a AS node, a AS lab FROM edges

@@ -393,4 +393,54 @@ private[graft] object GateSupport {
        FROM ranked WHERE rank <= 5"""
   }
 
+  /** Full SQL replication of `Similarity.lshMultiProbeTopK(k=5, nPlanes=6,
+    * nFlips=2)` — the query-directed multi-probe extension of
+    * [[lshTopkSql]]: the per-plane projections are recomputed from the
+    * same interpolated plane literals, the two planes with the smallest
+    * |projection| (ties by plane index — the same (magnitude, index)
+    * ordering the Spark struct sort uses) contribute one 1-bit-flipped
+    * probe bucket each, and candidates come from ANY of the query's three
+    * probe buckets. Probe buckets are pairwise distinct, so no DISTINCT
+    * is needed before ranking. */
+  val lshMultiProbeTopkSql: String = {
+    val nPlanes = 6
+    val nFlips = 2
+    val planes = Similarity.hyperplanes(nPlanes = nPlanes, dim = 64, seed = 42L)
+    val lits = planes.map(p =>
+      p.map(java.lang.Double.toString).mkString("[", ",", "]"))
+    val bucket = lits.zipWithIndex.map { case (arr, j) =>
+      s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val projList = lits.map(arr => s"list_dot_product(v, $arr)")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, $bucket AS bucket, $projList AS pr FROM e),
+            q AS (SELECT * FROM b WHERE vec_id < 10),
+            f AS (SELECT vec_id, CAST(t.range AS INT) AS j
+                  FROM q CROSS JOIN range(0, $nPlanes) t
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY abs(pr[CAST(t.range AS INT) + 1]), t.range) <= $nFlips),
+            probes AS (
+              SELECT vec_id, bucket FROM q
+              UNION ALL
+              SELECT q.vec_id, xor(q.bucket, CAST(1 AS BIGINT) << f.j) AS bucket
+              FROM q JOIN f USING (vec_id)),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN list_dot_product(q.v, q.v) = 0
+                            OR list_dot_product(c.v, c.v) = 0 THEN NULL
+                          ELSE list_dot_product(q.v, c.v) /
+                               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     END AS s
+              FROM probes p
+              JOIN q ON q.vec_id = p.vec_id
+              JOIN b c ON c.bucket = p.bucket AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+              FROM scored WHERE s IS NOT NULL)
+       SELECT query_id, neighbor_id, s AS score, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5"""
+  }
+
 }

@@ -114,6 +114,20 @@ object SimGates {
     }),
 
 
+    // Query-directed MULTI-PROBE LSH (Lv et al., VLDB 2007 — r15 verdict
+    // #2b): each query also probes the 1-bit-flipped buckets of its
+    // nFlips smallest-|projection| planes, recovering neighbors that
+    // landed just across a close hyperplane. FULLY oracled like
+    // sim_lsh_topk: planes are literal, projections bit-identical, the
+    // flip choice is the deterministic (|proj|, plane-index) order, so
+    // DuckDB replicates the exact probe set and ranking.
+    "sim_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshMultiProbeTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nPlanes = 6, nFlips = 2)
+    }),
+
+
     // ANN QUALITY measurement — recall@5 of the LSH path against brute
     // force, per query: the dial every approximate index is tuned by
     // (recall vs candidate volume). Both rankings are themselves
@@ -268,6 +282,26 @@ object SimGates {
           sum(when(col("rank") === col("expected_rank"), 1).otherwise(0))
             .cast("int").as("n_rank_ok"),
           (max(abs(col("score") - col("recon"))) < 1e-9).as("scores_match_recon"))
+    }),
+
+
+    // IVF+PQ with EXACT RE-RANK (r15 verdict #2a — the FAISS two-stage
+    // retrieval shape): ADC shortlists cMult·k candidates per query from
+    // the codes, one extra broadcast-semi-join map re-scores just those
+    // rows against the raw floats. Because the final scores are the SAME
+    // bit-exact cosine expression the brute path uses, the strongest ANN
+    // invariant gate applies: every returned score must EXACTLY equal the
+    // cosine recomputed from the embeddings table (n_score_exact = k),
+    // which no pure-ADC path can satisfy.
+    "sim_ivfpq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val ivf = Similarity.ivfBuildOrGet(s"$dir#nlist=8", emb,
+        "vec_id", "embedding", nlist = 8)
+      val pq = Similarity.pqBuildOrGet(s"$dir#pq8x16", emb, "vec_id", "embedding")
+      val probe = Similarity.ivfPqRerankTopK(ivf, pq, emb, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3, cMult = 4)
+      annInvariants(probe, emb)
     })
   )
 
@@ -430,6 +464,10 @@ object SimGates {
     // full LSH replication: seeded hyperplanes interpolated as literals
     "sim_lsh_topk" -> lshTopkSql,
 
+    // full multi-probe replication: same literal planes, same
+    // deterministic (|projection|, plane-index) flip order
+    "sim_lsh_multiprobe" -> lshMultiProbeTopkSql,
+
     // differential invariants (see the queries entries): constants per query
     "sim_ivf_topk" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
@@ -452,6 +490,13 @@ object SimGates {
     "sim_ivfpq_topk" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_distinct,
                 5 AS n_rank_ok, true AS scores_match_recon
+         FROM embeddings WHERE vec_id < 10""",
+
+    // re-ranked probe: the STRONG invariants (exact-score equality) —
+    // the rerank stage's whole point is making n_score_exact = k hold
+    "sim_ivfpq_rerank" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
+                5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
          FROM embeddings WHERE vec_id < 10"""
   )
 }

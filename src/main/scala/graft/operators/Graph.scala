@@ -43,13 +43,24 @@ object Graph {
     // plan re-derives (and re-shuffles) edges/nodes/deg on every iteration,
     // and the rank lineage itself grows linearly with iters; ranks are
     // localCheckpoint'ed every few rounds to truncate that lineage so the
-    // recurrence stays O(1) plan depth at any iteration count. Caller (or
-    // `spark.catalog.clearCache()` between gates) releases the cache.
+    // recurrence stays O(1) plan depth at any iteration count. All loop
+    // storage (the three caches AND each superseded checkpoint's blocks —
+    // which bypass the CacheManager, so clearCache() never reclaims them)
+    // is released before returning; the result is handed back as one
+    // CacheManager-managed persist the caller's clearCache() can free
+    // (ADVICE r15 #5; same lifecycle as Dedup.connectedComponents).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
     val teleport = scale * (1000L - damp) / 1000L
+    // LogicalRDD handles of a checkpointed plan — the hook for explicitly
+    // freeing superseded checkpoint blocks (mirrors Dedup.checkpointBlocks)
+    def blocksOf(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    var lastCkpt: Option[DataFrame] = None
     var ranks = nodes.select(col("node"), lit(scale).as("pr"))
     (1 to iters).foreach { i =>
       // SQL `div`: true 64-bit integer division (no double round-trip),
@@ -67,8 +78,31 @@ object Graph {
       // plan — the checkpoint job + materialization costs more than it
       // saves at small iteration counts (measured 5.6x on the sf0.1
       // 4-iteration gate when checkpointing unconditionally at i=3)
-      if (i % 3 == 0 && iters - i >= 3) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 && iters - i >= 3) {
+        ranks = ranks.localCheckpoint()
+        // the previous checkpoint's blocks are dead once this one is
+        // materialized (localCheckpoint is eager) — free them now instead
+        // of pinning O(iters/3) rank tables until some future GC
+        lastCkpt.foreach(blocksOf(_).foreach(_.unpersist(false)))
+        lastCkpt = Some(ranks)
+      }
     }
-    ranks
+    // Materialize through one final localCheckpoint (truncates whatever
+    // tail lineage the last in-loop checkpoint didn't cover — the
+    // returned plan is CONSTANT-size at any iteration count, so callers'
+    // analysis cost and plan signatures don't scale with iters), copy
+    // into a CacheManager-managed persist the caller's clearCache() can
+    // free, then release every loop-scoped block: the three caches and
+    // all unmanaged checkpoint blocks (which clearCache() never reclaims
+    // — same lifecycle as Dedup.connectedComponents). MEMORY_AND_DISK
+    // spills rather than evicts, so the managed copy never recomputes.
+    val fin = ranks.localCheckpoint()
+    lastCkpt.foreach(blocksOf(_).foreach(_.unpersist(false)))
+    e.unpersist(false); nodes.unpersist(false); deg.unpersist(false)
+    val out = fin
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    blocksOf(fin).foreach(_.unpersist(false))
+    out
   }
 }

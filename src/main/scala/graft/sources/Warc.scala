@@ -25,63 +25,94 @@ object Warc {
       contentLength: Long,
       payload: Array[Byte])
 
-  /** Parse the WARC/1.0 plain-text framing out of one archive member:
-    * per record a `WARC/1.0` version line, `Name: Value` header lines up
-    * to a blank line (CRLF per spec; lone LF tolerated — real crawls
-    * contain both), exactly `Content-Length` payload octets, then the
-    * blank-line record separator. Records with no parsable version line
-    * or a truncated payload end the member (crawl members are
-    * best-effort concatenations — a torn tail must not fail the task). */
-  private[graft] def parseMember(bytes: Array[Byte]): Iterator[WarcRecord] =
+  /** Parse WARC/1.0 framing from a byte STREAM: per record a `WARC/1.0`
+    * version line, `Name: Value` header lines up to a blank line (CRLF
+    * per spec; lone LF tolerated — real crawls contain both), exactly
+    * `Content-Length` payload octets, then the blank-line record
+    * separator. Records with no parsable version line, a truncated
+    * payload, or a mid-record decode error end the member (crawl members
+    * are best-effort concatenations — a torn tail must not fail the
+    * task). Streaming, O(record) memory: the member never has to be
+    * inflated whole, which is what keeps a 1 GB gzipped CC member
+    * parseable in a normally-sized executor task. */
+  private[graft] def parseStream(raw: java.io.InputStream): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
-      private var pos = 0
+      private val in = new java.io.BufferedInputStream(raw, 1 << 16)
+      private var done = false
       private var nextRec: WarcRecord = null
 
-      private def readLine(): String = {
-        val start = pos
-        while (pos < bytes.length && bytes(pos) != '\n') pos += 1
-        val end =
-          if (pos > start && bytes(pos - 1) == '\r') pos - 1 else pos
-        if (pos < bytes.length) pos += 1 // consume the \n
-        new String(bytes, start, end - start,
-          java.nio.charset.StandardCharsets.UTF_8)
+      // any IOException (torn plain tail ends differently, but a
+      // truncated/corrupt GZIP member surfaces as EOFException/ZipException
+      // mid-read) is end-of-member, never task failure
+      private def readByte(): Int =
+        try in.read() catch { case _: java.io.IOException => -1 }
+
+      private def readLine(): Option[String] = {
+        var b = readByte()
+        if (b < 0) return None
+        val buf = new java.io.ByteArrayOutputStream(128)
+        while (b >= 0 && b != '\n') { buf.write(b); b = readByte() }
+        val arr = buf.toByteArray
+        val len =
+          if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+          else arr.length
+        Some(new String(arr, 0, len, java.nio.charset.StandardCharsets.UTF_8))
+      }
+
+      private def readFully(n: Int): Option[Array[Byte]] = {
+        val out = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = try in.read(out, off, n - off)
+            catch { case _: java.io.IOException => -1 }
+          if (r < 0) return None
+          off += r
+        }
+        Some(out)
       }
 
       private def advance(): Unit = {
         nextRec = null
+        if (done) return
         // skip inter-record blank lines
-        while (pos < bytes.length &&
-            (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-        if (pos >= bytes.length) return
-        val version = readLine()
-        if (!version.startsWith("WARC/")) { pos = bytes.length; return }
-        var warcType, recordId, targetUri = ""
-        var contentLength = -1L
-        var line = readLine()
-        while (line.nonEmpty) {
-          val i = line.indexOf(':')
-          if (i > 0) {
-            val k = line.substring(0, i).trim.toLowerCase
-            val v = line.substring(i + 1).trim
-            k match {
-              case "warc-type" => warcType = v
-              case "warc-record-id" => recordId = v
-              case "warc-target-uri" => targetUri = v
-              case "content-length" =>
-                contentLength = try v.toLong catch { case _: Throwable => -1L }
-              case _ => ()
+        var first = readLine()
+        while (first.isDefined && first.get.isEmpty) first = readLine()
+        first match {
+          case Some(version) if version.startsWith("WARC/") =>
+            var warcType, recordId, targetUri = ""
+            var contentLength = -1L
+            var line = readLine()
+            var torn = line.isEmpty
+            while (line.isDefined && line.get.nonEmpty) {
+              val l = line.get
+              val i = l.indexOf(':')
+              if (i > 0) {
+                val k = l.substring(0, i).trim.toLowerCase
+                val v = l.substring(i + 1).trim
+                k match {
+                  case "warc-type" => warcType = v
+                  case "warc-record-id" => recordId = v
+                  case "warc-target-uri" => targetUri = v
+                  case "content-length" =>
+                    contentLength =
+                      try v.toLong catch { case _: Throwable => -1L }
+                  case _ => ()
+                }
+              }
+              line = readLine()
+              torn = line.isEmpty // EOF inside the header block
             }
-          }
-          line = readLine()
+            if (torn || contentLength < 0 || contentLength > Int.MaxValue) {
+              done = true; return
+            }
+            readFully(contentLength.toInt) match {
+              case None => done = true // torn payload: stop, don't fail
+              case Some(payload) =>
+                nextRec = WarcRecord(warcType, recordId, targetUri,
+                  contentLength, payload)
+            }
+          case _ => done = true // EOF or unparsable version line
         }
-        if (contentLength < 0 || pos + contentLength > bytes.length) {
-          pos = bytes.length; return // torn record: stop, don't fail
-        }
-        val payload = java.util.Arrays.copyOfRange(
-          bytes, pos, pos + contentLength.toInt)
-        pos += contentLength.toInt
-        nextRec =
-          WarcRecord(warcType, recordId, targetUri, contentLength, payload)
       }
 
       override def hasNext: Boolean = {
@@ -93,6 +124,22 @@ object Warc {
         val r = nextRec; nextRec = null; r
       }
     }
+
+  /** Parse one archive member, plain or GZIPPED (r15 verdict #3): real
+    * Common Crawl ships `.warc.gz` with RECORD-LEVEL gzip members
+    * (ISO 28500 §annex + RFC 1952 — one gzip member per record,
+    * concatenated), which `GZIPInputStream` inflates transparently
+    * across member boundaries; the 0x1f8b magic selects the inflating
+    * path, everything else parses as plain text. A corrupt gzip header
+    * yields an empty member (same best-effort contract as a torn tail). */
+  private[graft] def parseMember(bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val base = new java.io.ByteArrayInputStream(bytes)
+    if (bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      try parseStream(new java.util.zip.GZIPInputStream(base))
+      catch { case _: java.io.IOException => Iterator.empty }
+    } else parseStream(base)
+  }
 
   /** Read every WARC record under `pathGlob` (e.g. a `*.warc` glob) —
     * one row per record: (warc_file, warc_type, record_id, target_uri,
@@ -113,37 +160,80 @@ object Warc {
   }
 
   /** The HTTP response body of a response-record payload: everything
-    * after the first blank line (status line + HTTP headers precede it).
-    * Pure codegen'd column expression — binary→UTF-8 cast, one instr,
-    * one substr; payloads without an HTTP header block pass through. */
+    * after the first blank line (status line + HTTP headers precede it),
+    * decoded per the response's OWN `Content-Type: ...; charset=` header
+    * (r15 verdict #8 — the old binary→UTF-8 cast mangled Latin-1 bodies
+    * into replacement chars BEFORE the header peel). Pure codegen'd
+    * column expressions, two decode views of the same bytes:
+    *
+    *  - framing + charset sniff run on the ISO-8859-1 view — a lossless
+    *    byte↔char bijection, and HTTP/1.1 headers are themselves
+    *    ISO-8859-1 by spec (RFC 9110 §5.5), so the `\r\n\r\n` split and
+    *    the regexp sniff are exact on ANY payload bytes;
+    *  - a declared `charset=iso-8859-1` / `latin1` / `us-ascii` body IS
+    *    that view's tail (ASCII ⊂ Latin-1), returned as-is;
+    *  - everything else (explicit utf-8, or no declaration — the modern
+    *    web's default) keeps the original UTF-8 cast with replacement-char
+    *    semantics for undecodable bytes (media payloads must not throw).
+    */
   def httpBody(payload: Column): Column = {
-    val s = payload.cast("string")
-    val i = instr(s, "\r\n\r\n")
-    when(i > 0, s.substr(i + 4, length(s))).otherwise(s)
+    val l1 = decode(payload, "ISO-8859-1")
+    val i1 = instr(l1, "\r\n\r\n")
+    val head = when(i1 > 0, substring(l1, lit(1), i1 - 1)).otherwise(lit(""))
+    val cs = lower(regexp_extract(head,
+      "(?i)content-type\\s*:[^\\r\\n]*;\\s*charset\\s*=\\s*\"?([A-Za-z0-9_\\-]+)", 1))
+    val u8 = payload.cast("string")
+    val iu = instr(u8, "\r\n\r\n")
+    val bodyU8 = when(iu > 0, u8.substr(iu + 4, length(u8))).otherwise(u8)
+    val bodyL1 = when(i1 > 0, l1.substr(i1 + 4, length(l1))).otherwise(l1)
+    when(cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1",
+      "us-ascii", "ascii"), bodyL1)
+      .otherwise(bodyU8)
   }
 
-  /** Serialize records into WARC/1.0 framing (the writer half — used by
-    * fixtures and by pipelines that re-shard a filtered crawl): strict
-    * CRLF line ends, Content-Length in octets, blank-line separator. */
+  /** One record's WARC/1.0 framing: strict CRLF line ends, Content-Length
+    * in octets, blank-line separator. */
+  private def recordBytes(r: WarcRecord): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: ${r.warcType}\r\n")
+      .append(s"WARC-Record-ID: ${r.recordId}\r\n")
+      .append(s"WARC-Target-URI: ${r.targetUri}\r\n")
+      .append(s"Content-Length: ${r.payload.length}\r\n")
+      .append("\r\n")
+      .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(
+      head.length + r.payload.length + 4)
+    out.write(head); out.write(r.payload)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  /** Serialize records into a plain WARC/1.0 member (the writer half —
+    * used by fixtures and by pipelines that re-shard a filtered crawl). */
   def writeMember(records: Seq[WarcRecord],
       path: java.nio.file.Path): Unit = {
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(path))
-    try {
-      val crlf = "\r\n".getBytes
-      records.foreach { r =>
-        val head = new StringBuilder()
-          .append("WARC/1.0\r\n")
-          .append(s"WARC-Type: ${r.warcType}\r\n")
-          .append(s"WARC-Record-ID: ${r.recordId}\r\n")
-          .append(s"WARC-Target-URI: ${r.targetUri}\r\n")
-          .append(s"Content-Length: ${r.payload.length}\r\n")
-          .append("\r\n")
-        out.write(head.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        out.write(r.payload)
-        out.write(crlf); out.write(crlf)
-      }
+    try records.foreach(r => out.write(recordBytes(r)))
+    finally out.close()
+  }
+
+  /** Serialize records into a `.warc.gz` member with RECORD-LEVEL gzip
+    * framing — each record its own gzip member, members concatenated —
+    * the exact layout Common Crawl publishes (it makes any record
+    * independently seekable given its archive offset). Parses back
+    * byte-identical to the plain form through [[parseMember]]. */
+  def writeMemberGz(records: Seq[WarcRecord],
+      path: java.nio.file.Path): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    try records.foreach { r =>
+      // one GZIPOutputStream per record: finish() flushes that record's
+      // gzip trailer without closing the underlying file stream
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(recordBytes(r))
+      gz.finish()
     } finally out.close()
   }
 }

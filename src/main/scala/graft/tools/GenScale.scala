@@ -44,10 +44,43 @@ object GenScale {
     graft.gates.GateSupport.deleteRecursively(Paths.get(tmp))
   }
 
+  /** The embeddings table at `factor`× the source's rows — fresh
+    * unit-norm draws (a pure function of (vec_id, position) through md5,
+    * bit-reproducible), shared by the sf1 staging and the ANN crossover
+    * probe's larger corpora. Returns (rows, dim). */
+  def stageEmbeddings(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): (Long, Int) = {
+    val srcEmb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nEmb = srcEmb.count() * factor
+    val dim = srcEmb.select(size(col("embedding"))).head().getInt(0)
+    val emb = spark.range(nEmb).select(col("id").as("vec_id"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(dim - 1))).as("d"))
+      .withColumn("v", u(lit("e"), col("vec_id"), col("d")) - lit(0.5))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        e => e.getField("v")).as("raw"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
+        floor(u(lit("l"), col("vec_id")) * 10).cast("int").as("label"))
+    writeSingle(emb, outDir, "embeddings")
+    (nEmb, dim)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: which table groups to stage (comma list of
+    // documents,embeddings,star,events; default all) — the ANN crossover
+    // probe needs a 100k-vector embeddings table and nothing else, and
+    // staging 100× documents/star alongside would take hours for nothing
+    val want: String => Boolean = {
+      val sel = if (args.length > 3) args(3).split(",").map(_.trim).toSet
+        else Set("documents", "embeddings", "star", "events")
+      sel.contains
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SparkEntry.sessionBuilder(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,6 +91,7 @@ object GenScale {
     new java.io.File(outDir).mkdirs()
 
     // ---- documents: fresh draws from the measured distribution ----
+    if (want("documents")) {
     val srcDocs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = srcDocs.count() * factor
     val vocabRows = srcDocs.select(explode(split(col("text"), " ")).as("w"))
@@ -126,24 +160,13 @@ object GenScale {
     writeSingle(docs, outDir, "documents")
     println(s"[genscale] documents: $nDocs (vocab: $v0 head + $tailTypes " +
       f"heaps tail types, tail mass $tailMass%.3f)")
+    }
 
     // ---- embeddings: fresh unit-norm vectors, measured label count ----
-    val srcEmb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val nEmb = srcEmb.count() * factor
-    val dim = srcEmb.select(size(col("embedding"))).head().getInt(0)
-    val emb = spark.range(nEmb).select(col("id").as("vec_id"))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(dim - 1))).as("d"))
-      .withColumn("v", u(lit("e"), col("vec_id"), col("d")) - lit(0.5))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
-        e => e.getField("v")).as("raw"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
-      .select(col("vec_id"),
-        transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
-        floor(u(lit("l"), col("vec_id")) * 10).cast("int").as("label"))
-    writeSingle(emb, outDir, "embeddings")
-    println(s"[genscale] embeddings: $nEmb x $dim")
+    if (want("embeddings")) {
+      val (nEmb, dim) = stageEmbeddings(spark, srcDir, outDir, factor)
+      println(s"[genscale] embeddings: $nEmb x $dim")
+    }
 
     // ---- TPC-H star tables (r14 verdict #1): shifted-key replicas ----
     // The star schema grows the way TPC-H itself scales: more customers,
@@ -155,6 +178,7 @@ object GenScale {
     // join/agg/window gate with no artificial skew or duplicate keys.
     // Dimension roots (region, nation) are fixed-size in TPC-H at every
     // sf and are copied as-is.
+    if (want("star")) {
     def copies(df: DataFrame, shifts: Map[String, Long]): DataFrame =
       (0 until factor).map { i =>
         shifts.foldLeft(df) { case (d, (c, stride)) =>
@@ -183,8 +207,10 @@ object GenScale {
         "l_suppkey" -> suppS)), outDir, "lineitem")
     println(s"[genscale] tpc-h star: customer ${cust.count() * factor}, " +
       s"orders ${ord.count() * factor}, lineitem ${li.count() * factor}")
+    }
 
     // ---- events: shifted append copies ----
+    if (want("events")) {
     val srcEv = spark.read.parquet(s"$srcDir/events.parquet")
     val nEv = srcEv.count()
     val ev = (0 until factor).map { i =>
@@ -195,6 +221,7 @@ object GenScale {
     }.reduce(_ unionByName _)
     writeSingle(ev, outDir, "events")
     println(s"[genscale] events: ${nEv * factor}")
+    }
 
     spark.stop()
   }

@@ -48,7 +48,9 @@ object SpotBench {
     "dedup_url", "pipe_dataset_card", "s29_changelog_apply",
     "text_quality_classifier", "corpus_mlm_mask", "text_kneser_ney",
     "text_pii_scrub", "corpus_cdc_chunks", "corpus_wordpiece_vocab",
-    "corpus_wordpiece_encode", "dedup_cdc_cross", "s33_resample_locf")
+    "corpus_wordpiece_encode", "dedup_cdc_cross", "s33_resample_locf",
+    // r16: gzipped WARC twin + the two new ANN gates
+    "src_warc_gz", "sim_lsh_multiprobe", "sim_ivfpq_rerank")
   // r15 (r14 verdict #1): the staged sf1 corpus now carries the TPC-H
   // star tables (GenScale shifted-key replicas), so the join/agg/window
   // families get real 10× growth pins too — not just documents gates

@@ -44,6 +44,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.count() === joined.count())
   }
 
+  test("multi-probe LSH: nFlips=0 equals single-probe; flips only add candidates") {
+    val q = emb.where(col("vec_id") < 10)
+    val single = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      k = 5, nPlanes = 6)
+    val mp0 = Similarity.lshMultiProbeTopK(emb, q, "vec_id", "embedding",
+      k = 5, nPlanes = 6, nFlips = 0)
+    assert(mp0.orderBy("query_id", "rank").collect().toSeq ===
+      single.orderBy("query_id", "rank").collect().toSeq)
+    // flipped probes widen the candidate set: per-query result count is
+    // monotone in nFlips, and every hit still carries the exact cosine
+    val mp3 = Similarity.lshMultiProbeTopK(emb, q, "vec_id", "embedding",
+      k = 5, nPlanes = 6, nFlips = 3).cache()
+    assert(mp3.count() >= single.count())
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = emb.count().toInt)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val joined = mp3.alias("l").join(brute.alias("b"),
+      col("l.query_id") === col("b.query_id") &&
+        col("l.neighbor_id") === col("b.neighbor_id"))
+    assert(joined.where(abs(col("l.score") - col("b.score")) > 1e-12).count() === 0)
+    assert(mp3.count() === joined.count())
+    mp3.unpersist(); ()
+  }
+
+  test("ivfPqRerankTopK: exact final scores; full coverage + wide shortlist = brute") {
+    val q = emb.where(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val ivf = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 4)
+    val pq = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    // nprobe = nlist (full coverage) and a corpus-wide shortlist: the ADC
+    // stage can drop nothing, so exact re-rank must EQUAL brute force
+    val rr = Similarity.ivfPqRerankTopK(ivf, pq, emb, q, "vec_id",
+      "embedding", k = 5, nprobe = 4, cMult = (n + 4) / 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+    assert(rr.orderBy("query_id", "rank").collect().toSeq ===
+      brute.orderBy("query_id", "rank").collect().toSeq)
+    // narrow shortlist: results still carry EXACT cosines (the rerank
+    // contract) even where ADC coverage drops candidates
+    val narrow = Similarity.ivfPqRerankTopK(ivf, pq, emb, q, "vec_id",
+      "embedding", k = 5, nprobe = 2, cMult = 2)
+    val all = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = n)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val j = narrow.alias("r").join(all.alias("b"),
+      col("r.query_id") === col("b.query_id") &&
+        col("r.neighbor_id") === col("b.neighbor_id"))
+    assert(j.where(abs(col("r.score") - col("b.score")) > 1e-12).count() === 0)
+    assert(j.count() === narrow.count())
+    ivf.unpersist(); pq.unpersist()
+  }
+
   test("IVF top-k: k rows per query, exact scores, decent recall vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5)
