@@ -1246,17 +1246,12 @@ object CorpusGates {
 
     // same min-label clusters via recursive CTE flood (the
     // dedup_cluster_cc machinery, natural pairs only), same md5 split CASE
+    // near-dup edges via DedupGates' inverted-index form (r15 verdict #1
+    // — the brute all-pairs nat here was the last hours-at-sf1 oracle)
     "corpus_split_safe" ->
-      """WITH RECURSIVE
-           s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           t AS (SELECT doc_id,
-                        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                        for i in range(1, len(w)-1) ]) AS sh
-                 FROM s WHERE len(w) >= 3),
-           nat AS (SELECT a.doc_id AS da, b.doc_id AS db
-                   FROM t a JOIN t b ON a.doc_id < b.doc_id
-                   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      s"""WITH RECURSIVE
+           ${GateSupport.shingleCte},
+           ${GateSupport.natEdgesCtes},
            edges AS (SELECT da AS a, db AS b FROM nat
                      UNION ALL SELECT db, da FROM nat),
            reach AS (SELECT a AS node, a AS lab FROM edges

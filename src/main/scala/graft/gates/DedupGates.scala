@@ -20,52 +20,50 @@ import graft.gates.GateSupport._
   */
 object DedupGates {
 
-  /** 3-gram shingle CTEs shared by every jaccard-family oracle. */
-  private val shingleCte =
-    """s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       t AS (SELECT doc_id,
-                    list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                    for i in range(1, len(w)-1) ]) AS sh
-             FROM s WHERE len(w) >= 3)"""
+  import GateSupport.{shingleCte, jaccardPairsSql, natEdgesCtes}
 
-  /** Exact pairwise Jaccard ≥ `threshold` via the INVERTED-INDEX
-    * candidate join (r15 verdict #1): a pair with jaccard > 0 must share
-    * ≥1 shingle, so the shared-shingle equi-self-join enumerates every
-    * qualifying pair's intersection COUNT directly and the pair space
-    * never materializes — the same lossless argument as the Spark side's
-    * prefix-filtered AllPairs (Dedup.scala). Proven EQUAL to the brute
-    * `t a JOIN t b ON a.doc_id < b.doc_id` all-pairs form at sf0.001 and
-    * sf0.01 (count + pair-id checksum + jaccard sum), and it is what
-    * makes the sf1 oracle sweep feasible: ~30 s in DuckDB at 60k docs
-    * (bounded shingle df by the Heaps-law corpus design) vs hours for
-    * the brute form's 1.8e9 list_intersect pairs. */
-  private def jaccardPairsSql(threshold: Double): String =
-    s"""WITH $shingleCte,
-        e AS (SELECT doc_id, unnest(sh) AS g FROM t),
-        sz AS (SELECT doc_id, len(sh) AS z FROM t),
-        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-                  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-             CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) AS jaccard
-      FROM inter JOIN sz za ON inter.doc_a = za.doc_id
-                 JOIN sz zb ON inter.doc_b = zb.doc_id
-      WHERE CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) >= $threshold"""
-
-  /** The natural near-dup edge set (jaccard ≥ 0.8 pairs) as a CTE body —
-    * shared by the closure oracles (cluster_cc, keep_best). Same
-    * inverted-index construction as [[jaccardPairsSql]], without the
-    * WITH prefix so it splices into a WITH RECURSIVE chain. */
-  private val natEdgesCtes =
-    """e AS (SELECT doc_id, unnest(sh) AS g FROM t),
-       sz AS (SELECT doc_id, len(sh) AS z FROM t),
-       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                 FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-       nat AS (SELECT da, db
-               FROM inter JOIN sz za ON inter.da = za.doc_id
-                          JOIN sz zb ON inter.db = zb.doc_id
-               WHERE CAST(i AS DOUBLE) / CAST(za.z + zb.z - i AS DOUBLE) >= 0.8)"""
+  /** dedup_semantic oracle: min-label closure over the θ=0.45 cosine
+    * edges as `rounds` UNROLLED hop+jump CTE rounds — the Spark
+    * operator's own pointer-jumping recurrence
+    * ([[graft.functions.Dedup.connectedComponents]]: hop = min(own,
+    * neighbor labels), jump = label-of-label) expressed in plain SQL.
+    * The previous recursive reach-set closure materializes
+    * Σ component² (node, label) pairs, and the sf1 semantic graph has a
+    * GIANT component (16.7k of 20k nodes in one cluster at θ=0.45 on
+    * isotropic vectors) — the reach form ran unbounded-hours there
+    * while this form runs ~40 s. Every CTE is MATERIALIZED: DuckDB 1.0
+    * inlines multi-referenced CTEs, and each round references the
+    * previous twice — un-hinted, the expansion is 2^rounds. 24 hop+jump
+    * rounds cover any diameter the Spark side (maxIter 20 + its own
+    * convergence check, green at sf1) can have converged under; a
+    * non-converged unroll would surface as a loud hash mismatch, never
+    * a silent pass. Proven EQUAL to the reach form at sf0.001/sf0.01. */
+  private def semanticCcSql(rounds: Int): String = {
+    val body = (0 until rounds).map { k =>
+      s"""h$k AS MATERIALIZED (SELECT l.node, least(l.lab, coalesce(m.nb, l.lab)) AS lab
+           FROM l$k l LEFT JOIN (SELECT ed.a AS node, min(lb.lab) AS nb
+                                 FROM edges ed JOIN l$k lb ON lb.node = ed.b
+                                 GROUP BY ed.a) m USING (node)),
+         l${k + 1} AS MATERIALIZED (SELECT h.node, least(h.lab, j.lab) AS lab
+           FROM h$k h JOIN h$k j ON j.node = h.lab)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    CASE WHEN list_dot_product(a.v, a.v) = 0
+                           OR list_dot_product(b.v, b.v) = 0 THEN NULL
+                         ELSE list_dot_product(a.v, b.v) /
+                              (sqrt(list_dot_product(a.v, a.v)) *
+                               sqrt(list_dot_product(b.v, b.v)))
+                    END AS cos
+             FROM e a JOIN e b ON a.vec_id < b.vec_id),
+       pe AS MATERIALIZED (SELECT id_a, id_b FROM p WHERE cos >= 0.45),
+       edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pe
+                 UNION ALL SELECT id_b, id_a FROM pe),
+       l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lab FROM e),
+       $body
+     SELECT em.vec_id, l.lab AS canon_id, (l.lab = em.vec_id) AS kept
+     FROM e em JOIN l$rounds l ON l.node = em.vec_id"""
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -700,30 +698,11 @@ object DedupGates {
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45""",
 
     // exact all-pairs cosine edges (the SQL proven by
-    // dedup_embedding_cosine) + the recursive-CTE closure proven by
-    // dedup_cluster_cc + min-id representative
-    "dedup_semantic" ->
-      """WITH RECURSIVE
-           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                        CASE WHEN list_dot_product(a.v, a.v) = 0
-                               OR list_dot_product(b.v, b.v) = 0 THEN NULL
-                             ELSE list_dot_product(a.v, b.v) /
-                                  (sqrt(list_dot_product(a.v, a.v)) *
-                                   sqrt(list_dot_product(b.v, b.v)))
-                        END AS cos
-                 FROM e a JOIN e b ON a.vec_id < b.vec_id),
-           pe AS (SELECT id_a, id_b FROM p WHERE cos >= 0.45),
-           edges AS (SELECT id_a AS a, id_b AS b FROM pe
-                     UNION ALL SELECT id_b, id_a FROM pe),
-           reach AS (SELECT a AS node, a AS lab FROM edges
-                     UNION
-                     SELECT e2.a, r.lab FROM edges e2 JOIN reach r ON e2.b = r.node),
-           cc AS (SELECT node, min(lab) AS canon FROM reach GROUP BY node)
-         SELECT em.vec_id,
-                coalesce(cc.canon, em.vec_id) AS canon_id,
-                coalesce(cc.canon, em.vec_id) = em.vec_id AS kept
-         FROM e em LEFT JOIN cc ON cc.node = em.vec_id""",
+    // dedup_embedding_cosine) + the Spark operator's own hop+jump
+    // min-label recurrence unrolled (see [[semanticCcSql]] — the
+    // recursive reach closure is component²-quadratic and the sf1
+    // semantic graph has a 16.7k-node giant component)
+    "dedup_semantic" -> semanticCcSql(24),
 
     "dedup_embedding_cosine_t90" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

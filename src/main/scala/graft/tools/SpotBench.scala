@@ -195,7 +195,16 @@ object SpotBench {
     }
 
     // ---- baseline / deltas (growth is the machine-independent signal) ----
-    val baseFile = new java.io.File("BENCH_SPOT_sf1.json")
+    // SPARK_GRAFT_SPOT_OUT names an alternate baseline/run file pair —
+    // the sf10 decade probe (r15 verdict #6) pins into its own namespace
+    // (BENCH_SPOT_sf10.json) instead of polluting the sf1 baseline
+    val (baseFile, runFile) = sys.env.get("SPARK_GRAFT_SPOT_OUT") match {
+      case Some(p) => (new java.io.File(p),
+        new java.io.File(p.stripSuffix(".json") + "_RUN.json"))
+      case None => (new java.io.File("BENCH_SPOT_sf1.json"),
+        new java.io.File("BENCH_SPOT_RUN_sf1.json"))
+    }
+    val rowFactor = sys.env.getOrElse("SPARK_GRAFT_SPOT_FACTOR", "10")
     val baseGrowth: Map[String, Double] =
       if (baseFile.isFile) {
         val txt = scala.io.Source.fromFile(baseFile).mkString
@@ -211,7 +220,7 @@ object SpotBench {
     val bootstrap = baseGrowth.isEmpty
     val outFile =
       if (bootstrap || refresh) baseFile
-      else new java.io.File("BENCH_SPOT_RUN_sf1.json")
+      else runFile
 
     val flags = results.flatMap { case (name, _, _, growth, _) =>
       for {
@@ -243,7 +252,7 @@ object SpotBench {
     val flagsJson = flags.mkString("[", ",", "]")
     val json =
       s"""{"metric":"spot","unit":"sec","timeout_sec":$timeoutSec,""" +
-        s""""rounds":$rounds,"row_factor":10,"sf1_dir":"$sf1Dir",""" +
+        s""""rounds":$rounds,"row_factor":$rowFactor,"sf1_dir":"$sf1Dir",""" +
         s""""flags":$flagsJson,"gates":$gatesJson}"""
     java.nio.file.Files.write(outFile.toPath,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
