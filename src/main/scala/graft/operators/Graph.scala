@@ -43,12 +43,12 @@ object Graph {
     // plan re-derives (and re-shuffles) edges/nodes/deg on every iteration,
     // and the rank lineage itself grows linearly with iters; ranks are
     // localCheckpoint'ed every few rounds to truncate that lineage so the
-    // recurrence stays O(1) plan depth at any iteration count. All loop
-    // storage (the three caches AND each superseded checkpoint's blocks —
-    // which bypass the CacheManager, so clearCache() never reclaims them)
-    // is released before returning; the result is handed back as one
-    // CacheManager-managed persist the caller's clearCache() can free
-    // (ADVICE r15 #5; same lifecycle as Dedup.connectedComponents).
+    // recurrence stays O(1) plan depth at any iteration count. Storage
+    // lifecycle (ADVICE r15 #5): superseded checkpoint blocks (which
+    // bypass the CacheManager) are freed eagerly in-loop; the three
+    // caches are CacheManager-managed and released by the caller's
+    // clearCache() — see the return-site comment for why the answer is
+    // deliberately NOT eagerly materialized here.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
@@ -87,22 +87,21 @@ object Graph {
         lastCkpt = Some(ranks)
       }
     }
-    // Materialize through one final localCheckpoint (truncates whatever
-    // tail lineage the last in-loop checkpoint didn't cover — the
-    // returned plan is CONSTANT-size at any iteration count, so callers'
-    // analysis cost and plan signatures don't scale with iters), copy
-    // into a CacheManager-managed persist the caller's clearCache() can
-    // free, then release every loop-scoped block: the three caches and
-    // all unmanaged checkpoint blocks (which clearCache() never reclaims
-    // — same lifecycle as Dedup.connectedComponents). MEMORY_AND_DISK
-    // spills rather than evicts, so the managed copy never recomputes.
-    val fin = ranks.localCheckpoint()
-    lastCkpt.foreach(blocksOf(_).foreach(_.unpersist(false)))
-    e.unpersist(false); nodes.unpersist(false); deg.unpersist(false)
-    val out = fin
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    blocksOf(fin).foreach(_.unpersist(false))
-    out
+    // The answer is returned LAZY, on purpose (measured, r16): any
+    // eager materialization here — a final localCheckpoint (whose toRdd
+    // path compiles the plan without AQE) or a persist-then-count (the
+    // cache-build plan likewise loses AQE's runtime broadcast
+    // conversions) — executes the chained iteration joins as STATIC
+    // sort-merge joins and costs 4-6× the whole gate (7-10 s vs 1.7 s on
+    // the sf0.1 4-iteration bench gate; same family as the r15
+    // unconditional-checkpoint regression). Storage contract instead:
+    // e/nodes/deg are CacheManager-MANAGED caches — the caller's
+    // `spark.catalog.clearCache()` (which Bench/Verify run per gate)
+    // releases them once the result is consumed. The only unmanaged
+    // storage a call can leave is the LAST in-loop checkpoint's blocks
+    // (high-iteration runs only; the returned plan reads them) — every
+    // SUPERSEDED checkpoint is freed eagerly below, so the residue is
+    // bounded by ONE rank table regardless of iteration count.
+    ranks
   }
 }
