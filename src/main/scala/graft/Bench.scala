@@ -78,14 +78,34 @@ object Bench {
       "text_gopher_rules", "text_c4_clean", "text_strip_html",
       "text_normalize", "text_tokens", "text_pii_scrub",
       "text_repetition", "pii_scrub")
+    // exchange-bound relational/join gates, EXPLICITLY (ADVICE r16 #1):
+    // the bare q*/j* prefix swept in expression-bound gates
+    // (q_scalar_funcs, q_array_funcs, q_sql_direct), the iterative
+    // q_pagerank/q_recursive_cte, and the command-shaped q_analyze_stats
+    // — none exchange-bound, so a contended shuffle window normalized
+    // them by the wrong class speed. Prefix families (q<digit>_ TPC-H,
+    // q_join*/q_window*/q_asof*, the whole j* join/zip family) plus a
+    // name set for the rest; anything new defaults to "default", which
+    // only costs it the class-specific normalizer, never mis-normalizes.
+    val shufflePrefixes = Seq("q_join", "q_window", "q_asof")
+    val shuffleNames = Set(
+      "q_topk", "q_grouping_sets", "q_cube", "q_rollup", "q_pivot",
+      "q_unpivot", "q_distinct_agg", "q_collect_list", "q_percentile",
+      "q_approx_percentile", "q_approx_distinct", "q_hll_distinct",
+      "q_except", "q_except_all", "q_intersect", "q_intersect_all",
+      "q_range_join", "q_interval_join", "q_session_window",
+      "q_sliding_window", "q_time_window", "q_lateral_topn",
+      "q_scalar_subquery", "q_correlated_exists", "q_zorder")
     def classOf(name: String): String =
       if (name.startsWith("mm_") || name == "src_binaryfile_media") "decode"
       else if (name.contains("stream")) "stream"
       else if (name.startsWith("q_fuzz")) "fuzz"
       else if (name.startsWith("sim_") || name.startsWith("dedup_embedding") ||
         name.startsWith("dedup_semantic")) "float"
-      else if (name.startsWith("q") || name.startsWith("j"))
-        "shuffle" // exchange-bound relational/join gates
+      else if (name.startsWith("j") ||
+        name.matches("q\\d+_.*") ||
+        shufflePrefixes.exists(name.startsWith) ||
+        shuffleNames(name)) "shuffle"
       else if (mapOnlyGates(name)) "map"
       else "default" // normalized by the global speed ratio
     val basketNames = classBaskets.values.toSeq.distinct.sorted

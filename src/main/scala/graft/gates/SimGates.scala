@@ -302,6 +302,21 @@ object SimGates {
       val probe = Similarity.ivfPqRerankTopK(ivf, pq, emb, queries,
         "vec_id", "embedding", k = 5, nprobe = 3, cMult = 4)
       annInvariants(probe, emb)
+    }),
+
+
+    // The RECOMMENDED knob-free ANN entry point (r16 verdict: user
+    // steering) — annTopK picks nlist = min(64, ⌈√n⌉) and 75% cell
+    // coverage itself, the generalization of the pinned nlist=64/
+    // nprobe=48 recall≥0.9 contract point. Same differential invariants
+    // as the explicit IVF gates: exactly k rows per query, window-
+    // recomputed ranks, scores bit-equal to cosines recomputed from the
+    // raw embeddings table.
+    "sim_ann_default" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probe = Similarity.annTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, indexKey = Some(s"$dir#ann_default"))
+      annInvariants(probe, emb)
     })
   )
 
@@ -495,6 +510,13 @@ object SimGates {
     // re-ranked probe: the STRONG invariants (exact-score equality) —
     // the rerank stage's whole point is making n_score_exact = k hold
     "sim_ivfpq_rerank" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
+                5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
+         FROM embeddings WHERE vec_id < 10""",
+
+    // knob-free recommended entry point: raw-float IVF probe, so the
+    // same strong invariants (exact-score equality) apply
+    "sim_ann_default" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 5 AS n_rank_ok,
                 5 AS n_score_exact, CAST(0.0 AS DOUBLE) AS max_score_err
          FROM embeddings WHERE vec_id < 10"""

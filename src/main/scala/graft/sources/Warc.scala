@@ -32,9 +32,14 @@ object Warc {
     * separator. Records with no parsable version line, a truncated
     * payload, or a mid-record decode error end the member (crawl members
     * are best-effort concatenations — a torn tail must not fail the
-    * task). Streaming, O(record) memory: the member never has to be
-    * inflated whole, which is what keeps a 1 GB gzipped CC member
-    * parseable in a normally-sized executor task. */
+    * task). Streaming, O(record) memory PAST DECOMPRESSION: the member
+    * never has to be inflated whole, which is what keeps a 1 GB gzipped
+    * CC member parseable in a normally-sized executor task. The
+    * COMPRESSED member, however, still arrives as one `binaryFile`
+    * `Array[Byte]` per task ([[readRecords]]), so peak memory is
+    * compressed-size + one record, and a member is hard-capped at 2 GB
+    * by the JVM array limit — fine for Common Crawl's ~1 GB members;
+    * a larger archive needs a range-splitting reader, not this one. */
   private[graft] def parseStream(raw: java.io.InputStream): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private val in = new java.io.BufferedInputStream(raw, 1 << 16)
@@ -144,7 +149,10 @@ object Warc {
   /** Read every WARC record under `pathGlob` (e.g. a `*.warc` glob) —
     * one row per record: (warc_file, warc_type, record_id, target_uri,
     * content_length, payload binary). Map-only: member-per-task parse,
-    * no shuffle, no driver state. */
+    * no shuffle, no driver state. Each member is materialized ONCE in
+    * compressed form (`binaryFile` hands a whole file per row — ≤2 GB
+    * by the JVM array limit); inflation and record framing then stream
+    * at O(record) via [[parseStream]]. */
   def readRecords(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
@@ -224,16 +232,29 @@ object Warc {
     * the exact layout Common Crawl publishes (it makes any record
     * independently seekable given its archive offset). Parses back
     * byte-identical to the plain form through [[parseMember]]. */
+  /** Per-record gzip stream whose deflater can be released eagerly:
+    * `close()` would also close the shared underlying file stream, so
+    * the writer calls finish() + release() instead. */
+  private final class MemberGzStream(out: java.io.OutputStream)
+      extends java.util.zip.GZIPOutputStream(out) {
+    def release(): Unit = `def`.end()
+  }
+
   def writeMemberGz(records: Seq[WarcRecord],
       path: java.nio.file.Path): Unit = {
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(path))
     try records.foreach { r =>
       // one GZIPOutputStream per record: finish() flushes that record's
-      // gzip trailer without closing the underlying file stream
-      val gz = new java.util.zip.GZIPOutputStream(out)
+      // gzip trailer without closing the underlying file stream, and
+      // end() releases the Deflater's NATIVE buffers immediately —
+      // without it each record's deflater lingers until the GC cleaner
+      // runs, and a many-record re-shard accumulates native memory the
+      // heap sizing never sees (ADVICE r16 #2)
+      val gz = new MemberGzStream(out)
       gz.write(recordBytes(r))
       gz.finish()
+      gz.release()
     } finally out.close()
   }
 }

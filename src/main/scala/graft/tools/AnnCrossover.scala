@@ -43,10 +43,16 @@ object AnnCrossover {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // (label, dir, stageFactor): factor 0 = expect the dir to exist
+    // (label, dir, stageFactor): factor 0 = expect the dir to exist.
+    // Staged dirs are CROSSOVER-OWNED embeddings-only dirs (ADVICE r16
+    // #3): staging into the shared /tmp/graft_sf1 left a partial
+    // (embeddings-only) corpus that SpotBench and the sf1 sweep would
+    // later read as a full sf1 dir. stageEmbeddings is a pure function
+    // of (vec_id, position), so n20k here is bit-identical to the sf1
+    // dir's embeddings table — the measurement is unchanged.
     val sizes = Seq(
       ("n2k", "/root/testdata/sf0.1", 0),
-      ("n20k", "/tmp/graft_sf1", 10),
+      ("n20k", "/tmp/graft_emb20k", 10),
       ("n100k", "/tmp/graft_emb100k", 50))
 
     def timedMin3(fn: => DataFrame): Double = {

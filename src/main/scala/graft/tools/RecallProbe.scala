@@ -44,7 +44,14 @@ object RecallProbe {
     * deliberately absent — their job is candidate-machinery regression
     * detection, with geometry-decayed recall documented in the scaladoc. */
   private val absFloor: Map[String, Double] = Map(
-    "ivf_n64_p48" -> 0.9)
+    // the recommended operating point ([[graft.functions.Similarity
+    // .annTopK]] routes here): measured 0.974 at sf1, contract ≥0.9
+    "ivf_n64_p48" -> 0.9,
+    // the documented rerank config (r16 verdict #5): measured 0.888 at
+    // sf1 — BELOW plain IVF at the same nprobe because the ADC
+    // shortlist bounds coverage; the floor pins that documented level
+    // so "exact re-rank" can never silently decay further
+    "ivfpq_rerank_p48" -> 0.85)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/tmp/graft_sf1"

@@ -50,7 +50,9 @@ object SpotBench {
     "text_pii_scrub", "corpus_cdc_chunks", "corpus_wordpiece_vocab",
     "corpus_wordpiece_encode", "dedup_cdc_cross", "s33_resample_locf",
     // r16: gzipped WARC twin + the two new ANN gates
-    "src_warc_gz", "sim_lsh_multiprobe", "sim_ivfpq_rerank")
+    "src_warc_gz", "sim_lsh_multiprobe", "sim_ivfpq_rerank",
+    // r17: the knob-free recommended ANN entry point
+    "sim_ann_default")
   // r15 (r14 verdict #1): the staged sf1 corpus now carries the TPC-H
   // star tables (GenScale shifted-key replicas), so the join/agg/window
   // families get real 10× growth pins too — not just documents gates
@@ -204,7 +206,10 @@ object SpotBench {
       case None => (new java.io.File("BENCH_SPOT_sf1.json"),
         new java.io.File("BENCH_SPOT_RUN_sf1.json"))
     }
-    val rowFactor = sys.env.getOrElse("SPARK_GRAFT_SPOT_FACTOR", "10")
+    // parsed, not passed through: the factor is interpolated into the
+    // output JSON, so a non-numeric value must fail loudly HERE instead
+    // of silently corrupting the baseline file (ADVICE r16 #4)
+    val rowFactor = sys.env.getOrElse("SPARK_GRAFT_SPOT_FACTOR", "10").toInt
     val baseGrowth: Map[String, Double] =
       if (baseFile.isFile) {
         val txt = scala.io.Source.fromFile(baseFile).mkString

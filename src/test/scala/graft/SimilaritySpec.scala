@@ -113,6 +113,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 15, s"IVF recall too low: $hits/50")
   }
 
+  test("annTopK: knob-free default equals IVF at the contract coverage") {
+    val q = emb.where(col("vec_id") < 10)
+    val ann = Similarity.annTopK(emb, q, "vec_id", "embedding", k = 5)
+    // the selection rule in the open: nlist = min(64, ceil(sqrt(n))),
+    // nprobe = ceil(0.75 * nlist) — annTopK must be exactly this ivfTopK
+    val n = emb.count()
+    val nlist = math.min(64L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val nprobe = math.max(1, math.ceil(0.75 * nlist).toInt)
+    val explicit = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      k = 5, nlist = nlist, nprobe = nprobe)
+    assert(ann.orderBy("query_id", "rank").collect().toSeq ===
+      explicit.orderBy("query_id", "rank").collect().toSeq)
+    // registry path: a keyed second call reuses the index (same rows)
+    val keyed = Similarity.annTopK(emb, q, "vec_id", "embedding", k = 5,
+      indexKey = Some("spec#ann_default"))
+    val keyed2 = Similarity.annTopK(emb, q, "vec_id", "embedding", k = 5,
+      indexKey = Some("spec#ann_default"))
+    assert(keyed.orderBy("query_id", "rank").collect().toSeq ===
+      keyed2.orderBy("query_id", "rank").collect().toSeq)
+    Similarity.dropIndex("spec#ann_default")
+  }
+
   test("PQ top-k: planted twins recalled, scores approximate cosine, codes bounded") {
     import org.apache.spark.sql.functions.{transform => atransform}
     // plant an exact twin (2·v — cosine 1, identical normalized form and
