@@ -103,7 +103,8 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val k = bands * rowsPerBand
     // The shingle+signature stage feeds FOUR consumers (both sides of the
     // band self-join, both sides of the verify join). Without persistence
@@ -121,8 +122,29 @@ object Dedup {
         j => hash(slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val a = bandDf.alias("a")
-    val b = bandDf.alias("b")
+    // Heavy-bucket guard (r17, measured at the sf1→sf10 decade): the band
+    // self-join's candidate volume is Σ bucket² — ONE boilerplate/template
+    // cluster of B near-identical docs lands all B rows in the same bucket
+    // in EVERY band and contributes O(bands·B²) candidate pairs of
+    // near-zero marginal information (they all collapse to one keeper
+    // anyway). The standard web-scale guard: drop buckets above a size
+    // cap BEFORE the quadratic join — a co-partitioned partial-agg +
+    // semi-join on the same (band_idx, band_hash) key the self-join
+    // shuffles on, so the guard adds no extra exchange pattern and the
+    // mega-buckets never reach the pair space. Uncapped growth measured
+    // 22.1× per 10× rows at 500k docs; capped forms of the same family
+    // hold ~4–10× (BENCH_SPOT_sf10.json).
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandDf
+      else {
+        val ok = bandDf.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") <= maxBucketSize)
+          .drop("bucket_n")
+        bandDf.join(ok, Seq("band_idx", "band_hash"))
+      }
+    val a = banded.alias("a")
+    val b = banded.alias("b")
     val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -251,6 +251,27 @@ object DedupGates {
     }),
 
 
+    // MinHash+LSH with the heavy-bucket guard BITING: 40 planted
+    // identical boilerplate docs put 40 rows in one bucket per band —
+    // every one of their bands exceeds maxBucketSize=32, so the guard
+    // drops the whole template cluster's 780 pairs BEFORE the band
+    // self-join, while every natural bucket (clusters ≤6 at the oracled
+    // SFs) passes untouched. The capped output over the PLANTED corpus
+    // therefore equals exact Jaccard pairs over the ORIGINAL corpus —
+    // the same brute oracle as the uncapped gate, now proving both that
+    // the cap removes the mega-bucket and that it removes nothing else.
+    "dedup_minhash_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = s.range(40).select(
+        (col("id") + 900000L).as("doc_id"),
+        lit("the same boilerplate template navigation footer text " +
+          "repeated verbatim across every crawled page").as("text"))
+      Dedup.minHashLshPairs(docs.unionByName(planted), "doc_id", "text",
+        shingleLen = 3, bands = 16, rowsPerBand = 4, threshold = 0.8,
+        maxBucketSize = 32)
+    }),
+
+
     // SimHash fingerprints (hash family not DuckDB-expressible: rows-only;
     // hamming behavior spec-verified in DedupSpec).
     // Differential gate (r8): the fingerprint values are xxhash64-based
@@ -591,6 +612,12 @@ object DedupGates {
     "dedup_jaccard_prefix" -> jaccardPairsSql(0.7),
 
     "dedup_minhash_lsh" -> jaccardPairsSql(0.8),
+
+    // the heavy-bucket guard drops EXACTLY the planted 40-doc template
+    // cluster (every one of its band buckets is over-cap) and nothing
+    // else, so the capped output over the planted corpus equals exact
+    // Jaccard pairs over the original table
+    "dedup_minhash_capped" -> jaccardPairsSql(0.8),
 
     // transitive closure of the near-dup graph in pure SQL: DuckDB's
     // recursive CTE floods every node's reachable set (UNION dedups, so

@@ -51,8 +51,9 @@ object SpotBench {
     "corpus_wordpiece_encode", "dedup_cdc_cross", "s33_resample_locf",
     // r16: gzipped WARC twin + the two new ANN gates
     "src_warc_gz", "sim_lsh_multiprobe", "sim_ivfpq_rerank",
-    // r17: the knob-free recommended ANN entry point
-    "sim_ann_default")
+    // r17: the knob-free recommended ANN entry point + the minhash
+    // heavy-bucket guard (the sf10 super-linear finding's fix)
+    "sim_ann_default", "dedup_minhash_capped")
   // r15 (r14 verdict #1): the staged sf1 corpus now carries the TPC-H
   // star tables (GenScale shifted-key replicas), so the join/agg/window
   // families get real 10× growth pins too — not just documents gates

@@ -67,6 +67,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact && exact.nonEmpty)
   }
 
+  test("minhash bucket cap: drops only over-cap buckets; infinite cap is identity") {
+    import spark.implicits._
+    val planted = spark.range(20).select(
+      (col("id") + 900000L).as("doc_id"),
+      lit("identical boilerplate navigation footer repeated on every page")
+        .as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    def pairs(cap: Int) = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+        maxBucketSize = cap)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(10)
+    // identical planted texts pair among themselves in the uncapped run
+    assert(uncapped.exists { case (a, b) => a >= 900000L && b >= 900000L })
+    // cap=10 < cluster size 20: every planted band bucket is over-cap, so
+    // the whole template cluster vanishes — and NOTHING natural does
+    assert(capped === uncapped.filterNot { case (a, b) =>
+      a >= 900000L || b >= 900000L })
+    // a cap the corpus never reaches is the identity
+    assert(pairs(1000) === uncapped)
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     // take a known near-dup pair from the exact jaccard output
     val pair = Dedup.ngramJaccardPairs(docs, "doc_id", "text").select("doc_a", "doc_b").head()
