@@ -29,6 +29,40 @@ object Dedup {
   /** Mersenne prime 2^31-1: universal-hash modulus. */
   private val P = 2147483647L
 
+  /** DEFAULT document-frequency cap for the shingle-keyed near-dup
+    * candidate generators ([[jaccardPrefixPairs]], [[containmentPairs]],
+    * [[sharedSubstringPairs]]; [[ngramJaccardPairs]] inherits it through
+    * its prefix delegation). Measured, not guessed (r18): candidate pairs
+    * from any shingle-keyed equi-join grow as Σ df² over shingle document
+    * frequencies, and df grows with corpus size (Heaps-law vocabulary
+    * growth keeps per-shingle df rising ~10× per 10× rows on the staged
+    * corpora: max df 7 → 25 → 85 → 855 at sf0.01/0.1/1/10). 128 sits in
+    * the decade gap between the largest oracle-scale df (85 at sf1 — so
+    * every oracle-verified scale is PROVABLY exact under the default) and
+    * the sf10 regime, where shingles with df > 128 carry 99.6% of the
+    * Σ df² pair space (1.47e10 of 1.48e10) — the uncapped forms measured
+    * 22–56× growth per 10× rows or a 50 GB spill-disk wall there
+    * (BENCH_SPOT_sf10.json), while Σ_kept df² ≤ 128·Σ df keeps the capped
+    * candidate space linear in corpus size by construction. Semantics
+    * under the cap are documented per operator (subset with exact values
+    * for the prefix/containment/substring family); pass `None` for the
+    * uncapped audit form. */
+  val DefaultMaxDocFreq: Int = 128
+
+  /** DEFAULT LSH bucket-size cap for [[minHashLshPairs]] (and the
+    * [[nearDupPairs]] recommended entry point). Measured (r17 sf1→sf10
+    * decade probe): uncapped band buckets grow with template/boilerplate
+    * cluster size and the self-join's candidate volume is Σ bucket² —
+    * 22.1× growth per 10× rows at 500k docs; with this cap the same gate
+    * holds 4.49×. Natural near-dup clusters on every oracle-verified
+    * corpus are ≤ 6 docs, so the default is provably exact there
+    * (oracle-gated `dedup_minhash_capped` / `dedup_neardup_default`:
+    * a planted 40-doc template cluster is dropped, nothing else moves).
+    * A bucket above the cap is template/boilerplate — stage-1 exact or
+    * paragraph dedup territory, not pairwise near-dup's job. Pass
+    * `Int.MaxValue` for the uncapped audit form. */
+  val DefaultMaxBucketSize: Int = 32
+
   /** MinHash signature column: k minima of universal hashes over the
     * shingle set. Shingle strings are hashed once (xxhash64 mod P — the
     * codegen'd [[graft.expressions.XxHash64ModArray]] loop, bit-identical
@@ -88,12 +122,51 @@ object Dedup {
           e => e.getField("para")), sep).as("text"))
   }
 
+  /** THE RECOMMENDED NEAR-DUP ENTRY POINT (r18 — the [[graft.functions.Similarity.annTopK]]
+    * pattern applied to the jaccard family): near-duplicate document pairs
+    * at `threshold` Jaccard over word shingles, with the measured
+    * scale-contract configuration and no tuning knobs. Routes to
+    * MinHash+LSH at 16 bands × 4 rows — the S-curve catches j ≥ 0.8 pairs
+    * with P > 0.999, and every candidate is exact-verified, so at the
+    * default threshold the output equals the exact Jaccard answer (oracle
+    * `dedup_neardup_default` proves hash-equality against brute-force
+    * SQL) — with the [[DefaultMaxBucketSize]] heavy-bucket guard engaged:
+    * sub-linear candidate growth measured at the sf1→sf10 decade (4.49×
+    * per 10× rows vs 22.1× uncapped, BENCH_SPOT_sf10.json).
+    *
+    * Pipeline placement: run [[exact]] (and [[dedupParagraphs]] for
+    * boilerplate) FIRST — a >32-doc identical-template cluster is
+    * stage-1's job and is deliberately dropped by the bucket guard here.
+    * For thresholds below ~0.7 the 16×4 S-curve loses recall; use
+    * [[jaccardPrefixPairs]] (exact, df-capped by default) instead.
+    *
+    * What NOT to use for corpus-scale near-dup: the uncapped audit twins
+    * (`maxBucketSize = Int.MaxValue`, `maxDocFreq = None`) — measured
+    * 22–56× growth per 10× rows or a spill-disk wall at 500k docs; they
+    * exist as differential-testing oracles, not defaults. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleLen: Int = 3): DataFrame =
+    minHashLshPairs(docs, idCol, textCol, shingleLen,
+      bands = 16, rowsPerBand = 4, threshold = threshold)
+
   /** MinHash+LSH near-duplicate pairs, exact-verified.
     *
     * bands×rowsPerBand hash functions; a pair becomes a candidate if any
     * band agrees, then exact shingle Jaccard filters to `threshold`. With
     * 16×4 the S-curve catches j≥0.8 pairs with P > 0.999. Shuffle volume:
     * bands (small tuples) + candidate pairs only — never all-pairs.
+    *
+    * `maxBucketSize` defaults to the measured [[DefaultMaxBucketSize]]
+    * guard (r18 — the cap IS the default, not a dial): band buckets above
+    * the cap are dropped before the quadratic self-join. Results are a
+    * subset of the uncapped answer (no false positives); on every
+    * oracle-verified corpus natural buckets are ≤ 6, so the default is
+    * exact there. `Int.MaxValue` = the uncapped audit form (super-linear
+    * at scale — BENCH_SPOT_sf10.json measured 22.1× per 10× rows).
     */
   def minHashLshPairs(
       docs: DataFrame,
@@ -104,7 +177,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val k = bands * rowsPerBand
     // The shingle+signature stage feeds FOUR consumers (both sides of the
     // band self-join, both sides of the verify join). Without persistence
@@ -137,11 +210,17 @@ object Dedup {
     val banded =
       if (maxBucketSize == Int.MaxValue) bandDf
       else {
-        val ok = bandDf.groupBy("band_idx", "band_hash")
+        // the guard makes bandDf a THREE-consumer plan (the bucket-count
+        // aggregate plus both sides of the self-join) while persistence
+        // sits at the pre-signature `sh` stage — without its own persist
+        // the O(k·|shingles|) signature+explode stage recomputes per
+        // consumer (ADVICE r17 #3). Same lifetime note as `sh`.
+        val bandP = bandDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ok = bandP.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("bucket_n"))
           .where(col("bucket_n") <= maxBucketSize)
           .drop("bucket_n")
-        bandDf.join(ok, Seq("band_idx", "band_hash"))
+        bandP.join(ok, Seq("band_idx", "band_hash"))
       }
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -475,14 +554,19 @@ object Dedup {
     * for this operator that is not just a cost cap but the standard
     * boilerplate guard (a span in thousands of documents is template, not
     * plagiarism); results under a cap are a subset (no false positives).
-    * Returns (doc_a, doc_b, n_shared) with n_shared = count of distinct
-    * shared spans. */
+    * Defaults to the measured [[DefaultMaxDocFreq]] (r18): on every
+    * oracle-verified corpus 20-token window dfs never approach the cap
+    * (max window df 1 at sf1, 3 at sf0.01), so the default output is
+    * provably the exact answer there, while at corpus scale the cap is
+    * what keeps the span-keyed pair space linear. `None` = uncapped audit
+    * form. Returns (doc_a, doc_b, n_shared) with n_shared = count of
+    * distinct shared spans. */
   def sharedSubstringPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int = 20,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       TextOps.shingles(col(textCol), windowTokens).as("sh"))
       .where(size(col("sh")) > 0)
@@ -502,12 +586,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Exact n-gram Jaccard pairs. UNCAPPED, this DELEGATES to the
-    * prefix-filtered AllPairs/PPJoin discipline ([[jaccardPrefixPairs]]) —
-    * bit-identical output (lossless candidate filter + exact verification;
-    * DedupSpec proves equality against the retained explode twin at
-    * t ∈ {0.5, 0.6, 0.7, 0.9}) at a bounded candidate shuffle, where the
-    * former default — exploding EVERY shingle into an equi-self-join —
+  /** Exact n-gram Jaccard pairs. With `maxDocFreq = None` (the default)
+    * this DELEGATES to the prefix-filtered AllPairs/PPJoin discipline
+    * ([[jaccardPrefixPairs]] under ITS default [[DefaultMaxDocFreq]]
+    * candidate cap — r18: the naive entry point gets the measured
+    * scale-safe shape; exact-equal to brute force on every
+    * oracle-verified corpus, subset-with-exact-values once boilerplate
+    * dfs cross the cap at larger scales) — where the former default —
+    * exploding EVERY shingle into an equi-self-join —
     * went quadratic in the heaviest shingle's document frequency (sf1
     * spot-bench: 133× growth at 10× rows vs the prefix family's 15-25×;
     * r12 verdict #2 retired it as the default path).
@@ -618,14 +704,18 @@ object Dedup {
     * prefixes of template-heavy docs still reach boilerplate. Verification
     * stays exact on the FULL shingle arrays, so capped results are a
     * subset of the exact answer with bit-identical containment values —
-    * a recall/cost dial with no false positives. None = exact. */
+    * a recall/cost dial with no false positives. Defaults to the measured
+    * [[DefaultMaxDocFreq]] (r18 — the uncapped form hit a 50 GB spill-disk
+    * wall at 500k docs, BENCH_SPOT_sf10.json; on every oracle-verified
+    * corpus the default never bites and the output is provably exact).
+    * `None` = the uncapped audit form; do not use at scale. */
   def containmentPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       TextOps.shingles(col(textCol), shingleLen).as("sh"))
       .where(size(col("sh")) > 0)
@@ -737,6 +827,21 @@ object Dedup {
     * join ships ~(1-t)·corpus shingle occurrences, candidates concentrate
     * on genuinely rare overlap, and the answer is still exact.
     *
+    * `maxDocFreq` (default the measured [[DefaultMaxDocFreq]] — r18, the
+    * cap IS the default): shingles above the document-frequency cap are
+    * additionally dropped from CANDIDATE GENERATION. The prefix discipline
+    * alone is lossless but not bounded — prefixes are rank-relative, so
+    * once Heaps-law vocabulary growth pushes mid-frequency dfs up with
+    * corpus size, prefix-shingle pair counts grow as Σ df² and the r17
+    * sf10 probe measured this operator exhausting 50 GB of spill disk at
+    * 500k docs; under the cap Σ_kept df² ≤ cap·Σ df is linear in corpus
+    * size. Verification stays exact on the FULL shingle arrays, so capped
+    * results are a SUBSET of the exact answer with bit-identical jaccard
+    * values — a pair is lost only when every prefix witness it has is
+    * boilerplate (df > cap). On every oracle-verified corpus (max df 85
+    * at sf1) the default never bites and the output is provably exact.
+    * `None` = the uncapped lossless audit form; do not use at scale.
+    *
     * Shuffle shape: df-count aggregation; rank assignment via
     * [[graft.operators.Joins.zipWithOrdinal]] over the range-sorted vocab
     * (no single-partition window); a per-DOC window for prefix positions
@@ -749,7 +854,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       TextOps.shingles(col(textCol), shingleLen).as("sh"))
       .where(size(col("sh")) > 0)
@@ -771,7 +877,18 @@ object Dedup {
     // exact) but never lose one.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
-    val prefix = exploded.join(dfCounts, "s")
+    // the heavy-hitter cap filters the joined stream BEFORE the window, so
+    // prefix positions run over the kept shingles with sz still FULL —
+    // same structure as containmentPairs' capped path (dropping rows can
+    // only PROMOTE rarer shingles into the prefix, never lose a rare
+    // witness; recall loss comes solely from the dropped heavy shingles
+    // themselves, verification stays exact). No new exchange: the df join
+    // and the per-doc window already exist in the uncapped plan.
+    val kept = maxDocFreq match {
+      case Some(cap) => exploded.join(dfCounts, "s").where(col("df") <= cap)
+      case None => exploded.join(dfCounts, "s")
+    }
+    val prefix = kept
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)

@@ -487,9 +487,16 @@ object Similarity {
     * the right tool only when raw floats are too large to scan.
     *
     * Build vs query cost: the corpus `count()` and the k-means build run
-    * once per `indexKey` (parquet counts are footer-metadata reads, no
-    * data scan); query executions probe the registered index and never
-    * retrain — pass a stable `indexKey` in any repeated-query setting. */
+    * once per index key (the count is a footer-metadata read only for a
+    * plain parquet scan — a filtered/derived corpus plan pays a real scan
+    * on its first build); query executions probe the registered index and
+    * never retrain. With `indexKey = None` the key is DERIVED from the
+    * corpus's canonicalized logical plan (r18 — two knob-free calls over
+    * the same corpus hit one build instead of silently retraining k-means
+    * per call), which carries the usual registered-index caveat: the
+    * index describes the data as of build time; re-written underlying
+    * files need a [[dropIndex]] before re-probing. Pass an explicit
+    * `indexKey` to control the cache lifetime yourself. */
   def annTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -501,15 +508,27 @@ object Similarity {
       val n = corpus.count()
       math.min(64L, math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
     }
-    val index = indexKey match {
-      // resolve nlist lazily: a registry hit must not pay the count()
-      case Some(key) => ivfRegistry.getOrElse(key,
-        ivfBuildOrGet(key, corpus, idCol, vecCol, contractNlist()))
-      case None => ivfBuild(corpus, idCol, vecCol, contractNlist())
-    }
+    val key = indexKey.getOrElse(annDerivedKey(corpus, idCol, vecCol))
+    // resolve nlist lazily: a registry hit must not pay the count()
+    val index = ivfRegistry.getOrElse(key,
+      ivfBuildOrGet(key, corpus, idCol, vecCol, contractNlist()))
     val nprobe = math.max(1, math.ceil(0.75 * index.centers.length).toInt)
     ivfProbe(index, queries, idCol, vecCol, k, nprobe)
   }
+
+  /** Registry key for [[annTopK]]'s knob-free path: the corpus plan's
+    * canonicalized semantic hash (attribute-id- and alias-insensitive, so
+    * two reads of the same table derive the same key) plus the id/vector
+    * column names. Package-visible so SimilaritySpec can assert the
+    * one-build contract. */
+  private[graft] def annDerivedKey(
+      corpus: DataFrame, idCol: String, vecCol: String): String =
+    s"annTopK:${corpus.queryExecution.analyzed.canonicalized.semanticHash()}:$idCol:$vecCol"
+
+  /** Registry peek for specs: the IVF index registered under `key`, if
+    * any. */
+  private[graft] def registeredIvf(key: String): Option[IvfIndex] =
+    ivfRegistry.get(key)
 
   // ---- Product quantization (PQ / ADC) ------------------------------------
 

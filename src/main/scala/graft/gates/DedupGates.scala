@@ -272,6 +272,25 @@ object DedupGates {
     }),
 
 
+    // THE KNOB-FREE NEAR-DUP DEFAULT (r18 — the annTopK pattern applied
+    // to the jaccard family, r17 verdict #1): Dedup.nearDupPairs with no
+    // tuning arguments, over the same planted 40-doc template cluster as
+    // dedup_minhash_capped. What a naive caller now gets BY DEFAULT must
+    // (a) drop the template mega-bucket (every planted band bucket is
+    // over the built-in DefaultMaxBucketSize guard) and (b) equal exact
+    // brute-force Jaccard over the original corpus on everything else —
+    // the same sharp oracle that proved the opt-in cap, now proving the
+    // shipped default.
+    "dedup_neardup_default" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = s.range(40).select(
+        (col("id") + 900000L).as("doc_id"),
+        lit("the same boilerplate template navigation footer text " +
+          "repeated verbatim across every crawled page").as("text"))
+      Dedup.nearDupPairs(docs.unionByName(planted), "doc_id", "text")
+    }),
+
+
     // SimHash fingerprints (hash family not DuckDB-expressible: rows-only;
     // hamming behavior spec-verified in DedupSpec).
     // Differential gate (r8): the fingerprint values are xxhash64-based
@@ -618,6 +637,11 @@ object DedupGates {
     // else, so the capped output over the planted corpus equals exact
     // Jaccard pairs over the original table
     "dedup_minhash_capped" -> jaccardPairsSql(0.8),
+
+    // the knob-free default must behave exactly like the proven capped
+    // configuration: planted template cluster dropped by the built-in
+    // bucket guard, every natural pair exact — same brute oracle
+    "dedup_neardup_default" -> jaccardPairsSql(0.8),
 
     // transitive closure of the near-dup graph in pure SQL: DuckDB's
     // recursive CTE floods every node's reachable set (UNION dedups, so

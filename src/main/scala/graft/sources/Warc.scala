@@ -227,11 +227,6 @@ object Warc {
     finally out.close()
   }
 
-  /** Serialize records into a `.warc.gz` member with RECORD-LEVEL gzip
-    * framing — each record its own gzip member, members concatenated —
-    * the exact layout Common Crawl publishes (it makes any record
-    * independently seekable given its archive offset). Parses back
-    * byte-identical to the plain form through [[parseMember]]. */
   /** Per-record gzip stream whose deflater can be released eagerly:
     * `close()` would also close the shared underlying file stream, so
     * the writer calls finish() + release() instead. */
@@ -240,6 +235,11 @@ object Warc {
     def release(): Unit = `def`.end()
   }
 
+  /** Serialize records into a `.warc.gz` member with RECORD-LEVEL gzip
+    * framing — each record its own gzip member, members concatenated —
+    * the exact layout Common Crawl publishes (it makes any record
+    * independently seekable given its archive offset). Parses back
+    * byte-identical to the plain form through [[parseMember]]. */
   def writeMemberGz(records: Seq[WarcRecord],
       path: java.nio.file.Path): Unit = {
     val out = new java.io.BufferedOutputStream(
@@ -250,11 +250,12 @@ object Warc {
       // end() releases the Deflater's NATIVE buffers immediately —
       // without it each record's deflater lingers until the GC cleaner
       // runs, and a many-record re-shard accumulates native memory the
-      // heap sizing never sees (ADVICE r16 #2)
+      // heap sizing never sees (ADVICE r16 #2). release() sits in a
+      // finally so a write/finish failure can't leak the very native
+      // buffers the eager end() exists to release (ADVICE r17 #1).
       val gz = new MemberGzStream(out)
-      gz.write(recordBytes(r))
-      gz.finish()
-      gz.release()
+      try { gz.write(recordBytes(r)); gz.finish() }
+      finally gz.release()
     } finally out.close()
   }
 }

@@ -53,7 +53,10 @@ object SpotBench {
     "src_warc_gz", "sim_lsh_multiprobe", "sim_ivfpq_rerank",
     // r17: the knob-free recommended ANN entry point + the minhash
     // heavy-bucket guard (the sf10 super-linear finding's fix)
-    "sim_ann_default", "dedup_minhash_capped")
+    "sim_ann_default", "dedup_minhash_capped",
+    // r18: the knob-free near-dup default (r17 verdict #1/#8 — adopted
+    // into the growth pins the way sim_ann_default was)
+    "dedup_neardup_default")
   // r15 (r14 verdict #1): the staged sf1 corpus now carries the TPC-H
   // star tables (GenScale shifted-key replicas), so the join/agg/window
   // families get real 10× growth pins too — not just documents gates

@@ -90,6 +90,50 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(1000) === uncapped)
   }
 
+  test("nearDupPairs: the knob-free default drops the template cluster and equals exact elsewhere") {
+    val planted = spark.range(40).select(
+      (col("id") + 900000L).as("doc_id"),
+      lit("identical boilerplate navigation footer repeated on every page")
+        .as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    val got = Dedup.nearDupPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the default IS the measured contract configuration, in the open
+    val explicit = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+        shingleLen = 3, bands = 16, rowsPerBand = 4, threshold = 0.8,
+        maxBucketSize = Dedup.DefaultMaxBucketSize)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === explicit)
+    // the 40-doc template cluster (> DefaultMaxBucketSize in every band
+    // bucket) vanishes from what a naive caller gets...
+    assert(!got.exists { case (a, b) => a >= 900000L || b >= 900000L })
+    // ...and nothing natural moves: the default equals the exact brute
+    // answer over the original corpus
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact && exact.nonEmpty)
+  }
+
+  test("jaccardPrefixPairs: default df cap is exact below the cap; a biting cap yields a subset with exact values") {
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // corpus dfs sit far below DefaultMaxDocFreq, so the shipped default
+    // must be bit-identical to the uncapped lossless audit form
+    val default_ = triples(Dedup.jaccardPrefixPairs(docs, "doc_id", "text"))
+    val audit = triples(Dedup.jaccardPrefixPairs(docs, "doc_id", "text",
+      maxDocFreq = None))
+    assert(default_ === audit && audit.nonEmpty)
+    // force the cap to bite (df cap 3 < engineered clone-cluster dfs):
+    // survivors must be a SUBSET with bit-identical exact jaccards —
+    // candidate pruning only, never value drift, never false positives
+    val bitten = triples(Dedup.jaccardPrefixPairs(docs, "doc_id", "text",
+      maxDocFreq = Some(3)))
+    assert(bitten.subsetOf(audit))
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     // take a known near-dup pair from the exact jaccard output
     val pair = Dedup.ngramJaccardPairs(docs, "doc_id", "text").select("doc_a", "doc_b").head()

@@ -133,6 +133,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keyed.orderBy("query_id", "rank").collect().toSeq ===
       keyed2.orderBy("query_id", "rank").collect().toSeq)
     Similarity.dropIndex("spec#ann_default")
+    Similarity.dropIndex(Similarity.annDerivedKey(emb, "vec_id", "embedding"))
+  }
+
+  test("annTopK: two anonymous calls over the same corpus hit one build") {
+    val q = emb.where(col("vec_id") < 5)
+    val key = Similarity.annDerivedKey(emb, "vec_id", "embedding")
+    Similarity.dropIndex(key)
+    Similarity.annTopK(emb, q, "vec_id", "embedding", k = 3).count()
+    val first = Similarity.registeredIvf(key)
+    assert(first.nonEmpty,
+      "keyless annTopK must register its index under the plan-derived key")
+    Similarity.annTopK(emb, q, "vec_id", "embedding", k = 3).count()
+    val second = Similarity.registeredIvf(key)
+    // the SAME IvfIndex instance — the second call probed, not retrained
+    assert(second.exists(_ eq first.get),
+      "second keyless call over the same corpus must reuse the index")
+    Similarity.dropIndex(key)
   }
 
   test("PQ top-k: planted twins recalled, scores approximate cosine, codes bounded") {
