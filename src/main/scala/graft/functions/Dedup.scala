@@ -127,10 +127,12 @@ object Dedup {
     * at `threshold` Jaccard over word shingles, with the measured
     * scale-contract configuration and no tuning knobs. Routes to
     * MinHash+LSH at 16 bands × 4 rows — the S-curve catches j ≥ 0.8 pairs
-    * with P > 0.999, and every candidate is exact-verified, so at the
-    * default threshold the output equals the exact Jaccard answer (oracle
+    * with P > 0.999 per pair (lower just above the threshold), and every
+    * candidate is exact-verified (no false positives). The output matches
+    * the exact Jaccard answer on every oracle-verified corpus (oracle
     * `dedup_neardup_default` proves hash-equality against brute-force
-    * SQL) — with the [[DefaultMaxBucketSize]] heavy-bucket guard engaged:
+    * SQL); in general it is probabilistic — recall ≥ 0.999 per pair at
+    * j ≥ 0.8 — with the [[DefaultMaxBucketSize]] heavy-bucket guard engaged:
     * sub-linear candidate growth measured at the sf1→sf10 decade (4.49×
     * per 10× rows vs 22.1× uncapped, BENCH_SPOT_sf10.json).
     *
@@ -152,6 +154,38 @@ object Dedup {
       shingleLen: Int = 3): DataFrame =
     minHashLshPairs(docs, idCol, textCol, shingleLen,
       bands = 16, rowsPerBand = 4, threshold = threshold)
+
+  /** THE RECOMMENDED EMBEDDING NEAR-DUP ENTRY POINT (r19 — the
+    * [[nearDupPairs]] pattern applied to the embedding family, closing
+    * the last scaladoc-only scale steering): near-duplicate vector pairs
+    * at `threshold` cosine, with geometry derived FROM THE CORPUS by
+    * [[graft.functions.Similarity.lshGeometryForCorpus]] — plane count
+    * grows ~log₂(n) so the random-pair candidate mass per row stays
+    * under `budgetPerRow` (candidate volume ~linear in corpus size BY
+    * CONSTRUCTION, never the fixed-geometry n²·bands·2^-planes), and
+    * among admissible settings the solver maximizes expected recall at
+    * exactly cos = θ. That expected recall is RETURNED next to the
+    * pairs — log it; what degrades at scale is visible, not hidden.
+    * Every candidate is exact-verified (no false positives); on every
+    * oracle-verified corpus the output hash-equals the exact all-pairs
+    * answer (`dedup_neardup_embeddings` gate).
+    *
+    * The corpus `count()` runs once per call (footer-metadata read for a
+    * plain parquet scan). For thresholds below ~0.6 prefer
+    * [[graft.functions.Similarity.cosinePairsExact]] when the output
+    * itself is quadratic and computable, or lower `budgetPerRow` and
+    * accept the returned recall — at low θ no hyperplane geometry can
+    * hold recall ≥ 1−1e-5 while pruning (measured and documented at
+    * [[graft.functions.Similarity.cosinePairsLsh]]). */
+  def nearDupEmbeddings(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      budgetPerRow: Double = 32.0,
+      dim: Int = 64): (DataFrame, Double) =
+    Similarity.cosinePairsLshScaled(emb, idCol, vecCol, threshold,
+      corpusSize = emb.count(), budgetPerRow = budgetPerRow, dim = dim)
 
   /** MinHash+LSH near-duplicate pairs, exact-verified.
     *
@@ -586,48 +620,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Exact n-gram Jaccard pairs. With `maxDocFreq = None` (the default)
-    * this DELEGATES to the prefix-filtered AllPairs/PPJoin discipline
-    * ([[jaccardPrefixPairs]] under ITS default [[DefaultMaxDocFreq]]
-    * candidate cap — r18: the naive entry point gets the measured
-    * scale-safe shape; exact-equal to brute force on every
-    * oracle-verified corpus, subset-with-exact-values once boilerplate
-    * dfs cross the cap at larger scales) — where the former default —
-    * exploding EVERY shingle into an equi-self-join —
-    * went quadratic in the heaviest shingle's document frequency (sf1
-    * spot-bench: 133× growth at 10× rows vs the prefix family's 15-25×;
-    * r12 verdict #2 retired it as the default path).
-    *
-    * `maxDocFreq`: drop shingles appearing in more than this many documents
-    * before pairing — the heavy-hitter guard with DEFINED LOWER-BOUND
-    * semantics (oracle-gated `dedup_jaccard_capped`): the computed
-    * intersection (and thus jaccard) is a lower bound over FULL
-    * denominators, so results are a subset of the exact answer — a
-    * recall/cost dial with no false positives. The capped path keeps the
-    * explode plan because the cap itself bounds it: every post-filter
-    * shingle group has ≤ cap rows, so candidates are ≤ cap·occurrences —
-    * linear in corpus size by construction. (Delegating the cap to prefix
-    * candidate generation would CHANGE the contract: surviving pairs would
-    * carry exact jaccards, not capped lower bounds.) */
+  /** Exact n-gram Jaccard pairs — delegates to the prefix-filtered
+    * AllPairs/PPJoin discipline ([[jaccardPrefixPairs]]), passing
+    * `maxDocFreq` THROUGH (r19, ADVICE r18 #1 — previously `None`
+    * silently became the prefix path's own 128 default, so the API's
+    * universal "`None` = no cap" convention was violated and the
+    * lossless exact answer was unreachable from this entry point):
+    *   - default `Some(DefaultMaxDocFreq)`: the measured scale-safe
+    *     shape — candidate generation drops shingles with document
+    *     frequency above the cap, results are a SUBSET of the exact
+    *     answer with bit-identical jaccard values (verification runs on
+    *     the full shingle arrays); on every oracle-verified corpus the
+    *     cap never bites and the output is provably exact.
+    *   - `None`: the truly uncapped LOSSLESS exact form (the prefix
+    *     filter alone is lossless) — the audit twin; its prefix-pair
+    *     space grows as Σ df² with corpus size, do not use at scale.
+    * The former default — exploding EVERY shingle into an
+    * equi-self-join — went quadratic in the heaviest shingle's document
+    * frequency (sf1 spot-bench: 133× growth at 10× rows vs the prefix
+    * family's 15-25×; r12 verdict #2 retired it). That plan survives as
+    * [[ngramJaccardLowerBound]], whose cap has a DIFFERENT contract
+    * (capped lower-bound jaccard values, oracle-gated
+    * `dedup_jaccard_capped`). */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Option[Int] = None): DataFrame =
-    maxDocFreq match {
-      case None => jaccardPrefixPairs(docs, idCol, textCol, shingleLen, threshold)
-      case Some(_) =>
-        ngramJaccardExplode(docs, idCol, textCol, shingleLen, threshold, maxDocFreq)
-    }
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame =
+    jaccardPrefixPairs(docs, idCol, textCol, shingleLen, threshold, maxDocFreq)
 
-  /** The explode-all-shingles equi-self-join form — the execution plan for
-    * the `maxDocFreq`-capped dial (bounded by the cap, see
-    * [[ngramJaccardPairs]]) and the differential-testing twin DedupSpec
-    * holds the prefix path against. Do NOT use uncapped at scale: candidate
-    * count is quadratic in the heaviest shingle's document frequency. */
-  private[graft] def ngramJaccardExplode(
+  /** The explode-all-shingles equi-self-join form with the LOWER-BOUND
+    * `maxDocFreq` dial (oracle-gated `dedup_jaccard_capped`): shingles
+    * appearing in more than `maxDocFreq` documents are dropped BEFORE
+    * pairing, so the computed intersection (and thus jaccard, over FULL
+    * denominators) is a lower bound — results are a subset of the exact
+    * answer with RECOMPUTED values, a recall/cost dial with no false
+    * positives. The cap itself bounds the plan: every post-filter shingle
+    * group has ≤ cap rows, so candidates are ≤ cap·occurrences — linear
+    * in corpus size by construction. (This differs from
+    * [[jaccardPrefixPairs]]' cap, which only prunes CANDIDATE generation
+    * and keeps surviving pairs' values exact.) Also the
+    * differential-testing twin DedupSpec holds the prefix path against.
+    * Do NOT use uncapped (`None`) at scale: candidate count is quadratic
+    * in the heaviest shingle's document frequency. */
+  def ngramJaccardLowerBound(
       docs: DataFrame,
       idCol: String,
       textCol: String,

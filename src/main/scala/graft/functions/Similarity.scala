@@ -517,13 +517,23 @@ object Similarity {
   }
 
   /** Registry key for [[annTopK]]'s knob-free path: the corpus plan's
-    * canonicalized semantic hash (attribute-id- and alias-insensitive, so
-    * two reads of the same table derive the same key) plus the id/vector
-    * column names. Package-visible so SimilaritySpec can assert the
+    * canonicalized form (attribute-id- and alias-insensitive, so two
+    * reads of the same table derive the same key) plus the id/vector
+    * column names. The key carries the full MD5 digest of the
+    * canonicalized plan STRING, not just the 32-bit `semanticHash` —
+    * upstream Spark only uses `semanticHash` as a bucket and confirms
+    * with `sameResult`, so a hash-only key could let two different
+    * corpora that collide on the Int silently probe each other's index
+    * (ADVICE r18 #3). Package-visible so SimilaritySpec can assert the
     * one-build contract. */
   private[graft] def annDerivedKey(
-      corpus: DataFrame, idCol: String, vecCol: String): String =
-    s"annTopK:${corpus.queryExecution.analyzed.canonicalized.semanticHash()}:$idCol:$vecCol"
+      corpus: DataFrame, idCol: String, vecCol: String): String = {
+    val canon = corpus.queryExecution.analyzed.canonicalized
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"annTopK:$digest:$idCol:$vecCol"
+  }
 
   /** Registry peek for specs: the IVF index registered under `key`, if
     * any. */

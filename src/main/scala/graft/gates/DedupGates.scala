@@ -200,7 +200,7 @@ object DedupGates {
     // so a capped-path bug that miscounts kept shingles breaks the hash —
     // not just the row set.
     "dedup_jaccard_capped" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardLowerBound(t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, threshold = 0.8, maxDocFreq = Some(5))
     }),
 
@@ -474,8 +474,46 @@ object DedupGates {
       val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       Similarity.cosinePairsLsh(emb.unionByName(twins), "vec_id", "embedding", 0.9)
+    }),
+
+
+    // THE KNOB-FREE EMBEDDING NEAR-DUP DEFAULT (r19 — the
+    // dedup_neardup_default pattern for the embedding family): same
+    // planted-twin corpus as t90, but through Dedup.nearDupEmbeddings,
+    // whose geometry is derived from the corpus size by the budgeted
+    // solver (candidates ~linear in n by construction, expected recall
+    // returned). Twins are sign-identical on every hyperplane, so they
+    // collide in EVERY band regardless of the solved geometry — the
+    // planted pairs are deterministic hits — and the synthetic corpus
+    // has no natural pair near 0.9, so the knob-free output must
+    // hash-equal the exact all-pairs SQL at the same threshold.
+    "dedup_neardup_embeddings" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.nearDupEmbeddings(emb.unionByName(twins), "vec_id", "embedding")._1
     })
   )
+
+  /** Exact all-pairs cosine ≥ 0.9 over the planted-twin corpus — shared
+    * by `dedup_embedding_cosine_t90` and `dedup_neardup_embeddings`
+    * (identical planting, identical exact answer; one definition). */
+  private val twinCosine90Sql =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            e AS (SELECT vec_id, v FROM base
+                  UNION ALL
+                  SELECT vec_id + 100000 AS vec_id,
+                         list_transform(v, x -> x * 2) AS v
+                  FROM base),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CASE WHEN list_dot_product(a.v, a.v) = 0
+                            OR list_dot_product(b.v, b.v) = 0 THEN NULL
+                          ELSE list_dot_product(a.v, b.v) /
+                               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     END AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9"""
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -755,22 +793,12 @@ object DedupGates {
     // semantic graph has a 16.7k-node giant component)
     "dedup_semantic" -> semanticCcSql(24),
 
-    "dedup_embedding_cosine_t90" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              e AS (SELECT vec_id, v FROM base
-                    UNION ALL
-                    SELECT vec_id + 100000 AS vec_id,
-                           list_transform(v, x -> x * 2) AS v
-                    FROM base),
-              p AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       CASE WHEN list_dot_product(a.v, a.v) = 0
-                              OR list_dot_product(b.v, b.v) = 0 THEN NULL
-                            ELSE list_dot_product(a.v, b.v) /
-                                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                       END AS cos
-                FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
+    "dedup_embedding_cosine_t90" -> twinCosine90Sql,
+
+    // ONE exact SQL for both θ=0.9 gates: the knob-free entry's solved
+    // geometry must reproduce the same exact answer the pinned-geometry
+    // gate does (twins collide in every band under ANY geometry)
+    "dedup_neardup_embeddings" -> twinCosine90Sql,
 
     "dedup_simhash" ->
       """SELECT doc_id, true AS order_invariant, true AS in_range

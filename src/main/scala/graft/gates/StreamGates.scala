@@ -56,9 +56,14 @@ object StreamGates {
     // S6/J1-streaming — STREAM-STREAM inner join with watermarks and an
     // event-time range condition (the north-star "Structured Streaming
     // joins" form of the reference's streaming inner join): clicks joined
-    // to purchases by the same user within 30 minutes. AvailableNow feeds
-    // all data in one micro-batch, so watermark state-purge cannot drop
-    // matches and the result equals the batch join (the DuckDB oracle).
+    // to purchases by the same user within 30 minutes. Reads the SHARED
+    // chunked event-time-ordered feed (r19 — the same realism fix as
+    // s12/s15/s17: one-file staging made micro-batch 1 the whole corpus,
+    // so join state never evicted within the feed): matches emit as
+    // found, chunk ordering means nothing arrives late and no match is
+    // lost (1h watermark delay > 30min join window), and the sentinels'
+    // disjoint negative user ids can never join — the AvailableNow
+    // result still equals the batch join (the DuckDB oracle).
     "s6_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       // Stream-stream join keeps 4 state stores per shuffle partition;
@@ -66,10 +71,9 @@ object StreamGates {
       // (see s4 note — never mutate the shared session conf).
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val schema = t(ss, dir, "events").schema
+      val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("event_ts", Tables.tsFromNanos(col("ts")))
+        .option("maxFilesPerTrigger", "1").parquet(stage)
       val clicks = src.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("event_ts").as("c_ts"))
@@ -96,13 +100,16 @@ object StreamGates {
     // emit with a NULL right side, which only happens once the global
     // watermark provably passes each click's join bound (c_ts + 30 min).
     // A single-batch feed can never flush those rows (no later batch
-    // advances the watermark), so the gate stages THREE files with
+    // advances the watermark), so the gate stages a multi-file feed with
     // controlled mtimes + maxFilesPerTrigger=1, like s10:
-    //   batch 0 = the real feed (matches emit as found);
-    //   batch 1 = a sentinel click+purchase pair at max(ts)+2h → commits
-    //             the watermark to max(ts)+1h, past every feed bound;
-    //   batch 2 = a second sentinel pair at max(ts)+3h — its processing
-    //             runs eviction under the batch-1 watermark, flushing
+    //   batches 0..n-1 = the real feed in event-time-ordered chunks
+    //             (one file when small — see GateSupport.outerJoinFeed;
+    //             chunking lets the watermark advance BETWEEN batches so
+    //             join state stays bounded at scale);
+    //   batch n   = a sentinel click+purchase pair at max(ts)+2h →
+    //             commits the watermark to max(ts)+1h, past every bound;
+    //   batch n+1 = a second sentinel pair at max(ts)+3h — its processing
+    //             runs eviction under the batch-n watermark, flushing
     //             every unmatched feed click as a NULL-purchase row.
     // The sentinels themselves stay in state forever (the watermark never
     // passes THEIR bounds) so they cannot pollute the output; the oracle
@@ -187,7 +194,7 @@ object StreamGates {
     // §2.8 — stream-stream FULL OUTER join: both unmatched directions at
     // once — clicks without a conversion AND purchases without a
     // preceding click each flush as a NULL-other-side row once the global
-    // watermark provably passes their join bound. Same three-batch
+    // watermark provably passes their join bound. Same chunked
     // sentinel feed as s12 (shared staging, one cache key); the sentinels
     // themselves stay in state forever on BOTH sides, so they cannot
     // pollute either unmatched direction. Oracle = the plain batch FULL

@@ -68,6 +68,26 @@ object GenScale {
     (nEmb, dim)
   }
 
+  /** Re-stage `dir` from the canonical sf0.1 testdata when the `probe`
+    * table is missing (r18 verdict #6: the decade instruments' inputs
+    * live in tmpfs — one reboot from gone; the round-close tooling
+    * re-stages on miss instead of assuming presence). The factor is
+    * inferred from the conventional dir name: graft_sfN = N·10 × sf0.1.
+    * No-op when the probe table exists; loud error for a missing dir
+    * whose name carries no factor. */
+  def ensureStaged(spark: SparkSession, dir: String,
+      probe: String = "documents"): Unit = {
+    if (!new java.io.File(s"$dir/$probe.parquet").exists()) {
+      val factor = """graft_sf(\d+)$""".r.findFirstMatchIn(dir)
+        .map(_.group(1).toInt * 10)
+        .getOrElse(sys.error(
+          s"$dir is missing and not a graft_sfN dir — cannot infer the " +
+            "GenScale staging factor"))
+      System.err.println(s"[genscale] $dir missing — staging at factor $factor")
+      stage(spark, "/root/testdata/sf0.1", dir, factor, _ => true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -88,6 +108,14 @@ object GenScale {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    stage(spark, srcDir, outDir, factor, want)
+    spark.stop()
+  }
+
+  /** The staging body, callable from a live session ([[ensureStaged]];
+    * main wraps it with its own session). */
+  def stage(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int, want: String => Boolean): Unit = {
     new java.io.File(outDir).mkdirs()
 
     // ---- documents: fresh draws from the measured distribution ----
@@ -222,7 +250,5 @@ object GenScale {
     writeSingle(ev, outDir, "events")
     println(s"[genscale] events: ${nEv * factor}")
     }
-
-    spark.stop()
   }
 }

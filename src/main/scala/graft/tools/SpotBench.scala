@@ -56,7 +56,10 @@ object SpotBench {
     "sim_ann_default", "dedup_minhash_capped",
     // r18: the knob-free near-dup default (r17 verdict #1/#8 — adopted
     // into the growth pins the way sim_ann_default was)
-    "dedup_neardup_default")
+    "dedup_neardup_default",
+    // r19: the knob-free EMBEDDING near-dup default (r18 verdict #4 —
+    // geometry solved from corpus size, candidates budgeted per row)
+    "dedup_neardup_embeddings")
   // r15 (r14 verdict #1): the staged sf1 corpus now carries the TPC-H
   // star tables (GenScale shifted-key replicas), so the join/agg/window
   // families get real 10× growth pins too — not just documents gates
@@ -95,6 +98,13 @@ object SpotBench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // self-staging (r18 verdict #6): the GenScale corpora live in tmpfs —
+    // re-stage on miss instead of failing a cold-start run. Applies to
+    // both dirs when they follow the /tmp/graft_sfN convention (the sf10
+    // decade probe passes refDir=/tmp/graft_sf1).
+    Seq(sf1Dir, refDir).filter(_.contains("graft_sf"))
+      .foreach(GenScale.ensureStaged(spark, _))
 
     // the pre-r12 containment form, in the gate's exact planted shape —
     // the "before" of the r11 verdict's scale-killer fix

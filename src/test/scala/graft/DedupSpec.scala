@@ -10,6 +10,31 @@ class DedupSpec extends AnyFunSuite {
 
   lazy val docs = table("documents").cache()
 
+  test("nearDupEmbeddings: corpus-derived geometry finds perturbed twins, equals exact, returns recall") {
+    val emb = table("embeddings").select(col("vec_id"), col("embedding"))
+    // PERTURBED twins (not just scaled — a scaled twin is sign-identical
+    // and would pass under a broken solver too): flip one coordinate's
+    // low bits by adding 0.01 to dimension 0; cosine stays >> 0.9
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val corpus = emb.unionByName(twins)
+    val (pairs, recall) =
+      Dedup.nearDupEmbeddings(corpus, "vec_id", "embedding")
+    assert(recall > 0.99 && recall <= 1.0,
+      s"solved geometry's expected recall should be ~1 at this n, got $recall")
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.functions.Similarity
+      .cosinePairsExact(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got === want)
+    // every planted twin pair found
+    val n = emb.count()
+    assert(want.count { case (a, b) => b - a == 100000L } === n)
+  }
+
   test("exact dedup: distinct corpus keeps every doc as its own representative") {
     val d = Dedup.exact(docs, "doc_id", "text")
     assert(d.count() === docs.count())
@@ -360,7 +385,7 @@ class DedupSpec extends AnyFunSuite {
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val prefix = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val exact = Dedup.ngramJaccardExplode(docs, "doc_id", "text", threshold = t)
+      val exact = Dedup.ngramJaccardLowerBound(docs, "doc_id", "text", threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(prefix === exact, s"threshold $t")
       assert(prefix.nonEmpty || t > 0.8)
@@ -382,7 +407,7 @@ class DedupSpec extends AnyFunSuite {
     val corpus = (uniq ++ nearDup).toDF("doc_id", "text")
     val got = Dedup.jaccardPrefixPairs(corpus, "doc_id", "text", threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = Dedup.ngramJaccardExplode(corpus, "doc_id", "text", threshold = 0.6)
+    val want = Dedup.ngramJaccardLowerBound(corpus, "doc_id", "text", threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want && got.contains((100L, 101L)))
   }

@@ -185,4 +185,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.where(col("click_id").isNotNull && col("purchase_id").isNotNull)
       .count() === inner.count())
   }
+
+  test("chunked feed: stream-stream joins match batch oracles under a multi-chunk staging") {
+    // Force the event-time-chunked staging (GateSupport.outerJoinFeed) on
+    // the 1000-row test corpus: 100 rows/chunk → 10 feed micro-batches +
+    // 2 sentinel batches. The watermark advances BETWEEN chunks, so
+    // unmatched rows flush DURING the feed — the final row SET must still
+    // equal the batch join exactly (the at-scale argument: contiguous
+    // event-time ranges mean nothing arrives below the watermark, and the
+    // 1h watermark delay exceeds the 30min join window, so a row is only
+    // evicted after every possible match was ingested).
+    sys.props("graft.feed.chunk.rows") = "100"
+    try {
+      val events = table("events")
+        .withColumn("event_ts", graft.sources.Tables.tsFromNanos(col("ts")))
+      val c = events.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          col("event_ts").as("c_ts"))
+      val p = events.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("event_ts").as("p_ts"))
+      val cond = col("cu") === col("pu") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
+
+      def assertSetEqual(got: org.apache.spark.sql.DataFrame,
+          want: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        assert(got.exceptAll(want).count() === 0, s"$tag: extra rows")
+        assert(want.exceptAll(got).count() === 0, s"$tag: missing rows")
+      }
+
+      val gotOuter = SparkEntry.queries("s12_stream_outer_join")(spark, sfDir)
+      assertSetEqual(gotOuter,
+        c.join(p, cond, "left_outer")
+          .select(col("cu").as("user_id"), col("click_id"), col("purchase_id")),
+        "left_outer")
+      assert(gotOuter.where(col("purchase_id").isNull).count() > 0,
+        "chunked feed must still flush unmatched clicks")
+
+      val gotFull = SparkEntry.queries("s15_stream_full_outer")(spark, sfDir)
+      assertSetEqual(gotFull,
+        c.join(p, cond, "full_outer")
+          .select(coalesce(col("cu"), col("pu")).as("user_id"),
+            col("click_id"), col("purchase_id")),
+        "full_outer")
+
+      val gotSemi = SparkEntry.queries("s17_stream_semi_join")(spark, sfDir)
+      assertSetEqual(gotSemi,
+        c.join(p, cond, "left_semi")
+          .select(col("cu").as("user_id"), col("click_id")),
+        "left_semi")
+
+      // the staging itself really chunked: >2 feed files on disk
+      val (stage, _) = graft.gates.GateSupport.outerJoinFeed(spark, sfDir)
+      val feedFiles = new java.io.File(stage).listFiles()
+        .count(f => f.getName.startsWith("feed_"))
+      // 10 time ranges; a range could be empty under an uneven ts
+      // distribution, but the multi-chunk shape must have engaged
+      assert(feedFiles >= 5 && feedFiles <= 10,
+        s"expected ~10 chunk files, got $feedFiles")
+    } finally sys.props -= "graft.feed.chunk.rows"
+  }
 }

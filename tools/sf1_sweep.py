@@ -36,10 +36,18 @@ def run_selfcheck(sf_dir, out_dir, env_extra):
         m = LINE.match(ln)
         if m:
             gates[m.group(2)] = (m.group(1), m.group(3))
-    # selfcheck prints every gate twice (incremental + summary); the dict
-    # collapses that. Surface stderr on unexpected emptiness.
-    if not gates:
+    # CRASH vs CLEAN-WITH-FAILS (ADVICE r18 #2): selfcheck exits 1 on gate
+    # FAILs too, so the return code alone can't gate — but a run that
+    # completed always prints the "== N/N pass" summary. A missing summary
+    # (DuckDB dying mid-tier, a traceback) must ABORT the sweep, or a
+    # partial gate dict merges silently and the artifact reads green while
+    # the tier it exists to protect never ran.
+    completed = any(ln.startswith("== ") and ln.endswith(" pass")
+                    for ln in p.stdout.splitlines())
+    if not completed:
         sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-2000:] + "\n")
+        sys.exit(f"selfcheck tier {env_extra} CRASHED (no summary line, "
+                 f"rc={p.returncode}) — aborting, no artifact written")
     return gates
 
 
@@ -50,6 +58,21 @@ def main():
     pos = [a for a in sys.argv[2:] if not a.startswith("--")]
     sf_dir = pos[0] if len(pos) > 0 else "/tmp/graft_sf1"
     out_dir = pos[1] if len(pos) > 1 else "/tmp/verify_sf1"
+    # SELF-STAGING (r18 verdict #6): the GenScale corpora live in tmpfs —
+    # one reboot from gone. A cold start re-stages instead of failing;
+    # factor inferred from the dir name (graft_sfN = N*10 x sf0.1).
+    if not Path(sf_dir, "documents.parquet").exists():
+        m = re.search(r"graft_sf(\d+)$", sf_dir)
+        if not m:
+            sys.exit(f"{sf_dir} is missing and not a graft_sfN dir — "
+                     "cannot infer the GenScale staging factor")
+        factor = int(m.group(1)) * 10
+        print(f"[sweep] {sf_dir} missing — staging via GenScale at "
+              f"factor {factor}", flush=True)
+        subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.tools.GenScale /root/testdata/sf0.1 {sf_dir} {factor}"],
+            cwd=str(REPO), check=True)
     if "--no-verify" not in sys.argv:
         subprocess.run(
             ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
@@ -61,9 +84,19 @@ def main():
                           {"GRAFT_SELFCHECK_FAST": "1",
                            "GRAFT_SELFCHECK_SKIP": "dedup"})
     # tier 2: the dedup family on its own (slow DuckDB pair oracles)
-    gates.update(run_selfcheck(sf_dir, out_dir,
-                               {"GRAFT_SELFCHECK_FAST": "1",
-                                "GRAFT_SELFCHECK_ONLY": "dedup"}))
+    dedup_gates = run_selfcheck(sf_dir, out_dir,
+                                {"GRAFT_SELFCHECK_FAST": "1",
+                                 "GRAFT_SELFCHECK_ONLY": "dedup"})
+    # the dedup tier is the sweep's raison d'etre — an empty tier-2 result
+    # (filter typo, selfcheck env drift) must not merge into a green total
+    if not dedup_gates:
+        sys.exit("tier 2 returned ZERO dedup gates — aborting, no artifact")
+    gates.update(dedup_gates)
+    # guard against a silently-shrunken suite: r18's full suite was 241
+    # gates; allow growth, flag a >10% shrink loudly
+    if len(gates) < 220:
+        sys.exit(f"suite shrank to {len(gates)} gates (expected >= 220) — "
+                 "aborting, no artifact")
 
     n_pass = sum(1 for tag, _ in gates.values() if tag == "PASS")
     fails = sorted(n for n, (tag, _) in gates.items() if tag == "FAIL")
