@@ -716,16 +716,30 @@ object StreamGates {
     // the 1-hour bucket < the 2-hour delay, so the API's guarantee makes
     // the result exactly SELECT DISTINCT regardless of arrival order —
     // deterministic, batch-oracle-able.
+    //
+    // Reads the SHARED chunked event-time-ordered feed (r19): the former
+    // one-file staging made micro-batch 1 the whole corpus, so the expiry
+    // this operator EXISTS for never ran within the feed — state held
+    // every key at once and the sf10 probe read 18.1× per 10× rows
+    // (spread 1.08, a real measurement of the wrong shape). Chunking lets
+    // the watermark expire key state between micro-batches; a key's
+    // duplicates sit within its 1-hour bucket and arrive (time-ordered
+    // chunks) before the key can expire (delay 2h > bucket 1h), so the
+    // output is still exactly SELECT DISTINCT. The feed's sentinel rows
+    // (negative user ids) WOULD emit as distinct keys, so they are
+    // filtered before the dedup — output-neutral (dropDuplicates emits on
+    // first sight, not at eviction; sentinels advance nothing we need).
     "s14_stream_dedup_watermark" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val schema = t(ss, dir, "events").schema
+      val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
       val dedup = src
+        .where(col("user_id") >= 0)
         .select(col("user_id"), col("event_type"),
-          date_trunc("hour", Tables.tsFromNanos(col("ts"))).as("hr"))
+          date_trunc("hour", col("event_ts")).as("hr"))
         .withWatermark("hr", "2 hours")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
       val sink = "s14_stream_dedup_wm_sink"

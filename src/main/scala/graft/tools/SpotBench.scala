@@ -70,6 +70,14 @@ object SpotBench {
     "q_fuzz_decimal", "q_pagerank", "q_asof_join", "q_session_window",
     "q_time_window", "q_range_join", "corpus_bpe_pretrained",
     "src_warc_ingest")
+  // r19 (r18 verdict #1/#5): the chunked-feed stream-join gates and the
+  // stateful stream family — measurable at the second decade now that
+  // events.parquet exists at sf10 and the feed instrument is realistic
+  private val streamOps = Seq(
+    "s6_stream_join", "s4_stream_window", "s5_stream_sliding",
+    "s5_stream_session", "s7_stream_dedup", "s14_stream_dedup_watermark",
+    "s30_stream_changelog", "t_stream_stateful", "s10_stream_late_drop",
+    "s16_stream_foreach_batch")
   private val dedupFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_paragraphs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
@@ -121,7 +129,7 @@ object SpotBench {
       }
 
     val allGates: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      (top10 ++ dedupFamily ++ newOps ++ starOps).distinct.map(n => n -> graft.SparkEntry.queries(n)) :+
+      (top10 ++ dedupFamily ++ newOps ++ starOps ++ streamOps).distinct.map(n => n -> graft.SparkEntry.queries(n)) :+
         ("dedup_containment_brute" -> containmentBrute)
     val gates = only match {
       case Some(names) => allGates.filter { case (n, _) => names(n) }
