@@ -23,9 +23,13 @@ object RunOne {
     val warmDir = args.collectFirst { case a if a.startsWith("warm=") =>
       a.stripPrefix("warm=") }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parts=N: decouple shuffle partitions from thread count — the dial a
+    // real cluster sizes to the data (spill adjudication at big SFs)
+    val parts = args.collectFirst { case a if a.startsWith("parts=") =>
+      a.stripPrefix("parts=") }.getOrElse(cpus)
     val spark = graft.SparkEntry.sessionBuilder(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
