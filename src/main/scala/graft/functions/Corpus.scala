@@ -469,16 +469,30 @@ object Corpus {
       textCol: String,
       targetPred: Column,
       buckets: Int = 1024): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat(element_at(toks, i + 1), lit(" "),
-          element_at(toks, i + 2))))
+    // token array hoisted into its own projection before the per-position
+    // `transform` lambda (r19, same fix as TextAnalysis.bigramStream):
+    // higher-order-function lambdas evaluate interpreted with no common-
+    // subexpression elimination, so an inline split(text) inside the
+    // lambda re-tokenized the document per element_at call per position.
+    val t = col("__toks")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "),
+          element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
+    // project the gram STRING away before the persist (optimization-guide
+    // §2.3 "project before the exchange" applied to the materialization):
+    // downstream consumers only ever read (doc_id, is_target, b) — the
+    // bucket id — so persisting the raw gram text (~10-20 bytes/row, the
+    // widest column by far) only inflated the cached/spilled bytes both
+    // passes re-read. Result-identical: `gram` fed nothing but hashBucket.
     val grams = docs.select(col(idCol).as("doc_id"),
         coalesce(targetPred, lit(false)).as("is_target"),
-        explode(concat(toks, bigrams)).as("gram"))
-      .withColumn("b", hashBucket(col("gram"), buckets))
+        split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(t, bigrams)).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        hashBucket(col("gram"), buckets).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketCounts = grams.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),

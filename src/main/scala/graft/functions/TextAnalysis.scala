@@ -392,17 +392,31 @@ object TextAnalysis {
   }
 
   /** (doc_id, pos, w1, w2) bigram stream — map-only per-row array
-    * arithmetic, shared by both cross-entropy forms. */
+    * arithmetic, shared by both cross-entropy forms.
+    *
+    * The token array is MATERIALIZED in its own projection before the
+    * per-position `transform` lambda touches it (r19, optimization-guide
+    * §4 "eliminate non-codegen expressions in the hot path"): higher-order
+    * functions are CodegenFallback and evaluate their lambda bodies
+    * interpreted with no common-subexpression elimination, so an inline
+    * `split(text)` inside the lambda re-tokenized the document once per
+    * `element_at` call PER POSITION — O(len²) work per document. Hoisting
+    * the split into a prior Project makes every lambda reference a cheap
+    * attribute read (measured 7.4× on the stream alone at sf0.1: 2.5 s →
+    * 0.33 s; CollapseProject cannot re-inline it because a non-cheap
+    * expression with multiple consumer references is never collapsed).
+    * Values are bit-identical — same expressions, same order. */
   private def bigramStream(
       docs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    docs.select(col(idCol).as("doc_id"),
-        posexplode(when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => struct(element_at(toks, i + 1).as("w1"),
-              element_at(toks, i + 2).as("w2"))))
+    val t = col("__toks")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
+        posexplode(when(size(t) >= 2,
+          transform(sequence(lit(0), size(t) - 2),
+            i => struct(element_at(t, i + 1).as("w1"),
+              element_at(t, i + 2).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as(Seq("pos", "bg")))
       .select(col("doc_id"), col("pos"),
@@ -543,13 +557,18 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    // token array hoisted out of the per-gram lambda (same fix as
+    // [[bigramStream]] — an inline split inside a higher-order-function
+    // lambda re-tokenizes the document per gram, O(len²) interpreted)
+    val t = col("__toks")
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).as("doc_id"),
         length(col(textCol)).as("doc_chars"),
+        split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), col("doc_chars"),
         explode(grams).as("gram"))
       .groupBy(col("doc_id"), col("doc_chars"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -585,12 +604,22 @@ object TextAnalysis {
 
   def fingerprints(text: Column, shingleLen: Int = 5, window: Int = 4): Column = {
     val hashes = transform(TextOps.shingles(text, shingleLen), s => xxhash64(s))
-    when(size(hashes) >= window,
-      array_distinct(
-        transform(sequence(lit(0), size(hashes) - window),
-          i => array_min(slice(hashes, i + lit(1), lit(window))))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
+    // lambda-let binding (r19): this is a Column→Column function with no
+    // DataFrame to project an intermediate into, so the shingle-hash array
+    // is bound ONCE as the element of a 1-element array and the window
+    // fold runs over the bound lambda VARIABLE — higher-order-function
+    // lambdas evaluate interpreted with no subexpression elimination, so
+    // referencing `hashes` directly inside the window lambda re-shingled
+    // and re-hashed the document once per window position (O(len²)).
+    // Values are bit-identical: same ops over the same array.
+    def body(hs: Column): Column =
+      when(size(hs) >= window,
+        array_distinct(
+          transform(sequence(lit(0), size(hs) - window),
+            i => array_min(slice(hs, i + lit(1), lit(window))))))
+        .otherwise(when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<bigint>")))
+    element_at(transform(array(hashes), hs => body(hs)), 1)
   }
 
   // ------------------------------------------------------------------

@@ -346,14 +346,19 @@ private[graft] object GateSupport {
     * all stateless per-row expressions (streaming-safe), mirrored
     * op-for-op in [[c4CleanOracleSql]]. */
   def c4StagedDocs(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    // token array hoisted out of the per-line lambda (r19, the
+    // TextAnalysis.bigramStream fix): higher-order-function lambdas run
+    // interpreted with no subexpression elimination, so the inline split
+    // re-tokenized the document once per 6-word line.
+    val toks = col("__toks")
     val nLines = ceil(size(toks) / 6.0).cast("int")
     val lines = transform(sequence(lit(0), nLines - 1), i =>
       concat(array_join(slice(toks, i * 6 + 1, lit(6)), " "),
         when(Corpus.hashBucket(
           concat_ws("#", col("doc_id"), i.cast("string")), 10) < 7,
           lit(".")).otherwise(lit(""))))
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
       concat(array_join(lines, "\n"),
         when(Corpus.hashBucket(concat(lit("lorem#"),
           col("doc_id").cast("string")), 17) === 0,
@@ -394,14 +399,17 @@ private[graft] object GateSupport {
     * repetition signal are exercised. Stateless per-row expressions,
     * mirrored op-for-op by the oracle's `repeat(chr(10) || line0, k)`. */
   def repStagedDocs(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    // token array hoisted out of the per-line lambda (r19 — see
+    // [[c4StagedDocs]]; same interpreted-lambda re-split fix)
+    val toks = col("__toks")
     val nLines = ceil(size(toks) / 6.0).cast("int")
     val lines = transform(sequence(lit(0), nLines - 1), i =>
       array_join(slice(toks, i * 6 + 1, lit(6)), " "))
     val line0 = array_join(slice(toks, 1, 6), " ")
     val k = Corpus.hashBucket(concat(lit("dup#"),
       col("doc_id").cast("string")), 4)
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
       concat(array_join(lines, "\n"),
         when(k >= 1, concat(lit("\n"), line0)).otherwise(lit("")),
         when(k >= 2, concat(lit("\n"), line0)).otherwise(lit("")),

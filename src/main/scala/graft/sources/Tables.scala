@@ -40,7 +40,17 @@ object Tables {
     *   non-UTC host must not shift restored event times). */
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // r19 optimization round: plans wider than maxFields (default 100)
+    // silently drop out of whole-stage codegen and run interpreted — the
+    // 128-buffer conditional-aggregate fuzz gates lost codegen entirely
+    // and paid 2.3× (q_fuzz_parity 5.7 s → 2.4 s at sf0.1 when raised).
+    // 500 is a plan-WIDTH knob, independent of data scale or core count
+    // (the generated functions are split by methodSplitThreshold as
+    // usual), so it is safe at any SF and on a real cluster. Override
+    // via spark.sql.codegen.maxFields if a future Spark version changes
+    // the splitting behavior.
+    "spark.sql.codegen.maxFields" -> "500")
 
   /** Expected shape per table: column → accepted Spark types. A silent
     * upstream regeneration of the testdata burned 19 gates in round 9;

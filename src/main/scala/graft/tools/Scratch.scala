@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway profiling scratchpad (not part of the driver contract). */
+object Scratch {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SparkEntry.sessionBuilder(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = graft.SparkEntry.queries
+    def run(name: String): Unit = { qs(name)(spark, sfDir).count(); () }
+
+    for (mf <- Seq("100", "500", "1500")) {
+      spark.conf.set("spark.sql.codegen.maxFields", mf)
+      // warm: codegen+JIT for this config
+      run("q_fuzz_parity"); run("q_fuzz_grouped")
+      spark.catalog.clearCache()
+      (1 to 2).foreach { i =>
+        time(s"q_fuzz_parity maxFields=$mf pass$i") { run("q_fuzz_parity") }
+        time(s"q_fuzz_grouped maxFields=$mf pass$i") { run("q_fuzz_grouped") }
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
