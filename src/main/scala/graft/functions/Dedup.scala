@@ -287,13 +287,20 @@ object Dedup {
     require(bits <= 52, "bits > 52 would lose precision in the double fold")
     val th = transform(array_distinct(TextOps.tokens(textCol)),
       t => pmod(xxhash64(t), lit(1L << 52)))
-    aggregate(
+    // lambda-let binding (r19): higher-order-function lambdas evaluate
+    // interpreted with no subexpression elimination, so referencing `th`
+    // directly inside the per-bit fold re-tokenized and re-hashed the
+    // document once PER BIT (52×). Binding the hash array as the single
+    // element of a 1-element array makes every inner reference a cheap
+    // lambda-variable read; values are bit-identical (same fold over the
+    // same array).
+    def fold(ths: Column): Column = aggregate(
       sequence(lit(0), lit(bits - 1)),
       lit(0.0),
       (acc, j) => acc + when(
-        aggregate(th, lit(0L), (a2, h) => a2 + bitAt(h, j) * 2L - 1L) > 0L,
-        pow(lit(2.0), j)).otherwise(lit(0.0))
-    ).cast("long")
+        aggregate(ths, lit(0L), (a2, h) => a2 + bitAt(h, j) * 2L - 1L) > 0L,
+        pow(lit(2.0), j)).otherwise(lit(0.0)))
+    element_at(transform(array(th), ths => fold(ths)), 1).cast("long")
   }
 
   /** SimHash near-dup candidate pairs by hamming distance, banded on
@@ -786,6 +793,14 @@ object Dedup {
     // below, so a hash collision costs one extra verification, never a
     // wrong row. Shipping only (doc_id, h) halves the candidate shuffle's
     // row width vs carrying the shingle string.
+    // r19 optimization round NOTE: extending the jaccardPrefixPairs PPJoin
+    // positional filter to this join was implemented and MEASURED WORSE at
+    // every scale (sf0.1: 3.5 s → 4.7 s; sf1→sf10 decade: 141 s → 172 s,
+    // growth 9.86× → 14.1×): containment's positional bound needs a
+    // position on the FULL side too, and computing the (df-join + per-doc
+    // window) over ALL occurrences — instead of only the prefix — costs
+    // more than the pruned candidates save. Reverted; the prefix ⋈ full
+    // shape below stands.
     val prefix = exploded.join(dfCounts, "s")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <=

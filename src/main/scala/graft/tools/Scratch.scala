@@ -12,6 +12,8 @@ object Scratch {
   }
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val gates = if (args.length > 1) args(1).split(",").toSeq
+      else Seq("dedup_containment")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SparkEntry.sessionBuilder(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,17 +22,14 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
-    def run(name: String): Unit = { qs(name)(spark, sfDir).count(); () }
-
-    for (mf <- Seq("100", "500", "1500")) {
+    for (mf <- Seq("100", "500", "100", "500")) {
       spark.conf.set("spark.sql.codegen.maxFields", mf)
-      // warm: codegen+JIT for this config
-      run("q_fuzz_parity"); run("q_fuzz_grouped")
-      spark.catalog.clearCache()
-      (1 to 2).foreach { i =>
-        time(s"q_fuzz_parity maxFields=$mf pass$i") { run("q_fuzz_parity") }
-        time(s"q_fuzz_grouped maxFields=$mf pass$i") { run("q_fuzz_grouped") }
-        spark.catalog.clearCache()
+      gates.foreach { g =>
+        qs(g)(spark, sfDir).count(); spark.catalog.clearCache() // warm
+        (1 to 2).foreach { i =>
+          time(s"$g maxFields=$mf pass$i") { qs(g)(spark, sfDir).count() }
+          spark.catalog.clearCache()
+        }
       }
     }
     spark.stop()
