@@ -435,6 +435,13 @@ object Bench {
         s""""$k":${num(v, decimals)}""" }.mkString("{", ",", "}")
       val omitted = if (kept.size >= healthy.size) ""
         else s""","omitted":${healthy.size - kept.size}"""
+      // stable ran-count (r19 verdict #7): the slowest-N truncation above
+      // makes a query VANISH from the line when it merely got faster, and
+      // the driver's round-over-round diff mislabeled 13 such queries as
+      // "dropped_from_bench". n_ran is the total number of queries this
+      // run executed (healthy + failed), so truncation is distinguishable
+      // from an actually-removed query without growing the per-query map.
+      val ran = s""","n_ran":${results.size}"""
       val failed = if (nFailed == 0) "" else s""","failed":$nFailed"""
       // noise rides the contract line only when it matters (>1.2×) — it is
       // the reader's signal that the machine was contended during this run
@@ -447,7 +454,7 @@ object Bench {
       // cal_sec stays as a raw-CPU diagnostic only.
       val normF = if (prev.isEmpty || speedRatio <= 0) ""
         else s""","value_norm":${num(total / speedRatio, 3)}"""
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cal_sec":${num(cal, 3)}$normF,"queries":$qs$omitted$failed$noiseF,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","cal_sec":${num(cal, 3)}$normF,"queries":$qs$omitted$ran$failed$noiseF,"sf":"$sfTag"}"""
     }
     // self-bounding against the driver's 2000-char stdout tail capture: a
     // line longer than the capture window gets truncated MID-LINE and the

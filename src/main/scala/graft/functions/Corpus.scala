@@ -494,9 +494,19 @@ object Corpus {
       .select(col("doc_id"), col("is_target"),
         hashBucket(col("gram"), buckets).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucketCounts is consumed TWICE — once by the totals broadcast, once
+    // by the log-ratio projection — and each broadcast subtree is planned
+    // independently (no exchange reuse across broadcast builds), so
+    // without a persist the full gram stream was re-aggregated per
+    // consumer: THREE cached-stream scans per query (totals job, logRatio
+    // job, final join). Persisting the ≤`buckets`-row aggregate (r19
+    // verdict #2) makes it one aggregation and two gram scans — the
+    // fundamental minimum, since the complete bucket table must exist
+    // before any gram can be scored.
     val bucketCounts = grams.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = bucketCounts.agg(sum(col("cr")).as("tr"),
       sum(col("ct")).as("tt"))
     val logRatio = bucketCounts.crossJoin(broadcast(totals))
@@ -1222,17 +1232,26 @@ object Corpus {
     val z = transform(pos, s => struct(s.getField("w").as("w"),
       (hashBucket(concat_ws("#", lit("mask"), col(idCol),
         s.getField("i")), 100) < pct).as("m")))
-    val hit = filter(z, s => s.getField("m"))
-    docs.select(col(idCol).as("doc_id"),
-      array_join(transform(z, s =>
-        when(s.getField("m"), lit("<mask>")).otherwise(s.getField("w"))),
-        " ").as("input_text"),
-      when(size(hit) > 0,
-        array_join(transform(hit, s => s.getField("w")), " "))
-        .otherwise(lit(null)).as("targets"),
-      size(hit).cast("long").as("n_masked"),
-      size(z).cast("long").as("n_tokens"))
-      .where(col("n_tokens") > 0)
+    // r20 (the r19 HOF-hoist audit extended here): `z` — one md5-bucket
+    // hash PER TOKEN — was referenced by four output expressions and
+    // re-evaluated per reference (~4 md5 passes per document); `hit`
+    // re-filtered it again per ITS three consumers. Both are bound once
+    // in their own projections (multi-consumer non-cheap expressions are
+    // never collapsed back by CollapseProject). Values are bit-identical:
+    // same expressions, evaluated once instead of four times.
+    val hit = filter(col("__z"), s => s.getField("m"))
+    docs.select(col(idCol).as("doc_id"), z.as("__z"))
+      .select(col("doc_id"), col("__z"), hit.as("__hit"))
+      .select(col("doc_id"),
+        array_join(transform(col("__z"), s =>
+          when(s.getField("m"), lit("<mask>")).otherwise(s.getField("w"))),
+          " ").as("input_text"),
+        when(size(col("__hit")) > 0,
+          array_join(transform(col("__hit"), s => s.getField("w")), " "))
+          .otherwise(lit(null)).as("targets"),
+        size(col("__hit")).cast("long").as("n_masked"),
+        size(col("__z")).cast("long").as("n_tokens"))
+        .where(col("n_tokens") > 0)
   }
 
   /** Per-partition word-type memo budget shared by every word-level

@@ -743,13 +743,34 @@ object CoreGates {
     // machine-identical predicates — a combination either matches
     // row-for-row or the hash fails naming the case id.
     "q_fuzz_parity" -> ((s, dir) => {
+      // LONG-BACKED conditional sums (r19 verdict #4, guide §2.3 narrower
+      // types): sum(decimal(18,2)) carries a decimal(28,2) buffer, which
+      // exceeds Spark's 18-digit compact-long Decimal bound — every one
+      // of the 32 conditional updates per row deserializes, adds and
+      // re-serializes a BigDecimal in the UnsafeRow buffer. l_quantity is
+      // exact in cents (integer-valued 1..50 here; decimal(18,2) in
+      // general), so the sum is computed over ONE per-row cents
+      // projection into plain long buffers and divided back once per
+      // output cell. VALUE-IDENTICAL: cents ≤ 5000/row keeps any
+      // realistic SF far from long overflow (sf100 ≈ 3e13 ≪ 2^63, and
+      // < 2^53 so the final division's numerator is also exact in
+      // double); both `cast(sum_decimal as double)` and `sum_cents/100.0`
+      // are the correctly-rounded double nearest S/100, and an empty
+      // case sums to NULL on both paths. The decimal-sum aggregation
+      // path itself stays differentially covered by q_fuzz_decimal and
+      // the money() sums in q1/q3/q10. Oracle SQL unchanged.
       val li = t(s, dir, "lineitem")
+        .withColumn("__cents", (money(col("l_quantity")) * 100).cast("long"))
       val aggs = fuzzCases.flatMap { c => Seq(
         count(when(c.pred, 1)).as(s"n_${c.id}"),
-        sum(when(c.pred, money(col("l_quantity")))).cast("double").as(s"q_${c.id}"),
+        sum(when(c.pred, col("__cents"))).as(s"qc_${c.id}"),
         min(when(c.pred, col("l_orderkey"))).as(s"mn_${c.id}"),
         max(when(c.pred, col("l_orderkey"))).as(s"mx_${c.id}")) }
       val row = li.agg(aggs.head, aggs.tail: _*)
+        .select(fuzzCases.flatMap(c => Seq(
+          col(s"n_${c.id}"),
+          (col(s"qc_${c.id}") / lit(100.0)).as(s"q_${c.id}"),
+          col(s"mn_${c.id}"), col(s"mx_${c.id}"))): _*)
       row.select(expr(s"stack(${fuzzCases.size}, " +
         fuzzCases.map(c =>
           s"${c.id}, n_${c.id}, q_${c.id}, mn_${c.id}, mx_${c.id}")
@@ -763,12 +784,21 @@ object CoreGates {
     // predicate × grouped-aggregation combination space the per-operator
     // gates can't.
     "q_fuzz_grouped" -> ((s, dir) => {
+      // long-backed conditional sums — the q_fuzz_parity rewrite (see its
+      // note for the exactness proof); the 96 aggregate buffers here were
+      // the single largest gate in the idle sweep, dominated by the
+      // 32 decimal(28,2) buffer updates per row.
       val li = t(s, dir, "lineitem")
+        .withColumn("__cents", (money(col("l_quantity")) * 100).cast("long"))
       val aggs = fuzzCases.flatMap { c => Seq(
         count(when(c.pred, 1)).as(s"n_${c.id}"),
-        sum(when(c.pred, money(col("l_quantity")))).cast("double").as(s"q_${c.id}"),
+        sum(when(c.pred, col("__cents"))).as(s"qc_${c.id}"),
         max(when(c.pred, col("l_orderkey"))).as(s"mx_${c.id}")) }
       val grouped = li.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag") +: fuzzCases.flatMap(c => Seq(
+          col(s"n_${c.id}"),
+          (col(s"qc_${c.id}") / lit(100.0)).as(s"q_${c.id}"),
+          col(s"mx_${c.id}"))): _*)
       grouped.select(col("l_returnflag"), expr(
         s"stack(${fuzzCases.size}, " +
           fuzzCases.map(c => s"${c.id}, n_${c.id}, q_${c.id}, mx_${c.id}")

@@ -33,8 +33,7 @@ object StreamGates {
       // (shared SparkContext, private SQLConf) — mutating the caller's
       // session-global conf would leak to concurrent queries and on
       // failure between set and restore.
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val schema = t(ss, dir, "events").schema
       val src = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -69,8 +68,7 @@ object StreamGates {
       // Stream-stream join keeps 4 state stores per shuffle partition;
       // size partitions to this bounded feed in an isolated child session
       // (see s4 note — never mutate the shared session conf).
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -116,14 +114,13 @@ object StreamGates {
     // is the plain batch LEFT JOIN over the real feed.
     "s12_stream_outer_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
+      val ss = streamSession(s, 4)
       // 4 state partitions, not the session's 32 (nor the old 8): each of
       // the three micro-batches initializes one state store PER shuffle
       // partition, and store setup dominates this bounded feed's cost —
       // idle min-of-3 measured 3.4s at 8 partitions, 2.5s at 4, with 2
       // within noise of 4. Sizing state-store count to the workload is
       // the same per-gate dial s4 documents.
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -158,14 +155,13 @@ object StreamGates {
     // check built into the row set). Oracle = batch EXISTS.
     "s17_stream_semi_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
+      val ss = streamSession(s, 4)
       // 4 state partitions, not the session's 32 (nor the old 8): each of
       // the three micro-batches initializes one state store PER shuffle
       // partition, and store setup dominates this bounded feed's cost —
       // idle min-of-3 measured 3.4s at 8 partitions, 2.5s at 4, with 2
       // within noise of 4. Sizing state-store count to the workload is
       // the same per-gate dial s4 documents.
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -201,14 +197,13 @@ object StreamGates {
     // JOIN over the real feed.
     "s15_stream_full_outer" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
+      val ss = streamSession(s, 4)
       // 4 state partitions, not the session's 32 (nor the old 8): each of
       // the three micro-batches initializes one state store PER shuffle
       // partition, and store setup dominates this bounded feed's cost —
       // idle min-of-3 measured 3.4s at 8 partitions, 2.5s at 4, with 2
       // within noise of 4. Sizing state-store count to the workload is
       // the same per-gate dial s4 documents.
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -296,8 +291,7 @@ object StreamGates {
     // correct late-drop means replays contribute nothing to it.
     "s10_stream_late_drop" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val ev = t(ss, dir, "events").select(
         col("event_id"), col("user_id"), col("event_type"),
         Tables.tsFromNanos(col("ts")).as("event_ts"))
@@ -405,8 +399,7 @@ object StreamGates {
 
     "s7_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val schema = t(ss, dir, "events").schema
       val src = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -425,8 +418,7 @@ object StreamGates {
     // complete mode, so watermark state-purge cannot drop windows.
     "s5_stream_sliding" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val schema = t(ss, dir, "events").schema
       val src = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -453,8 +445,7 @@ object StreamGates {
     // gaps-and-islands DuckDB oracle).
     "s5_stream_session" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val schema = t(ss, dir, "events").schema
       val src = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -626,8 +617,7 @@ object StreamGates {
     // batch-gated twin.
     "t_stream_stateful" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       import ss.implicits._
       val schema = t(ss, dir, "events").schema
       val src = ss.readStream.schema(schema)
@@ -731,8 +721,7 @@ object StreamGates {
     // first sight, not at eviction; sentinels advance nothing we need).
     "s14_stream_dedup_watermark" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val (stage, schema) = outerJoinFeed(ss, dir)
       val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -871,8 +860,7 @@ object StreamGates {
     // state store IS the current table.
     "s30_stream_changelog" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ss = streamSession(s)
       val batch = t(ss, dir, "events")
       val src = ss.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -50,7 +50,15 @@ object Tables {
     // usual), so it is safe at any SF and on a real cluster. Override
     // via spark.sql.codegen.maxFields if a future Spark version changes
     // the splitting behavior.
-    "spark.sql.codegen.maxFields" -> "500")
+    "spark.sql.codegen.maxFields" -> "500",
+    // Pinned explicitly (ADVICE r19 #2) because maxFields=500 applies
+    // session-wide: if some very wide plan elsewhere ever blows Janino's
+    // 64KB-method/constant-pool limits, fallback=true (the Spark default,
+    // restated here so a deployment override can't flip it) demotes that
+    // one stage to interpreted execution instead of failing the query —
+    // the pre-r19 behavior, a perf-only regression, never a correctness
+    // one.
+    "spark.sql.codegen.fallback" -> "true")
 
   /** Expected shape per table: column → accepted Spark types. A silent
     * upstream regeneration of the testdata burned 19 gates in round 9;

@@ -30,9 +30,16 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // validate every name up front (ADVICE r19 #4): a typo'd name used to
+    // sys.error mid-loop, leaving a partial plans/ directory while
+    // per-query capture failures were annotated in-file — two failure
+    // modes in one evidence tool. Now unknown names abort before any
+    // file is written.
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — nothing written")
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name'"))
+      val fn = graft.SparkEntry.queries(name)
       val body =
         try {
           val df = fn(spark, sfDir)

@@ -97,6 +97,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort / window in the piece table:\n${pv.take(800)}")
   }
 
+  test("lambda-let bindings survive optimization (interpreted-HOF hoist guard)") {
+    // ADVICE r19 #1: Dedup.simhash and TextAnalysis.fingerprints bind an
+    // expensive token/shingle-hash array as the single element of a
+    // 1-element array — `element_at(transform(array(x), xs => body), 1)`
+    // — so references inside the interpreted HOF lambda are cheap
+    // variable reads instead of O(len) re-tokenizations per element.
+    // That relies on the optimizer NEVER inlining the binding (HOF
+    // lambdas get no CSE). If a Spark upgrade adds lambda inlining, the
+    // O(bits·tokens) / O(len²) recomputation comes back with no
+    // correctness signal — this guard makes the plan shape loud instead.
+    val sim = docs.select(graft.functions.Dedup.simhash(col("text")).as("fp"))
+    val fpr = docs.select(
+      TextAnalysis.fingerprints(col("text")).as("fps"))
+    Seq("simhash" -> sim, "fingerprints" -> fpr).foreach { case (name, df) =>
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("transform(array("),
+        s"$name lost its lambda-let binding (transform(array(...)) " +
+          s"inlined by the optimizer) — re-measure the HOF hot path:\n" +
+          opt.take(1200))
+    }
+  }
+
   test("weightedSample plans as TakeOrderedAndProject, never a global sort") {
     val ws = Corpus.weightedSample(
       docs.select(col("doc_id"), col("n_chars")), "doc_id", col("n_chars"), k = 10)
