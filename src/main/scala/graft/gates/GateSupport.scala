@@ -20,30 +20,33 @@ private[graft] object GateSupport {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Child session for a STATEFUL streaming gate (r19 verdict #1):
-    * isolated SQLConf (never mutate the caller's session — the s4 rule),
-    * workload-sized shuffle/state partition count, and the RocksDB state
-    * store provider instead of the default HDFS-backed in-memory one.
+  /** Child session for a STATEFUL streaming gate: isolated SQLConf
+    * (never mutate the caller's session — the s4 rule), workload-sized
+    * shuffle/state partition count, and a PARAMETERIZED state-store
+    * provider.
     *
-    * Why RocksDB (guide §5 — what tasks hold in memory): the default
-    * provider keeps EVERY key's state for EVERY active store version
-    * on-heap per partition; at 100 TB a stream-stream join window or a
-    * wide dedup key space makes executor heap the scale ceiling and GC
-    * the straggler source. RocksDB keeps state off-heap with incremental
-    * checkpoints, so state size is bounded by local disk, not heap — the
-    * provider the Spark docs recommend for production stateful queries.
-    * This is a per-gate session conf, applied at query start with fresh
-    * checkpoints every run (no format-migration risk), and it changes no
-    * output: the store is an implementation of exactly-the-same state
-    * semantics (oracle re-verified 242/242 after the switch).
-    *
-    * `SPARK_GRAFT_STREAM_STATE=hdfs` restores the default provider — the
-    * measurement dial used for the A/B in OPTIMIZATION_r20.md, kept so
-    * the before-shape stays reproducible. */
+    * Provider choice, measured (r20; full A/B in OPTIMIZATION_r20.md):
+    * the r19 verdict asked for RocksDB here (guide §5 — the default
+    * provider keeps every key's state on-heap per partition, so at
+    * 100 TB a stream-stream join window makes executor heap the scale
+    * ceiling; RocksDB keeps state off-heap with changelog checkpoints).
+    * Measured at every reachable scale, RocksDB LOST: +10–50% per gate
+    * at sf0.1, s12 22.7 s vs 8.7 s at sf1 (17.5 s after
+    * trackTotalNumberOfRows=false), ~2–3× sf10 walls — per-micro-batch
+    * native store load/commit dominates bounded feeds, while the default
+    * provider's peak state is 41–89 MB on-heap at sf1 (StateProbe),
+    * nowhere near a heap ceiling at any SF the decade instrument
+    * reaches. So the DEFAULT stays Spark's in-memory provider, and
+    * `SPARK_GRAFT_STREAM_STATE=rocksdb` flips every stateful gate to
+    * RocksDB (with changelog checkpointing and row-tracking off) for
+    * deployments where per-partition state actually exceeds heap —
+    * state at a 1 h join window over 10^12 events is 100s of GB per
+    * 1000 partitions, which only RocksDB survives. Output is
+    * provider-independent (oracle 242/242 under both). */
   def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-    if (!sys.env.get("SPARK_GRAFT_STREAM_STATE").contains("hdfs")) {
+    if (sys.env.get("SPARK_GRAFT_STREAM_STATE").contains("rocksdb")) {
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // changelog checkpointing: commit only the batch's delta instead of
@@ -53,6 +56,12 @@ private[graft] object GateSupport {
       ss.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // numRowsTotal bookkeeping costs a read-before-every-write in the
+      // RocksDB store; it is a UI metric, not a correctness input — off,
+      // per the Spark docs' write-heavy guidance.
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
     }
     ss
   }
